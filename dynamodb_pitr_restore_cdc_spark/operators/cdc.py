@@ -1,0 +1,362 @@
+"""CDC core: the flagship capability family (SURVEY.md §2B "CDC core").
+
+Generalizes the reference's buffer-and-replay pipeline
+(app/lambdas/lambda-backfill/main.py:31-46 — classify INSERT/MODIFY vs
+REMOVE, project NewImage vs Keys, batch-write; cdk/lib/cdk-stack.ts:43-65 —
+FIFO ordering + content dedup + DLQ) into partition-parallel DataFrame
+operators:
+
+- `changelog`        — the deterministic changelog derivation from `events`
+                       (FIXTURES.md "Derived fixture"), mirrored verbatim in
+                       the DuckDB oracle via CHANGELOG_SQL.
+- `latest_per_key`   — net effect of a batch: one surviving op per key
+                       (reference relies on FIFO delivery + full-image puts,
+                       i.e. last-writer-wins; we recover order from seq_no
+                       explicitly — never from arrival order).
+- `cdc_merge`        — snapshot ⊕ batch → new snapshot. The one genuinely
+                       custom physical op (SURVEY.md §4.2): latest-per-key,
+                       split upserts/deletes, anti-join + union. Idempotent
+                       (a seq_no monotonic guard makes re-applied batches
+                       converge) — this is how the reference's at-least-once
+                       delivery becomes exactly-once state.
+
+Scale notes (100 TB): every step is a hash-shuffle on `key` or a
+map-side-only projection; nothing touches the driver. The window in
+latest_per_key and the join in cdc_merge share the same partitioning
+key, so AQE reuses the exchange; skewed hot keys are handled by AQE
+skew-join splitting. State size is O(live keys), not O(changelog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import table
+
+# ---------------------------------------------------------------------------
+# changelog derivation (twin-written: Spark builder + DuckDB SQL)
+# ---------------------------------------------------------------------------
+
+# Exact CASE mapping per FIXTURES.md — the oracle mirrors it verbatim.
+_OP_CASE_SQL = (
+    "CASE WHEN event_type = 'error' THEN 'REMOVE' "
+    "WHEN event_type = 'signup' THEN 'INSERT' "
+    "ELSE 'MODIFY' END"
+)
+
+# content_hash: md5 over pipe-joined row fields. `printf('%.2f', ...)` /
+# `format_string('%.2f', ...)` pins the float's text form so both engines
+# hash identical bytes. ts is excluded (timestamp text forms differ across
+# engines; seq_no already uniquely orders rows).
+CHANGELOG_SQL = f"""
+SELECT
+    event_id AS seq_no,
+    {_OP_CASE_SQL} AS op,
+    user_id AS key,
+    ts,
+    round(value, 2) AS payload_value,
+    props AS payload_props,
+    md5(concat_ws('|',
+        event_id::VARCHAR,
+        {_OP_CASE_SQL},
+        user_id::VARCHAR,
+        printf('%.2f', round(value, 2)),
+        props)) AS content_hash
+FROM events
+"""
+
+
+def with_changelog(sql: str) -> str:
+    """Wrap an oracle query with the changelog CTE."""
+    return f"WITH changelog AS ({CHANGELOG_SQL})\n{sql}"
+
+
+def changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the CDC changelog from the `events` fixture (Spark twin of CHANGELOG_SQL)."""
+    e = table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "error", F.lit("REMOVE"))
+        .when(F.col("event_type") == "signup", F.lit("INSERT"))
+        .otherwise(F.lit("MODIFY"))
+    )
+    df = e.select(
+        F.col("event_id").alias("seq_no"),
+        op.alias("op"),
+        F.col("user_id").alias("key"),
+        F.col("ts"),
+        F.round("value", 2).alias("payload_value"),
+        F.col("props").alias("payload_props"),
+    )
+    return df.withColumn(
+        "content_hash",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("seq_no").cast("string"),
+                F.col("op"),
+                F.col("key").cast("string"),
+                F.format_string("%.2f", F.col("payload_value")),
+                F.col("payload_props"),
+            )
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# reusable CDC primitives
+# ---------------------------------------------------------------------------
+
+def latest_per_key(
+    df: DataFrame, key: str = "key", seq: str = "seq_no"
+) -> DataFrame:
+    """Net effect of a batch of change events: the single latest op per key.
+
+    Reference semantic: DynamoDB full-image puts are last-writer-wins and
+    `batch_write_item` rejects put+delete for the same key in one batch
+    (SURVEY.md §0 caveat 3) — so a micro-batch MUST be reduced to one net
+    op per key before the sink merge. Window + row_number is a single
+    hash-shuffle on `key`; at scale this is the same exchange the merge
+    join needs, so it is not an extra shuffle in the fused plan.
+    """
+    w = W.partitionBy(key).orderBy(F.col(seq).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def cdc_merge(
+    snapshot: DataFrame,
+    batch: DataFrame,
+    key: str = "key",
+    seq: str = "seq_no",
+    op: str = "op",
+    payload_cols: tuple[str, ...] = ("payload_value",),
+) -> DataFrame:
+    """Apply a batch of change events to a snapshot; return the new snapshot.
+
+    snapshot schema: (key, last_seq, *payload_cols)
+    batch schema:    (key, seq_no, op, *payload_cols)  op ∈ INSERT|MODIFY|REMOVE
+
+    Semantics (reference app/lambdas/lambda-backfill/main.py:33-39 +
+    BatchWriteItem last-writer-wins):
+      * reduce batch to latest op per key,
+      * seq_no monotonic guard: ignore batch ops not newer than the
+        snapshot's stored last_seq for that key (replays converge — this
+        replaces the reference's FIFO-queue ordering guarantee, and fixes
+        its dropped-UnprocessedItems bug by being safely re-runnable),
+      * non-REMOVE  -> full-image upsert,
+      * REMOVE      -> delete by key.
+
+    Plan shape: one shuffle on `key` shared by the window and both joins
+    (left_anti to drop superseded snapshot rows, union of fresh upserts).
+    No driver-side data movement; output partitioning stays keyed, so
+    chained merges (micro-batch after micro-batch) reuse the exchange.
+    """
+    net = latest_per_key(batch, key=key, seq=seq)
+
+    # seq_no monotonic guard: anti-join out batch ops that are stale
+    # relative to what the snapshot already incorporates.
+    guarded = (
+        net.alias("b")
+        .join(snapshot.select(key, "last_seq").alias("s"), on=key, how="left")
+        .where((F.col("s.last_seq").isNull()) | (F.col(f"b.{seq}") > F.col("s.last_seq")))
+        .select([F.col(f"b.{c}") for c in net.columns])
+    )
+
+    upserts = guarded.where(F.col(op) != "REMOVE").select(
+        F.col(key), F.col(seq).alias("last_seq"), *[F.col(c) for c in payload_cols]
+    )
+    touched = guarded.select(key)
+
+    survivors = snapshot.join(touched, on=key, how="left_anti")
+    return survivors.unionByName(upserts)
+
+
+def fold_changelog(
+    cl: DataFrame,
+    key: str = "key",
+    seq: str = "seq_no",
+    op: str = "op",
+    payload_cols: tuple[str, ...] = ("payload_value",),
+) -> DataFrame:
+    """Sequential-fold semantics of a whole changelog: final state per key.
+
+    Equals `cdc_merge` applied over any batch decomposition of the same
+    changelog (property-tested in tests/test_cdc_property.py).
+    """
+    latest = latest_per_key(cl, key=key, seq=seq)
+    return latest.where(F.col(op) != "REMOVE").select(
+        F.col(key), F.col(seq).alias("last_seq"), *[F.col(c) for c in payload_cols]
+    )
+
+
+# ---------------------------------------------------------------------------
+# registered queries
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_cdc_classify",
+    oracle=with_changelog(
+        """
+SELECT seq_no, key,
+       CASE WHEN op <> 'REMOVE' THEN 'UPSERT' ELSE 'DELETE' END AS action,
+       CASE WHEN op <> 'REMOVE' THEN payload_value END AS image_value,
+       CASE WHEN op = 'REMOVE' THEN key END AS delete_key
+FROM changelog
+"""
+    ),
+)
+def q_cdc_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9-A12: classify events into upsert/delete and project the matching
+    payload (NewImage for upserts, Keys for deletes) — reference
+    lambda-backfill/main.py:33-39, as a single codegen'd projection."""
+    cl = changelog(spark, sf_dir)
+    is_upsert = F.col("op") != "REMOVE"
+    return cl.select(
+        "seq_no",
+        "key",
+        F.when(is_upsert, F.lit("UPSERT")).otherwise(F.lit("DELETE")).alias("action"),
+        F.when(is_upsert, F.col("payload_value")).alias("image_value"),
+        F.when(~is_upsert, F.col("key")).alias("delete_key"),
+    )
+
+
+@register(
+    "q_cdc_latest_per_key",
+    oracle=with_changelog(
+        """
+SELECT key, seq_no, op, payload_value
+FROM (
+    SELECT key, seq_no, op, payload_value,
+           row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
+    FROM changelog
+) WHERE rn = 1
+"""
+    ),
+)
+def q_cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 half 1: per-key last-writer-wins net effect of the full changelog."""
+    cl = changelog(spark, sf_dir)
+    return latest_per_key(cl).select("key", "seq_no", "op", "payload_value")
+
+
+@register(
+    "q_cdc_snapshot_rebuild",
+    oracle=with_changelog(
+        """
+SELECT key, seq_no AS last_seq, payload_value
+FROM (
+    SELECT key, seq_no, op, payload_value,
+           row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
+    FROM changelog
+) WHERE rn = 1 AND op <> 'REMOVE'
+"""
+    ),
+)
+def q_cdc_snapshot_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP (A8-A14 end-to-end): snapshot + ordered changelog ⇒
+    reconstructed table state.
+
+    The snapshot is the fold of the first half of the changelog
+    (seq_no < median, FIXTURES.md); the second half is applied through
+    `cdc_merge` (latest-per-key → upsert/delete split → anti-join +
+    union). The result must equal — and the oracle computes — the fold
+    of the WHOLE changelog. The median split point is carried as a
+    1-row broadcast (no driver action; the whole query is one lazy plan).
+    """
+    cl = changelog(spark, sf_dir)
+    med = cl.agg(F.expr("percentile(seq_no, 0.5)").alias("med"))
+    cl2 = cl.crossJoin(F.broadcast(med))
+    first_half = cl2.where(F.col("seq_no") < F.col("med")).drop("med")
+    second_half = cl2.where(F.col("seq_no") >= F.col("med")).drop("med")
+
+    snapshot = fold_changelog(first_half)
+    rebuilt = cdc_merge(snapshot, second_half)
+    return rebuilt.select("key", "last_seq", "payload_value")
+
+
+@register(
+    "q_cdc_dedup_content",
+    oracle=with_changelog(
+        """
+SELECT seq_no, key, op, content_hash
+FROM (
+    SELECT seq_no, key, op, content_hash,
+           row_number() OVER (PARTITION BY content_hash ORDER BY seq_no) AS rn
+    FROM changelog
+) WHERE rn = 1
+"""
+    ),
+)
+def q_cdc_dedup_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: content-based dedup (SQS FIFO `contentBasedDeduplication`,
+    cdk-stack.ts:48) — keep the earliest record per content hash.
+
+    Implemented as keep-first-by-seq rather than `dropDuplicates` so the
+    surviving row is deterministic (dropDuplicates keeps an arbitrary
+    row; the queue keeps the first). Single shuffle on content_hash.
+    """
+    cl = changelog(spark, sf_dir)
+    w = W.partitionBy("content_hash").orderBy("seq_no")
+    return (
+        cl.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("seq_no", "key", "op", "content_hash")
+    )
+
+
+@register(
+    "q_cdc_dlq_split",
+    oracle=with_changelog(
+        """
+SELECT CASE WHEN key IS NULL OR payload_props IS NULL
+                 OR json_extract_string(payload_props, '$.k') IS NULL
+            THEN 'dlq' ELSE 'ok' END AS route,
+       count(*) AS n_records
+FROM changelog
+GROUP BY 1
+"""
+    ),
+)
+def q_cdc_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+A7: envelope validation + dead-letter routing (cdc-to-sqs/main.py:27-29,
+    cdk-stack.ts:52-63) — filter-split into ok/dlq with counts. In the
+    streaming path the same predicate side-outputs poison records to a
+    dlq/ sink (streaming/cdc_stream.py)."""
+    cl = changelog(spark, sf_dir)
+    bad = (
+        F.col("key").isNull()
+        | F.col("payload_props").isNull()
+        | F.get_json_object("payload_props", "$.k").isNull()
+    )
+    return (
+        cl.select(F.when(bad, F.lit("dlq")).otherwise(F.lit("ok")).alias("route"))
+        .groupBy("route")
+        .agg(F.count("*").alias("n_records"))
+    )
+
+
+@register(
+    "q_cdc_batch_count",
+    oracle=with_changelog(
+        """
+SELECT key, count(*) AS n_events,
+       CAST(ceil(count(*) / 25.0) AS BIGINT) AS n_chunks
+FROM changelog
+GROUP BY key
+"""
+    ),
+)
+def q_cdc_batch_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: 25-item write chunking (CHUNK_SIZE=25, lambda-backfill/main.py:22)
+    — number of batch_write_item calls the reference would issue per key
+    group. Pure map-side-combine aggregation."""
+    cl = changelog(spark, sf_dir)
+    return cl.groupBy("key").agg(
+        F.count("*").alias("n_events"),
+        F.ceil(F.count("*") / 25.0).cast("bigint").alias("n_chunks"),
+    )

@@ -1,0 +1,77 @@
+"""Source/sink queries (SURVEY.md §2B "Sources / sinks").
+
+The reference's only I/O is service calls (Streams in, SQS through,
+BatchWriteItem out — A1/A4/A13); here the equivalents are columnar
+Parquet scans with Catalyst pushdown and a Parquet sink round-trip.
+tests/test_plans.py asserts the scan actually prunes columns and pushes
+the predicate (ReadSchema / PushedFilters in the formatted plan) — at
+100 TB that is the difference between reading 2 columns and reading 40.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import table
+
+
+@register(
+    "q_scan_project_filter",
+    oracle="""
+SELECT l_orderkey, l_partkey, l_quantity, round(l_extendedprice, 2) AS price
+FROM lineitem
+WHERE l_quantity > 30 AND l_returnflag = 'R'
+""",
+)
+def q_scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan + column pruning + predicate pushdown. The filter and
+    the 4-column projection both reach the Parquet reader (no full-row
+    materialization)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.where((F.col("l_quantity") > 30) & (F.col("l_returnflag") == "R")).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_quantity",
+        F.round("l_extendedprice", 2).alias("price"),
+    )
+
+
+@register(
+    "q_scan_json_props",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+FROM events
+""",
+)
+def q_scan_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string extraction (`events.props`) — the typed path for the
+    reference's schemaless item payloads (SURVEY.md §1.2): stays JVM-side
+    via get_json_object, no Python round-trip."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+@register("q_sink_roundtrip", oracle=None)  # rows-only: filesystem side effects
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 analog: write a keyed Parquet sink, read it back, aggregate.
+    Partitioned write → the sink layout a restored table would have; the
+    read-back proves schema round-trip stability."""
+    out = os.path.join(tempfile.gettempdir(), "spark_cdc_engine_sink", "orders_roundtrip")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+    )
