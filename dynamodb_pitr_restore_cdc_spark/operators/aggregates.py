@@ -1,1 +1,206 @@
-"""(stub — filled in Phase 3)"""
+"""Aggregation operators (SURVEY.md §2B "Aggregation").
+
+Scale notes (100 TB): all groupBy aggregates here are hash aggregates
+with map-side partial aggregation (Spark plans partial_* before the
+exchange), so the shuffle carries one row per (partition × group), not
+per input row. countDistinct expands to a two-phase expand+agg;
+approx_count_distinct (HLL++) is the constant-memory alternative at
+scale. rollup/cube are Expand-based — each input row is replicated per
+grouping set BEFORE partial aggregation; fine for low-cardinality
+grouping columns like these, otherwise prefer explicit grouping sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import avg_div, cents, unit_div
+from ..registry import register
+from ..sources import table
+
+
+@register(
+    "q_agg_groupby",
+    oracle="""
+WITH t AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(l_quantity      * 100) AS BIGINT) AS qc,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+           CAST(round(l_discount      * 100) AS BIGINT) AS dc,
+           CAST(round(l_tax           * 100) AS BIGINT) AS tc
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+), g AS (
+    SELECT l_returnflag, l_linestatus,
+           sum(qc) AS sqc, sum(pc) AS spc, sum(dc) AS sdc,
+           sum(pc * (100 - dc)) AS sdu,
+           sum(pc * (100 - dc) * (100 + tc)) AS scu,
+           count(*) AS n
+    FROM t GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+       sqc / 100.0                                AS sum_qty,
+       spc / 100.0                                AS sum_base_price,
+       ((sdu + 50)   // 100)     / 100.0          AS sum_disc_price,
+       ((scu + 5000) // 10000)   / 100.0          AS sum_charge,
+       ((2 * sqc + n) // (2 * n)) / 100.0         AS avg_qty,
+       ((2 * spc + n) // (2 * n)) / 100.0         AS avg_price,
+       ((2 * sdc + n) // (2 * n)) / 100.0         AS avg_disc,
+       n AS count_order
+FROM g
+""",
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: 2-key hash agg, 8 aggregates, predicate pushed to
+    scan. Money aggregates use exact fixed-point (functions/rounding.py):
+    integer partial sums are order-independent, so the result is
+    bit-identical however AQE schedules the shuffle — a determinism
+    property floating-point sums do not have on a cluster."""
+    li = table(spark, sf_dir, "lineitem")
+    qty_c = cents("l_quantity")
+    price_c = cents("l_extendedprice")
+    disc_c = cents("l_discount")
+    tax_c = cents("l_tax")
+    g = (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty_c).alias("sqc"),
+            F.sum(price_c).alias("spc"),
+            F.sum(disc_c).alias("sdc"),
+            F.sum(price_c * (100 - disc_c)).alias("sdu"),
+            F.sum(price_c * (100 - disc_c) * (100 + tax_c)).alias("scu"),
+            F.count("*").alias("n"),
+        )
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("sqc") / 100.0).alias("sum_qty"),
+        (F.col("spc") / 100.0).alias("sum_base_price"),
+        unit_div("sdu", 100).alias("sum_disc_price"),
+        unit_div("scu", 10000).alias("sum_charge"),
+        avg_div("sqc", "n").alias("avg_qty"),
+        avg_div("spc", "n").alias("avg_price"),
+        avg_div("sdc", "n").alias("avg_disc"),
+        F.col("n").alias("count_order"),
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_custs,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (two-phase expand under the hood)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register("q_agg_approx_distinct", oracle=None)  # rows-only: HLL estimates differ by engine
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — the constant-memory scale path for
+    high-cardinality distinct counts (100 TB: never exact-distinct a
+    billion-key column you only need to within 1%)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle="""
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_total
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 12
+""",
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+        .where(F.col("n_orders") >= 12)
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals; grouping_id disambiguates rolled-up NULLs."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    ).select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n_rows")
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping-set combinations (2^k Expand fan-out — keep k small)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    ).select("l_returnflag", "l_linestatus", "gid", "sum_price")
+
+
+@register(
+    "q_agg_gsets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via the SQL entry point (Catalyst plans the
+    same Expand as rollup/cube but only for the 3 requested sets)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping_id(l_returnflag, l_linestatus) AS gid,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
