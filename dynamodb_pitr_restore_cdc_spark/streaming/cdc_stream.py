@@ -1,0 +1,115 @@
+"""Streaming CDC apply: the E1/E3 paths of the reference re-expressed as
+Structured Streaming (SURVEY.md §3).
+
+Reference shape: DynamoDB Stream → SQS FIFO buffer → Lambda drain →
+batch_write_item (cdc-to-sqs/main.py:25-34, lambda-backfill/main.py:25-46).
+Spark shape: file/Kafka `readStream` → validation filter-split (DLQ) →
+`writeStream.foreachBatch(cdc_merge)` with checkpointing. The stream's
+checkpoint replaces the SQS buffer (A4), micro-batching replaces the
+ESM batching policy (A15), and the seq_no guard inside cdc_merge
+replaces FIFO delivery (A6) — order is recovered from data, never
+assumed from arrival.
+
+Scale notes (100 TB): the sink here is plain keyed Parquet, rewritten
+read-modify-write per micro-batch — correct but O(sink) per batch. The
+production-shape upgrade (same cdc_merge logic, different sink driver)
+is a key-bucketed layout where each micro-batch rewrites only the
+buckets its keys hash into, or a MERGE INTO against a table format
+(Delta/Iceberg) when available; cdc_merge itself is already
+partition-parallel and sink-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.cdc import cdc_merge
+
+CHANGELOG_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("seq_no", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("key", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("payload_value", T.DoubleType()),
+        T.StructField("payload_props", T.StringType()),
+        T.StructField("content_hash", T.StringType()),
+    ]
+)
+
+
+def read_changelog_stream(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source changelog stream (tests/local; production shape swaps in
+    Kafka/Kinesis with the same downstream plan)."""
+    return (
+        spark.readStream.schema(CHANGELOG_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(src_dir)
+    )
+
+
+def split_dlq(stream: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """A2/A7: validation filter-split. Returns (ok, dlq) streams."""
+    bad = F.col("key").isNull() | F.col("op").isNull() | F.col("seq_no").isNull()
+    return stream.where(~bad), stream.where(bad)
+
+
+def run_cdc_apply(
+    spark: SparkSession,
+    src_dir: str,
+    snapshot: DataFrame,
+    work_dir: str,
+    dlq_dir: str | None = None,
+) -> str:
+    """Drain all available changelog files through foreachBatch(cdc_merge),
+    starting from `snapshot`. Returns the path of the final sink version.
+
+    Versioned-directory sink: each micro-batch writes `v{epoch}` and
+    advances a pointer — read-modify-write against an immutable input,
+    so a replayed epoch (at-least-once delivery) simply overwrites its
+    own output and, thanks to the seq_no guard in cdc_merge, converges
+    to the same state: exactly-once STATE from at-least-once DELIVERY,
+    which is precisely what the reference's TODO at
+    lambda-backfill/main.py:47 fails to provide.
+    """
+    os.makedirs(work_dir, exist_ok=True)
+    snap_path = os.path.join(work_dir, "v_init")
+    snapshot.write.mode("overwrite").parquet(snap_path)
+    state = {"path": snap_path}
+
+    stream = read_changelog_stream(spark, src_dir)
+    ok, dlq = split_dlq(stream)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        snap = sess.read.parquet(state["path"])
+        merged = cdc_merge(snap, batch_df)
+        new_path = os.path.join(work_dir, f"v{epoch_id}")
+        merged.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+
+    q = (
+        ok.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(work_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    if dlq_dir is not None:
+        dq = (
+            dlq.writeStream.format("parquet")
+            .option("path", dlq_dir)
+            .option("checkpointLocation", os.path.join(work_dir, "_dlq_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        dq.awaitTermination()
+
+    return state["path"]

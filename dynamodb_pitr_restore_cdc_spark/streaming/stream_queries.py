@@ -1,1 +1,314 @@
-"""(stub — filled in Phase 4)"""
+"""Streaming operator family (SURVEY.md §2B "Streaming").
+
+Two execution shapes, same operators:
+
+- window/session aggregations run here in BATCH mode with the exact
+  streaming operators (`F.window`, `F.session_window`) — in Spark these
+  are the same Catalyst nodes either way, and batch mode makes the
+  driver's oracle-differential check meaningful.
+- the genuinely stateful behaviors (watermark late-drop, streaming
+  dedup, foreachBatch CDC) run REAL multi-micro-batch streams over
+  deterministic file splits, so batch boundaries — the thing that makes
+  streaming semantics interesting — actually exist.
+
+Determinism discipline for the real streams: input files are written
+with monotonically increasing mtimes (the file source orders by
+modification time), maxFilesPerTrigger=1 pins the batch decomposition,
+and fixture timestamps are fixed — so every run sees the same batches,
+the same watermark trajectory, and the same output.
+
+Scale notes (100 TB): all stateful ops are keyed (user_id /
+content_hash) so state shards across executors; watermarks bound state
+growth; session windows merge per key. The tumbling/sliding batch
+equivalents shuffle once on (window, key) with map-side partials.
+
+Known limitation (documented, matches reference semantics): cdc_merge
+drops tombstones, so a REMOVE followed in a LATER micro-batch by an
+older stale op for the same key would resurrect it. Real buffers
+deliver roughly seq-ordered batches (the reference's queue is FIFO),
+and the streaming splits here are contiguous seq ranges accordingly;
+a tombstone-retaining sink is the upgrade path for sources with
+cross-batch reordering.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cdc import changelog, fold_changelog, with_changelog
+from ..registry import register
+from ..sources import table
+from .cdc_stream import CHANGELOG_STREAM_SCHEMA, run_cdc_apply
+
+
+# ---------------------------------------------------------------------------
+# deterministic file-split helpers for real streaming runs
+# ---------------------------------------------------------------------------
+
+def _fresh_dir(tag: str) -> str:
+    d = os.path.join(
+        tempfile.gettempdir(), "spark_cdc_engine_stream", f"{tag}-{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _write_split_files(df: DataFrame, splits: list, src_dir: str) -> None:
+    """Write one parquet file per split predicate, with increasing mtimes
+    so the file streaming source processes them in list order."""
+    base_mtime = 1_700_000_000
+    for i, pred in enumerate(splits):
+        pdf = df.where(pred).toPandas()
+        path = os.path.join(src_dir, f"{i:05d}.parquet")
+        # µs timestamps: pandas would write TIMESTAMP(NANOS), which the
+        # Spark streaming reader sees as INT64 (nanosAsLong)
+        pdf.to_parquet(
+            path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(path, (base_mtime + i, base_mtime + i))
+
+
+def _ts_tertiles(df: DataFrame, col: str) -> tuple:
+    """Deterministic 1/3-2/3 event-time cut points (driver-side scalars —
+    orchestration, not a data path)."""
+    row = df.agg(
+        F.expr(f"percentile(unix_micros({col}), 0.3333)").alias("p1"),
+        F.expr(f"percentile(unix_micros({col}), 0.6667)").alias("p2"),
+    ).first()
+    return int(row.p1), int(row.p2)
+
+
+# ---------------------------------------------------------------------------
+# windowed aggregations (streaming operators, batch-checked)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_stream_tumbling",
+    oracle="""
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM events
+GROUP BY 1
+""",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window count/sum (`F.window` — the streaming
+    group-by node; epoch-aligned, so the batch oracle is date_trunc)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register("q_stream_sliding", oracle=None)  # rows-only: overlapping windows aren't 1 SQL group-by
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 minutes — each event lands in 4
+    windows (Expand ×4 before the shuffle)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "q_stream_session",
+    oracle="""
+WITH gaps AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id, ts,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM gaps
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       count(*) AS n_events
+FROM sess
+GROUP BY user_id, sess_id
+""",
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows, 30-minute gap, per user (`F.session_window` — the
+    streaming merging-session state op). The oracle is the classic
+    gap-and-islands rewrite, proving the semantics equivalence."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# real multi-batch streaming runs
+# ---------------------------------------------------------------------------
+
+@register("q_stream_watermark_late", oracle=None)  # rows-only: watermark trajectory isn't SQL
+def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data drop beyond a 10-minute watermark, observed over a real
+    3-batch stream: batches 1-2 advance event time through the month;
+    batch 3 redelivers the event_id%5==0 rows (the reference's
+    at-least-once redelivery shape) — all but the newest are behind the
+    watermark and dropped; append mode emits only finalized windows."""
+    e = table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    on_time = F.col("event_id") % 5 != 0
+    p1, p2 = _ts_tertiles(e, "ts")
+    tsu = F.unix_micros("ts")
+    src, ck = _fresh_dir("wm-src"), _fresh_dir("wm-ck")
+    _write_split_files(
+        e,
+        [
+            on_time & (tsu <= p1),
+            on_time & (tsu > p1),
+            ~on_time,  # replayed/late rows, spread over the whole month
+        ],
+        src,
+    )
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = stream.groupBy(F.window("ts", "1 hour")).agg(F.count("*").alias("n_events"))
+    name = f"wm_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = (
+        spark.table(name)
+        .select(F.unix_micros(F.col("window.start")).alias("window_start_us"), "n_events")
+        .cache()
+    )
+    result.count()
+    shutil.rmtree(src, ignore_errors=True)
+    return result
+
+
+@register(
+    "q_stream_dedup",
+    oracle=with_changelog("SELECT seq_no, key, op, content_hash FROM changelog"),
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on content_hash within a watermark
+    (`dropDuplicatesWithinWatermark` — A5's SQS content dedup as keyed
+    state). Input: the changelog split time-ordered into 2 batches, then
+    a 3rd batch redelivering every 7th record (at-least-once). Every
+    duplicate is eliminated — recent ones by dedup state, old ones as
+    late data — so the output equals the clean changelog, which is
+    exactly the oracle."""
+    cl = changelog(spark, sf_dir)
+    p1, p2 = _ts_tertiles(cl, "ts")
+    tsu = F.unix_micros("ts")
+    src, ck = _fresh_dir("dedup-src"), _fresh_dir("dedup-ck")
+    _write_split_files(cl, [tsu <= p2, tsu > p2], src)
+    # batch 3: redelivered duplicates
+    pdf = cl.where(F.col("seq_no") % 7 == 0).toPandas()
+    path = os.path.join(src, "00002.parquet")
+    pdf.to_parquet(path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    os.utime(path, (1_700_000_002, 1_700_000_002))
+
+    stream = (
+        spark.readStream.schema(CHANGELOG_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+    name = f"dedup_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.select("seq_no", "key", "op", "content_hash")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.table(name).cache()
+    result.count()
+    shutil.rmtree(src, ignore_errors=True)
+    return result
+
+
+@register(
+    "q_stream_foreachbatch_cdc",
+    oracle=with_changelog(
+        """
+SELECT key, seq_no AS last_seq, payload_value
+FROM (
+    SELECT key, seq_no, op, payload_value,
+           row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
+    FROM changelog
+) WHERE rn = 1 AND op <> 'REMOVE'
+"""
+    ),
+)
+def q_stream_foreachbatch_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming CDC apply (A8-A17 under availableNow): the
+    second half of the changelog drains through
+    writeStream.foreachBatch(cdc_merge) in 3 contiguous-seq micro-batches
+    against the first-half snapshot. Must equal — and is oracle-checked
+    against — the batch flagship q_cdc_snapshot_rebuild."""
+    cl = changelog(spark, sf_dir)
+    row = cl.agg(
+        F.expr("percentile(seq_no, 0.5)").alias("med"),
+        F.expr("percentile(seq_no, 0.6667)").alias("p1"),
+        F.expr("percentile(seq_no, 0.8333)").alias("p2"),
+    ).first()
+    snapshot = fold_changelog(cl.where(F.col("seq_no") < row.med))
+    second = cl.where(F.col("seq_no") >= row.med)
+
+    src, work = _fresh_dir("fb-src"), _fresh_dir("fb-work")
+    s = F.col("seq_no")
+    _write_split_files(
+        second, [s < row.p1, (s >= row.p1) & (s < row.p2), s >= row.p2], src
+    )
+
+    final_path = run_cdc_apply(spark, src, snapshot, work)
+    result = (
+        spark.read.parquet(final_path)
+        .select("key", "last_seq", "payload_value")
+        .cache()
+    )
+    result.count()
+    shutil.rmtree(src, ignore_errors=True)
+    return result
