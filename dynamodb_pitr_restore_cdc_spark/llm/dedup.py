@@ -1,1 +1,209 @@
-"""(stub — filled in Phase 5)"""
+"""Document deduplication (LLM-data-pipeline extension, SURVEY.md §2B).
+
+Three tiers, matching how a 100 TB corpus is actually deduped:
+
+- exact:   hash-groupBy on md5(text) — one shuffle, keep-first.
+- near:    MinHash-LSH — shingle → 64-perm minhash signature
+           (vectorized pandas_udf, Arrow-batched) → band/bucket join →
+           exact-Jaccard verification on candidates only. Always
+           join-shaped: the candidate set is O(n·bands), never the
+           O(n²) all-pairs product, so it shuffles and scales; the
+           only Python is the signature computation (one pass) and
+           the per-candidate verification.
+- simhash: 64-bit sign-hash per doc; near-dups differ in few bits.
+
+Determinism: token hashing is zlib.crc32 (stable across platforms and
+runs); permutation parameters come from a fixed-seed RandomState; the
+exact-Jaccard check rounds in integer space. With the fixture's
+planted near-dup pairs at J≈0.98, the per-pair LSH miss probability is
+(1 - 0.98⁴)¹⁶ ≈ 1e-18 — the oracle (a shingle self-join computing true
+Jaccard ≥ 0.5 in pure SQL) therefore matches exactly.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from ..sources import table
+
+N_PERM = 64
+LSH_BANDS = 16
+ROWS_PER_BAND = N_PERM // LSH_BANDS
+_rng = np.random.RandomState(42)
+_SEEDS = _rng.randint(0, 1 << 62, N_PERM).astype(np.uint64)
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.5
+
+
+def _shingle_hashes(text: str) -> np.ndarray:
+    toks = text.split()
+    hs = {
+        zlib.crc32(" ".join(toks[i : i + SHINGLE_K]).encode())
+        for i in range(len(toks) - SHINGLE_K + 1)
+    }
+    return np.fromiter(hs, dtype=np.uint64) if hs else np.array([0], dtype=np.uint64)
+
+
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — full-avalanche 64-bit mixing, vectorized
+    with numpy's natural mod-2^64 wrap-around. A plain linear perm
+    ((a·x+b) mod p) is NOT adequate here: with 32-bit shingle hashes it
+    barely wraps the modulus, stays order-preserving, and the smallest
+    crc32 wins the min for most permutations at once — destroying
+    min-wise independence (observed: 19/64 matching perms on a J=0.989
+    pair instead of ~63/64)."""
+    with np.errstate(over="ignore"):
+        z = (z + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def minhash_signature(texts: pd.Series) -> pd.Series:
+    """64-permutation MinHash signature per document (Arrow-vectorized;
+    the single Python pass of the near-dedup pipeline). Permutation i
+    is min over shingles of splitmix64(shingle_hash XOR seed_i)."""
+    out = []
+    for t in texts:
+        x = _shingle_hashes(t)
+        vals = _splitmix64(x[None, :] ^ _SEEDS[:, None])
+        out.append(vals.min(axis=1).astype(np.int64).tolist())
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.LongType())
+def jaccard_milli(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
+    """Exact 3-shingle Jaccard in integer thousandths, half-up — the same
+    integer rounding the SQL oracle uses, so values match bit-for-bit."""
+    out = []
+    for a, b in zip(text_a, text_b):
+        sa = set(map(int, _shingle_hashes(a)))
+        sb = set(map(int, _shingle_hashes(b)))
+        i = len(sa & sb)
+        u = len(sa | sb) or 1
+        out.append((2000 * i + u) // (2 * u))
+    return pd.Series(out, dtype="int64")
+
+
+@register(
+    "q_llm_exact_dedup",
+    oracle="""
+SELECT doc_id, lang, source
+FROM (
+    SELECT doc_id, lang, source,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+) WHERE rn = 1
+""",
+)
+def q_llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash, keep lowest doc_id — one shuffle on
+    the hash; at 100 TB the hash is computed in the scan projection so
+    only (hash, doc_id, kept cols) ever shuffles, not the text."""
+    d = table(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
+    "q_llm_near_dedup",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(generate_series(1, len(t) - 2),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ((2000 * i + (sa.n + sb.n - i)) // (2 * (sa.n + sb.n - i))) / 1000.0 AS jaccard
+FROM pairs
+JOIN sz sa ON doc_a = sa.doc_id
+JOIN sz sb ON doc_b = sb.doc_id
+WHERE i * 2 >= (sa.n + sb.n - i)
+""",
+)
+def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs (J ≥ 0.5), exact-verified.
+
+    Plan: signature (pandas_udf) → 16 band-buckets per doc (posexplode)
+    → self-join on (band, bucket-hash) → distinct candidate pairs →
+    join texts back → exact-Jaccard verify. The oracle computes true
+    Jaccard by brute-force shingle self-join — feasible at test SF,
+    while the Spark path is the one that scales (candidates only).
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = d.withColumn("sig", minhash_signature("text"))
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {LSH_BANDS - 1}), "
+                f"b -> xxhash64(concat_ws(',', slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}))))"
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")), "doc_a")
+        .join(d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")), "doc_b")
+        .withColumn("j_milli", jaccard_milli("text_a", "text_b"))
+        .where(F.col("j_milli") >= int(JACCARD_THRESHOLD * 1000))
+    )
+    return verified.select(
+        "doc_a", "doc_b", (F.col("j_milli") / 1000.0).alias("jaccard")
+    )
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over 3-word shingles (splitmix64-expanded crc32).
+
+    Shingles, not unigram tokens: with a small shared vocabulary every
+    document's token SET is nearly identical, so token-level SimHash
+    collapses (random pairs landed ~14 bits apart); shingle sets keep
+    Jaccard ~0.05 between unrelated docs, giving ~32-bit separation."""
+    shifts = np.arange(64, dtype=np.uint64)
+    out = []
+    for t in texts:
+        hs = _splitmix64(_shingle_hashes(t))
+        bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = (2 * bits - 1).sum(axis=0)
+        h = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+        out.append(h - (1 << 64) if h >= (1 << 63) else h)
+    return pd.Series(out, dtype="int64")
+
+
+@register("q_llm_simhash", oracle=None)  # rows-only: bit-level hashing isn't ANSI SQL
+def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 64-bit SimHash fingerprint — the constant-size sketch
+    whose Hamming distance approximates cosine similarity of token
+    sets; near-dup detection at scale groups by rotated prefixes of
+    this value (tested: planted near-dup pairs land within 12 bits,
+    random pairs around 32)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash64("text").alias("simhash"))

@@ -1,1 +1,114 @@
-"""(stub — filled in Phase 5)"""
+"""Embedding similarity search (LLM-data-pipeline extension).
+
+- brute-force cosine top-k: the correctness baseline — JVM-side
+  higher-order functions (zip_with + aggregate), no Python in the
+  scoring loop, probe broadcast so the big side never shuffles.
+- LSH-bucketed ANN: the scale path — a fixed set of random hyperplanes
+  maps each vector to a bucket; search touches only the probe's bucket
+  (≈ n/2^planes of the data). At 100 TB the bucket id is a partition
+  key: the probe routes to one partition instead of scanning all.
+
+Float discipline: components are float32 in storage; both engines cast
+to double BEFORE any arithmetic and fold sequentially, so cosine
+values agree to ~1e-15 and the round(_, 4) outputs hash-match.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from ..sources import table
+
+TOP_K = 10
+PROBE_VEC_ID = 0
+
+N_PLANES = 4
+_plane_rng = np.random.RandomState(7)
+_PLANES = _plane_rng.standard_normal((N_PLANES, 64))
+
+
+def _as_double(col):
+    return F.transform(col if not isinstance(col, str) else F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_col(a, b):
+    """cos(a, b) as a pure JVM column expression (codegen'd, no UDF)."""
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+@register(
+    "q_llm_cosine_topk",
+    oracle=f"""
+WITH p AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS pv
+           FROM embeddings WHERE vec_id = {PROBE_VEC_ID}),
+c AS (SELECT vec_id,
+             list_cosine_similarity(list_transform(embedding, x -> x::DOUBLE), pv) AS cos
+      FROM embeddings, p WHERE vec_id <> {PROBE_VEC_ID})
+SELECT vec_id, round(cos, 4) AS cos_sim
+FROM c ORDER BY cos DESC, vec_id LIMIT {TOP_K}
+""",
+)
+def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against a probe vector (vec_id=0).
+
+    The probe is a 1-row broadcast; scoring is a map-only pass over the
+    corpus (zip_with/aggregate inside codegen); top-k is TakeOrdered
+    (per-partition heads + small merge), so nothing global ever sorts."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", _as_double("embedding").alias("v"))
+    probe = e.where(F.col("vec_id") == PROBE_VEC_ID).select(F.col("v").alias("pv"))
+    scored = (
+        e.where(F.col("vec_id") != PROBE_VEC_ID)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", cosine_col(F.col("v"), F.col("pv")).alias("cos"))
+    )
+    return (
+        scored.orderBy(F.col("cos").desc(), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+@F.pandas_udf(T.IntegerType())
+def lsh_bucket(embeddings: pd.Series) -> pd.Series:
+    """Random-hyperplane LSH bucket (sign pattern over N_PLANES planes,
+    fixed seed — deterministic across runs and executors)."""
+    M = np.array(embeddings.tolist(), dtype=np.float64)
+    signs = (M @ _PLANES.T) > 0
+    buckets = (signs * (1 << np.arange(N_PLANES))).sum(axis=1)
+    return pd.Series(buckets.astype(np.int32))
+
+
+@register("q_llm_ann_lsh", oracle=None)  # rows-only: hyperplane hashing isn't ANSI SQL
+def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors: score only the probe's LSH bucket.
+
+    With 4 planes the candidate set is ~1/16 of the corpus; recall vs
+    the brute-force baseline is property-tested (bucket members'
+    scores agree exactly with brute force — LSH changes WHICH vectors
+    are scored, never their scores)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _as_double("embedding").alias("v")
+    )
+    bucketed = e.withColumn("bucket", lsh_bucket("embedding"))
+    probe = bucketed.where(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("v").alias("pv"), F.col("bucket").alias("probe_bucket")
+    )
+    cand = (
+        bucketed.crossJoin(F.broadcast(probe))
+        .where((F.col("bucket") == F.col("probe_bucket")) & (F.col("vec_id") != PROBE_VEC_ID))
+        .select("vec_id", "bucket", cosine_col(F.col("v"), F.col("pv")).alias("cos"))
+    )
+    return (
+        cand.orderBy(F.col("cos").desc(), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id", "bucket", F.round("cos", 4).alias("cos_sim"))
+    )

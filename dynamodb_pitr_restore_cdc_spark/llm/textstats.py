@@ -1,1 +1,242 @@
-"""(stub — filled in Phase 5)"""
+"""Text analysis (LLM-data-pipeline extension): corpus statistics,
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+Everything in this module is built-in JVM expressions (split /
+higher-order functions / regexp) — no Python in the row path. That is
+deliberate: these run over every document of a 100 TB corpus, so the
+per-row cost must stay inside whole-stage codegen; Python (pandas_udf)
+is reserved for the signature computations in dedup.py/similarity.py
+that genuinely need numpy.
+
+Ratio outputs use exact integer rounding ((2000·a + b) div (2·b) /
+1000) — same engine-stability discipline as functions/rounding.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.rounding import avg_div
+from ..registry import register
+from ..sources import table
+
+STOPWORDS = ("the", "a", "data", "row")
+_STOP_SQL = "('the', 'a', 'data', 'row')"
+
+
+@register(
+    "q_llm_text_stats",
+    oracle="""
+WITH t AS (
+    SELECT lang, source, n_chars,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+)
+SELECT lang, source,
+       count(*) AS n_docs,
+       sum(n_tokens) AS sum_tokens,
+       ((2 * sum(n_tokens * 100) + count(*)) // (2 * count(*))) / 100.0 AS avg_tokens,
+       max(n_chars) AS max_chars
+FROM t GROUP BY lang, source
+""",
+)
+def q_llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics by (lang, source): doc counts, token counts,
+    exact-integer-rounded average doc length."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        t.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum(F.col("n_tokens") * 100).alias("_tok_c"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "sum_tokens",
+            avg_div("_tok_c", "n_docs").alias("avg_tokens"),
+            "max_chars",
+        )
+    )
+
+
+@register(
+    "q_llm_lang_topwords",
+    oracle="""
+WITH w AS (
+    SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+), counted AS (
+    SELECT lang, word, count(*) AS n FROM w GROUP BY lang, word
+), ranked AS (
+    SELECT lang, word, n,
+           row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rn
+    FROM counted
+)
+SELECT lang, word, n, rn FROM ranked WHERE rn <= 5
+""",
+)
+def q_llm_lang_topwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 words per language: explode → count → windowed top-k. The
+    explode fans out ~tokens-per-doc rows but aggregates map-side
+    before the shuffle (partial counts per (lang, word))."""
+    d = table(spark, sf_dir, "documents")
+    counted = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), "word")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("lang", "word", "n", "rn")
+    )
+
+
+@register(
+    "q_llm_lang_id",
+    oracle="""
+WITH f AS (
+    SELECT lang,
+           length(regexp_replace(text, '[^aeiou]', '', 'g')) AS n_vowels,
+           length(replace(text, ' ', '')) AS n_letters
+    FROM documents
+), pred AS (
+    SELECT lang,
+           CASE WHEN n_vowels * 100 < n_letters * 33 THEN 'consonantal'
+                WHEN n_vowels * 100 < n_letters * 38 THEN 'balanced'
+                ELSE 'vocalic' END AS predicted
+    FROM f
+)
+SELECT lang, predicted, count(*) AS n_docs
+FROM pred GROUP BY lang, predicted
+""",
+)
+def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (character n-gram class signal): vowel density
+    classes per doc, cross-tabulated against the labeled lang — the
+    confusion-matrix shape of a real lang-ID eval. Thresholds compare
+    in integer space (n_vowels·100 < n_letters·33), so no float
+    boundary exists at all."""
+    d = table(spark, sf_dir, "documents")
+    f = d.select(
+        "lang",
+        F.length(F.regexp_replace("text", "[^aeiou]", "")).alias("n_vowels"),
+        F.length(F.regexp_replace("text", " ", "")).alias("n_letters"),
+    )
+    pred = f.select(
+        "lang",
+        F.when(F.col("n_vowels") * 100 < F.col("n_letters") * 33, "consonantal")
+        .when(F.col("n_vowels") * 100 < F.col("n_letters") * 38, "balanced")
+        .otherwise("vocalic")
+        .alias("predicted"),
+    )
+    return pred.groupBy("lang", "predicted").agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "q_llm_quality_score",
+    oracle=f"""
+WITH f AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS n_stop
+    FROM documents
+)
+SELECT doc_id, n_tokens,
+       ((2000 * n_stop + n_tokens) // (2 * n_tokens)) / 1000.0 AS stop_ratio,
+       CASE WHEN n_tokens >= 40 AND n_stop * 5 < n_tokens THEN 'good'
+            WHEN n_tokens >= 15 THEN 'fair'
+            ELSE 'poor' END AS quality
+FROM f
+""",
+)
+def q_llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length + stopword-density rules, the
+    standard pre-training corpus filter shape. Stopword count uses a
+    higher-order filter (JVM-side), ratio is integer-rounded, class
+    thresholds compare in integer space."""
+    d = table(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    f = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.expr(
+            f"size(filter(split(text, ' '), x -> x IN ({stop_list})))"
+        ).cast("bigint").alias("n_stop"),
+    )
+    return f.select(
+        "doc_id",
+        "n_tokens",
+        (F.expr("(2000 * n_stop + n_tokens) div (2 * n_tokens)") / 1000.0).alias("stop_ratio"),
+        F.when((F.col("n_tokens") >= 40) & (F.col("n_stop") * 5 < F.col("n_tokens")), "good")
+        .when(F.col("n_tokens") >= 15, "fair")
+        .otherwise("poor")
+        .alias("quality"),
+    )
+
+
+@register(
+    "q_llm_token_count",
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       sum(len(string_split(text, ' '))) AS sum_ws_tokens,
+       sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS sum_bpe_chunks,
+       max(len(string_split(text, ' '))) AS max_tokens
+FROM documents
+GROUP BY source
+""",
+)
+def q_llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and BPE-ish greedy
+    ≤4-char chunks (regexp_extract_all) — the cheap proxy for tokenizer
+    budget estimation over a corpus, entirely in codegen."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " ")).cast("bigint")
+    bpe = F.size(F.expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")).cast("bigint")
+    return (
+        d.select("source", ws.alias("ws_tokens"), bpe.alias("bpe_chunks"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws_tokens").alias("sum_ws_tokens"),
+            F.sum("bpe_chunks").alias("sum_bpe_chunks"),
+            F.max("ws_tokens").alias("max_tokens"),
+        )
+    )
+
+
+@register(
+    "q_llm_fingerprint",
+    oracle="""
+SELECT doc_id,
+       list_reduce(
+           list_prepend(0::BIGINT,
+               list_transform(string_split(text, ' '),
+                              x -> (ascii(x) + length(x))::BIGINT)),
+           (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+FROM documents
+""",
+)
+def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial fingerprint over the token stream (order-
+    sensitive, unlike the bag-of-shingles hashes in dedup.py) — a
+    content-defined document id computed as a pure fold, identical in
+    both engines because every step is exact bigint arithmetic."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.expr(
+        "aggregate(transform(split(text, ' '), x -> cast(ascii(x) + length(x) as bigint)), "
+        "cast(0 as bigint), (a, b) -> (a * 31 + b) % 1000000007)"
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))

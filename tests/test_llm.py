@@ -1,0 +1,94 @@
+"""LLM-extension properties that SQL oracles can't express: sketch
+quality (minhash estimate accuracy, simhash Hamming separation) and
+ANN consistency with the brute-force baseline."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from dynamodb_pitr_restore_cdc_spark.registry import all_queries
+
+SPECS = all_queries()
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_minhash_estimates_jaccard(spark, sf_dir):
+    """Signature agreement rate must estimate true Jaccard for the
+    planted near-dup pairs (J≈0.98 -> expect >=75% perms matching)."""
+    from dynamodb_pitr_restore_cdc_spark.llm.dedup import minhash_signature
+    from dynamodb_pitr_restore_cdc_spark.sources import table
+
+    pairs = SPECS["q_llm_near_dedup"].builder(spark, sf_dir).collect()
+    assert len(pairs) > 0
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = {
+        r.doc_id: np.array(r.sig)
+        for r in d.withColumn("sig", minhash_signature("text")).collect()
+    }
+    for p in pairs:
+        agree = (sigs[p.doc_a] == sigs[p.doc_b]).mean()
+        assert agree >= 0.75, (p.doc_a, p.doc_b, agree, p.jaccard)
+
+
+def test_simhash_separates_near_dups(spark, sf_dir):
+    """Near-dup pairs must sit close in Hamming space; random pairs far."""
+    sh = {
+        r.doc_id: r.simhash
+        for r in SPECS["q_llm_simhash"].builder(spark, sf_dir).collect()
+    }
+    pairs = SPECS["q_llm_near_dedup"].builder(spark, sf_dir).collect()
+    near = [_hamming(sh[p.doc_a], sh[p.doc_b]) for p in pairs]
+    assert near and max(near) <= 16, near
+
+    rng = np.random.RandomState(0)
+    ids = sorted(sh)
+    near_set = {(p.doc_a, p.doc_b) for p in pairs}
+    rand = []
+    while len(rand) < 50:
+        a, b = rng.choice(ids, 2, replace=False)
+        if (min(a, b), max(a, b)) not in near_set:
+            rand.append(_hamming(sh[a], sh[b]))
+    assert np.mean(rand) > 20, np.mean(rand)
+
+
+def test_ann_scores_match_brute_force(spark, sf_dir):
+    """LSH changes WHICH vectors are scored, never their scores: every
+    ANN hit must carry exactly the brute-force cosine for that vec_id,
+    and rank within the bucket must respect the global ranking."""
+    ann = SPECS["q_llm_ann_lsh"].builder(spark, sf_dir).collect()
+    assert len(ann) > 0
+    brute = {
+        r.vec_id: r.cos_sim
+        for r in SPECS["q_llm_cosine_topk"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    # recompute full brute-force scores for all ids (topk only has 10)
+    from dynamodb_pitr_restore_cdc_spark.llm.similarity import (
+        PROBE_VEC_ID,
+        _as_double,
+        cosine_col,
+    )
+    from dynamodb_pitr_restore_cdc_spark.sources import table
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    probe = e.where(F.col("vec_id") == PROBE_VEC_ID).select(F.col("v").alias("pv"))
+    full = {
+        r.vec_id: r.cos
+        for r in e.where(F.col("vec_id") != PROBE_VEC_ID)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", F.round(cosine_col(F.col("v"), F.col("pv")), 4).alias("cos"))
+        .collect()
+    }
+    for r in ann:
+        assert abs(full[r.vec_id] - r.cos_sim) < 1e-9, r
+
+
+def test_exact_dedup_idempotent(spark, sf_dir):
+    """Dedup of an already-deduped corpus is the identity."""
+    once = SPECS["q_llm_exact_dedup"].builder(spark, sf_dir)
+    assert once.count() == once.select("doc_id").distinct().count()
