@@ -1,0 +1,113 @@
+"""Physical-plan audits (the 100 TB discipline as CI assertions).
+
+Correct results with a bad plan is a failure at scale: these tests pin
+pushdown, pruning, broadcast strategy, top-k rewrites, and partial
+aggregation so a plan regression is caught while the data is still
+small."""
+
+import pytest
+
+from dynamodb_pitr_restore_cdc_spark.plans.explain import (
+    codegen_stage_count,
+    has_broadcast_join,
+    plan_string,
+    pushed_filters,
+    scan_read_schema,
+)
+from dynamodb_pitr_restore_cdc_spark.registry import all_queries
+
+SPECS = all_queries()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    def get(name):
+        return plan_string(SPECS[name].builder(spark, sf_dir))
+
+    return get
+
+
+def test_scan_prunes_columns_and_pushes_filters(plans):
+    p = plans("q_scan_project_filter")
+    schema = scan_read_schema(p, "lineitem")
+    # 4 needed columns only — not the 11-column full row
+    assert "l_orderkey" in schema and "l_extendedprice" in schema
+    assert "l_shipdate" not in schema and "l_suppkey" not in schema
+    filters = pushed_filters(p, "lineitem")
+    assert "l_quantity" in filters and "l_returnflag" in filters
+
+
+def test_agg_scan_prunes_to_needed_columns(plans):
+    p = plans("q_agg_groupby")
+    schema = scan_read_schema(p, "lineitem")
+    assert "l_orderkey" not in schema and "l_partkey" not in schema
+    assert "l_quantity" in schema and "l_tax" in schema
+    assert "IsNotNull(l_shipdate)" in pushed_filters(p, "lineitem") or "l_shipdate" in pushed_filters(p, "lineitem")
+
+
+def test_dim_join_broadcasts(plans):
+    assert has_broadcast_join(plans("q_join_broadcast"))
+
+
+def test_semi_anti_join_shapes(plans):
+    # survives as a semi/anti join (not rewritten to inner + distinct)
+    assert "Semi" in plans("q_join_semi")
+    assert "Anti" in plans("q_join_anti")
+
+
+def test_theta_range_join_is_not_cartesian(plans):
+    p = plans("q_join_theta_range")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_topk_per_group_uses_window_group_limit(plans):
+    # Spark 3.5+/4.x rewrites rn<=k into WindowGroupLimit: per-partition
+    # top-k heaps instead of full group sorts — load-bearing at scale.
+    assert "WindowGroupLimit" in plans("q_win_topk_per_group")
+
+
+def test_global_sort_limit_is_take_ordered(plans):
+    # orderBy+limit must plan as TakeOrderedAndProject, never a full sort
+    assert "TakeOrderedAndProject" in plans("q_sort_multikey")
+
+
+def test_groupby_has_partial_aggregation(plans):
+    # two HashAggregate phases (partial before the exchange, final after):
+    # the shuffle carries one row per group per partition, not per input row
+    p = plans("q_agg_groupby")
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+
+
+def test_cdc_rebuild_stays_jvm_side(plans):
+    # (codegen stage ids only appear in executed AQE plans, so assert
+    # structure: joins/windows present, zero Python evaluation nodes)
+    p = plans("q_cdc_snapshot_rebuild")
+    assert "Window" in p
+    assert "Join" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_scalar_batteries_have_no_python(plans):
+    for q in ("q_str_funcs", "q_date_funcs", "q_math_funcs", "q_json_funcs",
+              "q_llm_text_stats", "q_llm_token_count", "q_llm_fingerprint",
+              "q_llm_quality_score", "q_llm_lang_id"):
+        p = plans(q)
+        assert "BatchEvalPython" not in p, q
+        assert "ArrowEvalPython" not in p, q
+
+
+def test_cosine_topk_broadcasts_probe_and_takes_ordered(plans):
+    p = plans("q_llm_cosine_topk")
+    assert has_broadcast_join(p)
+    assert "TakeOrderedAndProject" in p
+    # scoring is higher-order functions, not Python
+    assert "BatchEvalPython" not in p
+
+
+def test_minhash_is_arrow_vectorized(plans):
+    # the ONE sanctioned Python stage must be Arrow-batched, never row-wise
+    p = plans("q_llm_near_dedup")
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
