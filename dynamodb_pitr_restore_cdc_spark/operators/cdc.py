@@ -176,6 +176,56 @@ def cdc_merge(
     return survivors.unionByName(upserts)
 
 
+def cdc_merge_tombstone(
+    snapshot: DataFrame,
+    batch: DataFrame,
+    key: str = "key",
+    seq: str = "seq_no",
+    op: str = "op",
+    payload_cols: tuple[str, ...] = ("payload_value",),
+) -> DataFrame:
+    """cdc_merge variant that RETAINS deletes as tombstone rows.
+
+    snapshot schema: (key, last_seq, op, *payload_cols); rows with
+    op='REMOVE' are tombstones (null payload). Project the live table
+    with `visible()`.
+
+    Why tombstones: plain cdc_merge forgets a deleted key's last_seq,
+    so a stale (lower-seq) op for that key arriving in a LATER
+    micro-batch would resurrect it. Keeping the tombstone makes the
+    whole pipeline a per-key max-seq reduction — associative and
+    commutative — so the final state is correct under ANY partition of
+    the changelog into batches and ANY batch arrival order, not just
+    the roughly-ordered delivery the reference's FIFO queue provides.
+    At scale, tombstones are compacted away once the source's maximum
+    reorder horizon has passed (the streaming analog of the 35-day
+    PITR window, README.md:3).
+    """
+    net = latest_per_key(batch, key=key, seq=seq)
+    guarded = (
+        net.alias("b")
+        .join(snapshot.select(key, "last_seq").alias("s"), on=key, how="left")
+        .where((F.col("s.last_seq").isNull()) | (F.col(f"b.{seq}") > F.col("s.last_seq")))
+        .select([F.col(f"b.{c}") for c in net.columns])
+    )
+    fresh = guarded.select(
+        F.col(key),
+        F.col(seq).alias("last_seq"),
+        F.col(op),
+        *[
+            F.when(F.col(op) != "REMOVE", F.col(c)).alias(c)
+            for c in payload_cols
+        ],
+    )
+    survivors = snapshot.join(guarded.select(key), on=key, how="left_anti")
+    return survivors.unionByName(fresh)
+
+
+def visible(snapshot: DataFrame, op: str = "op") -> DataFrame:
+    """Live rows of a tombstoned snapshot."""
+    return snapshot.where(F.col(op) != "REMOVE").drop(op)
+
+
 def fold_changelog(
     cl: DataFrame,
     key: str = "key",

@@ -44,7 +44,16 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 
 def all_queries() -> dict[str, QuerySpec]:
     """Import all operator modules (side-effect: registration) and return the registry."""
-    from .operators import aggregates, cdc, joins, scans, setops, windows  # noqa: F401
+    from .operators import (  # noqa: F401
+        aggregates,
+        cdc,
+        envelope,
+        joins,
+        reshape,
+        scans,
+        setops,
+        windows,
+    )
     from .functions import scalar  # noqa: F401
     from .llm import dedup, similarity, textstats, multimodal  # noqa: F401
     from .streaming import stream_queries  # noqa: F401

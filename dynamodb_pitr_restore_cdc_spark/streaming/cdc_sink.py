@@ -1,0 +1,90 @@
+"""Bucket-partitioned CDC sink: the 100 TB shape of the merge target.
+
+The plain sink in cdc_stream.py rewrites the WHOLE snapshot every
+micro-batch — correct, but O(table) write amplification. At 100 TB the
+table must be laid out so a batch only touches the data it changes:
+
+- the snapshot is parquet partitioned by ``bucket = pmod(hash(key), N)``
+  (the same co-location a bucketed table or a MERGE-capable format
+  gives);
+- each micro-batch computes the distinct buckets its keys hash into —
+  a tiny driver-side list (≤ N ints), pure orchestration;
+- only those partitions are read (partition pruning on the bucket
+  column) and only those are rewritten (dynamic partition overwrite).
+
+Write amplification drops from O(table) to O(touched buckets); with a
+reference-like workload (hot working set per window) that's typically
+a few percent. N is chosen so one bucket ≈ one executor-digestible
+unit (128-512 MB at target scale).
+
+Tombstones (cdc_merge_tombstone) make the merge a per-key max-seq
+reduction, so correctness holds under arbitrary cross-batch reordering
+— stronger than the reference's FIFO assumption.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cdc import cdc_merge_tombstone, visible
+
+N_BUCKETS_DEFAULT = 32
+
+
+class BucketedCdcSink:
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int = N_BUCKETS_DEFAULT):
+        self.spark = spark
+        self.path = path
+        self.n_buckets = n_buckets
+
+    def _bucket(self, key_col):
+        return F.pmod(F.hash(key_col), F.lit(self.n_buckets)).alias("bucket")
+
+    def init(self, snapshot: DataFrame, key: str = "key") -> None:
+        """Materialize the initial tombstoned snapshot, bucket-partitioned.
+        Accepts a live snapshot (key, last_seq, payload...) and marks all
+        rows as upserts."""
+        snap = snapshot
+        if "op" not in snap.columns:
+            snap = snap.withColumn("op", F.lit("INSERT"))
+        (
+            snap.withColumn("bucket", self._bucket(F.col(key)))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(self.path)
+        )
+
+    def apply_batch(self, batch: DataFrame, key: str = "key") -> None:
+        """Merge one micro-batch, rewriting only the touched buckets."""
+        batch = batch.withColumn("bucket", self._bucket(F.col(key)))
+        touched = [r.bucket for r in batch.select("bucket").distinct().collect()]
+        if not touched:
+            return
+        current = self.spark.read.parquet(self.path).where(F.col("bucket").isin(touched))
+        merged = cdc_merge_tombstone(
+            current.drop("bucket"), batch.drop("bucket"), key=key
+        ).withColumn("bucket", self._bucket(F.col(key)))
+        # break lineage before overwriting partitions we just read
+        merged = merged.localCheckpoint(eager=True)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(self.path)
+        )
+
+    def snapshot(self) -> DataFrame:
+        return self.spark.read.parquet(self.path).drop("bucket")
+
+    def visible(self) -> DataFrame:
+        return visible(self.snapshot())
+
+    def untouched_partition_paths(self, touched: list[int]) -> list[str]:
+        return [
+            os.path.join(self.path, d)
+            for d in os.listdir(self.path)
+            if d.startswith("bucket=") and int(d.split("=")[1]) not in touched
+        ]

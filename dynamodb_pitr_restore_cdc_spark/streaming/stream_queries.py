@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from ..operators.cdc import changelog, fold_changelog, with_changelog
 from ..registry import register
 from ..sources import table
+from .cdc_sink import BucketedCdcSink
 from .cdc_stream import CHANGELOG_STREAM_SCHEMA, run_cdc_apply
 
 
@@ -311,4 +312,42 @@ def q_stream_foreachbatch_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result.count()
     shutil.rmtree(src, ignore_errors=True)
+    return result
+
+
+@register(
+    "q_cdc_bucketed_sink",
+    oracle=with_changelog(
+        """
+SELECT key, seq_no AS last_seq, payload_value
+FROM (
+    SELECT key, seq_no, op, payload_value,
+           row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
+    FROM changelog
+) WHERE rn = 1 AND op <> 'REMOVE'
+"""
+    ),
+)
+def q_cdc_bucketed_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship rebuild through the 100 TB sink shape: tombstoned,
+    bucket-partitioned snapshot where each micro-batch rewrites ONLY
+    the buckets its keys hash into (streaming/cdc_sink.py). Three
+    contiguous-seq batches; result must equal the one-shot rebuild —
+    same oracle as q_cdc_snapshot_rebuild."""
+    cl = changelog(spark, sf_dir)
+    row = cl.agg(
+        F.expr("percentile(seq_no, 0.5)").alias("med"),
+        F.expr("percentile(seq_no, 0.6667)").alias("p1"),
+        F.expr("percentile(seq_no, 0.8333)").alias("p2"),
+    ).first()
+    snapshot = fold_changelog(cl.where(F.col("seq_no") < row.med))
+
+    sink = BucketedCdcSink(spark, _fresh_dir("bsink"), n_buckets=16)
+    sink.init(snapshot)
+    s = F.col("seq_no")
+    second = cl.where(s >= row.med)
+    for pred in [s < row.p1, (s >= row.p1) & (s < row.p2), s >= row.p2]:
+        sink.apply_batch(second.where(pred))
+    result = sink.visible().select("key", "last_seq", "payload_value").cache()
+    result.count()
     return result
