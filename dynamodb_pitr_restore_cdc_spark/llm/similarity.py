@@ -77,6 +77,82 @@ def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_IVF_CELLS = 8
+IVF_PROBE_CELLS = 2
+
+
+def _sq_l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+@register(
+    "q_llm_ann_ivf",
+    oracle=f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {N_IVF_CELLS}),
+a AS (SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+      FROM e CROSS JOIN c),
+asg AS (SELECT vec_id, cid FROM a WHERE rn = 1),
+probe_cells AS (SELECT cid FROM a WHERE vec_id = {PROBE_VEC_ID} AND rn <= {IVF_PROBE_CELLS}),
+p AS (SELECT v AS pv FROM e WHERE vec_id = {PROBE_VEC_ID}),
+cand AS (SELECT e.vec_id, asg.cid,
+                list_cosine_similarity(e.v, p.pv) AS cos
+         FROM e JOIN asg USING (vec_id) CROSS JOIN p
+         WHERE asg.cid IN (SELECT cid FROM probe_cells) AND e.vec_id <> {PROBE_VEC_ID})
+SELECT vec_id, cid, round(cos, 4) AS cos_sim
+FROM cand ORDER BY cos DESC, vec_id LIMIT 5
+""",
+)
+def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer partitions the corpus into
+    cells; search touches only the nprobe cells nearest the probe.
+
+    The quantizer here is a fixed set of 8 exemplar vectors (vec_ids
+    1-8) — in production the centroids come from offline/sampled
+    k-means, but assignment, inverted-list layout and probing are
+    identical. Cell assignment is a broadcast of K centroids against a
+    map-only pass (one argmin per vector, squared-L2 — same ranking as
+    L2, no sqrt); at scale `cid` becomes the partition key, so a probe
+    reads nprobe/K of the data. Fully oracle-checked: even the ANN
+    path is SQL-expressible once the quantizer is fixed."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", _as_double("embedding").alias("v"))
+    cents = (
+        e.where(F.col("vec_id").between(1, N_IVF_CELLS))
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    from pyspark.sql import Window as W
+
+    ranked = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("d2", _sq_l2(F.col("v"), F.col("cv")))
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("vec_id").orderBy("d2", "cid")),
+        )
+    )
+    assigned = ranked.where(F.col("rn") == 1).select("vec_id", "cid")
+    probe_cells = ranked.where(
+        (F.col("vec_id") == PROBE_VEC_ID) & (F.col("rn") <= IVF_PROBE_CELLS)
+    ).select("cid")
+    probe = e.where(F.col("vec_id") == PROBE_VEC_ID).select(F.col("v").alias("pv"))
+    cand = (
+        e.join(assigned, "vec_id")
+        .join(F.broadcast(probe_cells), "cid", "left_semi")
+        .where(F.col("vec_id") != PROBE_VEC_ID)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", "cid", cosine_col(F.col("v"), F.col("pv")).alias("cos"))
+    )
+    return (
+        cand.orderBy(F.col("cos").desc(), "vec_id")
+        .limit(5)
+        .select("vec_id", "cid", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
 @F.pandas_udf(T.IntegerType())
 def lsh_bucket(embeddings: pd.Series) -> pd.Series:
     """Random-hyperplane LSH bucket (sign pattern over N_PLANES planes,

@@ -52,10 +52,11 @@ def all_queries() -> dict[str, QuerySpec]:
         reshape,
         scans,
         setops,
+        skew,
         windows,
     )
     from .functions import scalar  # noqa: F401
     from .llm import dedup, similarity, textstats, multimodal  # noqa: F401
-    from .streaming import stream_queries  # noqa: F401
+    from .streaming import stateful, stream_queries  # noqa: F401
 
     return dict(_REGISTRY)

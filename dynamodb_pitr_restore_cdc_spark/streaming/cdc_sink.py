@@ -82,6 +82,21 @@ class BucketedCdcSink:
     def visible(self) -> DataFrame:
         return visible(self.snapshot())
 
+    def compact(self, reorder_horizon_seq: int) -> None:
+        """Drop tombstones no longer needed for reorder protection.
+
+        A tombstone guards against stale ops with seq < its last_seq;
+        once the source guarantees no event older than
+        `reorder_horizon_seq` can still arrive (the streaming analog of
+        the 35-day PITR window), tombstones below the horizon are dead
+        weight. Full rewrite — run at maintenance cadence, not
+        per-batch; at scale, compact bucket-by-bucket."""
+        kept = self.spark.read.parquet(self.path).where(
+            (F.col("op") != "REMOVE") | (F.col("last_seq") >= reorder_horizon_seq)
+        )
+        kept = kept.localCheckpoint(eager=True)
+        kept.write.mode("overwrite").partitionBy("bucket").parquet(self.path)
+
     def untouched_partition_paths(self, touched: list[int]) -> list[str]:
         return [
             os.path.join(self.path, d)

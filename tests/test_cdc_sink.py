@@ -114,6 +114,27 @@ def test_bucketed_sink_rewrites_only_touched_buckets(spark, tmp_path):
     assert vis[7] == 99.0 and len(vis) == 40
 
 
+def test_compaction_drops_old_tombstones_keeps_recent(spark, tmp_path):
+    sink = BucketedCdcSink(spark, str(tmp_path / "sink3"), n_buckets=4)
+    sink.init(
+        to_batch(spark, [(k, k, "INSERT", float(k)) for k in range(6)]).selectExpr(
+            "key", "seq_no as last_seq", "op", "payload_value"
+        )
+    )
+    sink.apply_batch(to_batch(spark, [(1, 10, "REMOVE", None), (2, 20, "REMOVE", None)]))
+    assert sink.snapshot().where("op = 'REMOVE'").count() == 2
+
+    sink.compact(reorder_horizon_seq=15)
+    snap = sink.snapshot()
+    # tombstone@10 compacted away, tombstone@20 still guards reordering
+    assert {r.last_seq for r in snap.where("op = 'REMOVE'").collect()} == {20}
+    # visible rows unaffected
+    assert {r.key for r in sink.visible().collect()} == {0, 3, 4, 5}
+    # a stale op for the still-guarded key is ignored after compaction
+    sink.apply_batch(to_batch(spark, [(2, 12, "MODIFY", 99.0)]))
+    assert {r.key for r in sink.visible().collect()} == {0, 3, 4, 5}
+
+
 def test_bucketed_sink_delete_and_reinsert(spark, tmp_path):
     sink = BucketedCdcSink(spark, str(tmp_path / "sink2"), n_buckets=4)
     sink.init(
