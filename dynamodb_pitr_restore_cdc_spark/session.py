@@ -43,6 +43,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
     The driver hands us its own SparkSession; only session-scoped SQL
     confs can be set at that point (cluster confs are fixed).
     """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
     for k, v in {
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -50,6 +51,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # the driver's default 200 over-parallelizes local test SFs; AQE
+        # coalescing makes this a ceiling, not a fixed width
+        "spark.sql.shuffle.partitions": str(cpus),
     }.items():
         try:
             spark.conf.set(k, v)

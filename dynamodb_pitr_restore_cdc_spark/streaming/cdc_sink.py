@@ -67,6 +67,10 @@ class BucketedCdcSink:
         merged = cdc_merge_tombstone(
             current.drop("bucket"), batch.drop("bucket"), key=key
         ).withColumn("bucket", self._bucket(F.col(key)))
+        # one output file per bucket (hash-repartition on the partition
+        # column) — otherwise every task writes a sliver into every
+        # touched bucket and the sink accretes small files
+        merged = merged.repartition("bucket")
         # break lineage before overwriting partitions we just read
         merged = merged.localCheckpoint(eager=True)
         (
