@@ -157,6 +157,12 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
+    # materialize band buckets before the self-join: Catalyst has no
+    # cross-branch CSE, so the a/b sides would otherwise each run the
+    # minhash pandas_udf over the whole corpus (2x the Python cost).
+    # Standard LSH practice — signatures are computed once and stored;
+    # the cached set is (doc_id, band, bucket): 16 small rows per doc.
+    bands = bands.persist()
     cand = (
         bands.alias("a")
         .join(
