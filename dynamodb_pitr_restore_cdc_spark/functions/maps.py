@@ -1,0 +1,96 @@
+"""Map-typed column operations + the bucketized pure-range join.
+
+q_map_funcs: MapType is the engine's representation for the
+reference's schemaless AttributeValue payloads (SURVEY.md §1.4) —
+construction, lookup, cardinality, key enumeration, all codegen.
+Outputs are scalars/strings only (map values are extracted before
+leaving the query) so results stay hash-comparable.
+
+q_join_range_bucketized: a range join with NO equi key is a cartesian
+product if expressed naively. The scale pattern: quantize the range
+variable into fixed-width buckets, explode one side into its bucket
+neighborhood (±1 for tolerance < width), equi-join on the bucket, then
+apply the exact range predicate. Candidates drop from O(n·m) to
+O(n·m/buckets·3); the oracle runs the naive inequality join (fine at
+test SF — DuckDB uses an IEJoin), proving the rewrite is semantics-
+preserving.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import table
+
+RANGE_TOL = 500.0
+BUCKET_W = 1000.0  # must be >= RANGE_TOL so ±1 bucket covers the band
+
+
+@register(
+    "q_map_funcs",
+    oracle="""
+SELECT event_id,
+       MAP(['k', 'k2'], [kv, kv * 2])['k'][1]            AS val_k,
+       MAP(['k', 'k2'], [kv, kv * 2])['k2'][1]           AS val_k2,
+       cardinality(MAP(['k', 'k2'], [kv, kv * 2]))       AS n_keys,
+       array_to_string(map_keys(MAP(['k', 'k2'], [kv, kv * 2])), ',') AS keys_joined
+FROM (SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+      FROM events)
+""",
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction from extracted JSON, scalar lookup, cardinality,
+    key enumeration — the typed path for schemaless payload maps."""
+    e = table(spark, sf_dir, "events")
+    kv = F.get_json_object("props", "$.k").cast("bigint")
+    m = F.create_map(
+        F.lit("k"), kv, F.lit("k2"), kv * 2
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m, "k").alias("val_k"),
+        F.element_at(m, "k2").alias("val_k2"),
+        F.size(m).cast("bigint").alias("n_keys"),
+        F.array_join(F.map_keys(m), ",").alias("keys_joined"),
+    )
+
+
+@register(
+    "q_join_range_bucketized",
+    oracle=f"""
+SELECT p.p_brand, count(*) AS n_matches,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS sum_price_c
+FROM lineitem l JOIN part p
+  ON abs(l.l_extendedprice - p.p_retailprice * 20) <= {RANGE_TOL}
+GROUP BY p.p_brand
+""",
+)
+def q_join_range_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key) via bucket quantization: part rows
+    explode into their price-bucket neighborhood, the join is an
+    equi-join on the bucket, and the exact band predicate filters
+    after. Never a cartesian/BNL join (asserted in test_plans.py)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice",
+        F.floor(F.col("l_extendedprice") / BUCKET_W).alias("bucket"),
+    )
+    p = table(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_retailprice",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("p_retailprice") * 20 / BUCKET_W) - 1,
+                F.floor(F.col("p_retailprice") * 20 / BUCKET_W) + 1,
+            )
+        ).alias("bucket"),
+    )
+    joined = li.join(p, "bucket").where(
+        F.abs(F.col("l_extendedprice") - F.col("p_retailprice") * 20) <= RANGE_TOL
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_matches"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("sum_price_c"),
+    )

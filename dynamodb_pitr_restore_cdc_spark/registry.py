@@ -55,7 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
         skew,
         windows,
     )
-    from .functions import scalar, scalar2  # noqa: F401
+    from .functions import maps, scalar, scalar2  # noqa: F401
     from .llm import dedup, similarity, textstats, multimodal  # noqa: F401
     from .streaming import stateful, stream_queries  # noqa: F401
 

