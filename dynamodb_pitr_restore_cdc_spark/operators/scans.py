@@ -65,7 +65,13 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13 analog: write a keyed Parquet sink, read it back, aggregate.
     Partitioned write → the sink layout a restored table would have; the
     read-back proves schema round-trip stability."""
-    out = os.path.join(tempfile.gettempdir(), "spark_cdc_engine_sink", "orders_roundtrip")
+    import uuid
+
+    # unique path per invocation: a fixed path would collide if the
+    # harness ever runs two queries concurrently
+    out = os.path.join(
+        tempfile.gettempdir(), "spark_cdc_engine_sink", f"orders_roundtrip-{uuid.uuid4().hex[:8]}"
+    )
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )

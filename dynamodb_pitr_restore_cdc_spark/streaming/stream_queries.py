@@ -22,13 +22,12 @@ content_hash) so state shards across executors; watermarks bound state
 growth; session windows merge per key. The tumbling/sliding batch
 equivalents shuffle once on (window, key) with map-side partials.
 
-Known limitation (documented, matches reference semantics): cdc_merge
-drops tombstones, so a REMOVE followed in a LATER micro-batch by an
-older stale op for the same key would resurrect it. Real buffers
-deliver roughly seq-ordered batches (the reference's queue is FIFO),
-and the streaming splits here are contiguous seq ranges accordingly;
-a tombstone-retaining sink is the upgrade path for sources with
-cross-batch reordering.
+Ordering note: plain cdc_merge drops tombstones, so it assumes
+roughly seq-ordered batch delivery (the reference's FIFO queue shape) —
+the streaming splits here are contiguous seq ranges accordingly.
+Sources with cross-batch reordering use the tombstone-retaining
+bucketed sink instead (q_cdc_bucketed_sink / streaming/cdc_sink.py),
+which is correct under arbitrary reordering.
 """
 
 from __future__ import annotations
@@ -220,6 +219,7 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result.count()
     shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
     return result
 
 
@@ -267,6 +267,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.table(name).cache()
     result.count()
     shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
     return result
 
 
