@@ -56,7 +56,7 @@ def all_queries() -> dict[str, QuerySpec]:
         windows,
     )
     from .functions import maps, scalar, scalar2  # noqa: F401
-    from .llm import dedup, similarity, textstats, multimodal  # noqa: F401
+    from .llm import clusters, dedup, kmeans, multimodal, similarity, textstats  # noqa: F401
     from .streaming import stateful, stream_queries  # noqa: F401
 
     return dict(_REGISTRY)

@@ -79,8 +79,18 @@ def run_cdc_apply(
     lambda-backfill/main.py:47 fails to provide.
     """
     os.makedirs(work_dir, exist_ok=True)
-    snap_path = os.path.join(work_dir, "v_init")
-    snapshot.write.mode("overwrite").parquet(snap_path)
+    pointer = os.path.join(work_dir, "_LATEST")
+    if os.path.exists(pointer):
+        # resume: the checkpoint will skip already-committed files, so the
+        # sink must resume from its last committed version, not v_init —
+        # otherwise replay would merge new batches onto a stale snapshot.
+        with open(pointer) as fh:
+            snap_path = fh.read().strip()
+    else:
+        snap_path = os.path.join(work_dir, "v_init")
+        snapshot.write.mode("overwrite").parquet(snap_path)
+        with open(pointer, "w") as fh:
+            fh.write(snap_path)
     state = {"path": snap_path}
 
     stream = read_changelog_stream(spark, src_dir)
@@ -93,6 +103,10 @@ def run_cdc_apply(
         new_path = os.path.join(work_dir, f"v{epoch_id}")
         merged.write.mode("overwrite").parquet(new_path)
         state["path"] = new_path
+        # pointer write AFTER the data write: a crash between the two
+        # replays the epoch, which overwrites v{epoch} idempotently
+        with open(pointer, "w") as fh:
+            fh.write(new_path)
 
     q = (
         ok.writeStream.foreachBatch(apply_batch)

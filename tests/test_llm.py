@@ -88,6 +88,36 @@ def test_ann_scores_match_brute_force(spark, sf_dir):
         assert abs(full[r.vec_id] - r.cos_sim) < 1e-9, r
 
 
+def test_kmeans_deterministic_and_total(spark, sf_dir):
+    """Integer k-means must be bit-reproducible run-to-run (the whole
+    point of the integer formulation) and partition all vectors."""
+    import pandas as pd
+
+    r1 = SPECS["q_llm_kmeans"].builder(spark, sf_dir).toPandas().sort_values("cid").reset_index(drop=True)
+    r2 = SPECS["q_llm_kmeans"].builder(spark, sf_dir).toPandas().sort_values("cid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(r1, r2)
+    total = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert r1["n_members"].sum() == total
+    assert len(r1) <= 8 and (r1["n_members"] > 0).all()
+
+
+def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
+    """Every near-dup pair must land in the same cluster, and every
+    cluster id must be the min doc_id of its members."""
+    pairs = SPECS["q_llm_near_dedup"].builder(spark, sf_dir).collect()
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in SPECS["q_llm_dedup_clusters"].builder(spark, sf_dir).collect()
+    }
+    for p in pairs:
+        assert clusters[p.doc_a] == clusters[p.doc_b], p
+    by_cluster = {}
+    for doc, cid in clusters.items():
+        by_cluster.setdefault(cid, []).append(doc)
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+
+
 def test_exact_dedup_idempotent(spark, sf_dir):
     """Dedup of an already-deduped corpus is the identity."""
     once = SPECS["q_llm_exact_dedup"].builder(spark, sf_dir)
