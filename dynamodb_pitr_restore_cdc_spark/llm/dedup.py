@@ -213,3 +213,56 @@ def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     random pairs around 32)."""
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", simhash64("text").alias("simhash"))
+
+
+SIMHASH_BANDS = 4          # 4 × 16-bit bands: ≤3-bit-different pairs always collide
+SIMHASH_MAX_HAMMING = 16
+
+
+@register("q_llm_simhash_pairs", oracle=None)  # rows-only: depends on the crc-based sketch
+def q_llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pair generation — the banded-join pipeline on top
+    of the sketch: split each 64-bit hash into 4 × 16-bit bands,
+    candidates = pairs sharing ANY band value, verify with
+    popcount(xor) ≤ threshold. Same O(n·bands) candidate shape as
+    MinHash-LSH but on a constant-size sketch (no shingle sets
+    shuffled). Recall contract (tested): pairs within 3 bits ALWAYS
+    collide in some band (pigeonhole); pairs further out are found
+    probabilistically — the classic SimHash trade-off vs MinHash,
+    which is why both pipelines exist."""
+    sigs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", simhash64("text").alias("simhash"))
+        .persist()  # referenced by both sides of the self-join (no cross-branch CSE)
+    )
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_BANDS - 1}), "
+                f"b -> (simhash >> (b * 16)) & 65535)"
+            )
+        ).alias("band", "bval"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming"))
+    )

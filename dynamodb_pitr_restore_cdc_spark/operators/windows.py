@@ -158,6 +158,32 @@ def q_win_ntile_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_win_range_numeric",
+    oracle="""
+SELECT event_id, user_id,
+       count(*) OVER (PARTITION BY user_id ORDER BY event_id
+                      RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS n_in_band,
+       sum(CAST(round(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) / 100.0 AS sum_band
+FROM events
+""",
+)
+def q_win_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric RANGE frame: all events whose seq lies within 10 of the
+    current row's — a value-based band, not a row-count band (the
+    frame width varies with seq density)."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id").rangeBetween(-10, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_in_band"),
+        (F.sum(cents("value")).over(w) / 100.0).alias("sum_band"),
+    )
+
+
+@register(
     "q_win_topk_per_group",
     oracle="""
 SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price

@@ -88,6 +88,34 @@ def test_ann_scores_match_brute_force(spark, sf_dir):
         assert abs(full[r.vec_id] - r.cos_sim) < 1e-9, r
 
 
+def test_simhash_pairs_recall_vs_minhash(spark, sf_dir):
+    """SimHash banding's honest contract: pairs within 3 bits are
+    GUARANTEED (pigeonhole over 4 bands); noisier near-dups (the
+    planted pairs sit at hamming 6-14 with this corpus's tiny vocab)
+    are found probabilistically. Assert the guarantee exactly and
+    recall >= 60% on the MinHash-verified truth set."""
+    from dynamodb_pitr_restore_cdc_spark.llm.dedup import simhash64
+    from dynamodb_pitr_restore_cdc_spark.sources import table
+
+    sim = {
+        (r.doc_a, r.doc_b)
+        for r in SPECS["q_llm_simhash_pairs"].builder(spark, sf_dir).collect()
+    }
+    mh = {
+        (p.doc_a, p.doc_b)
+        for p in SPECS["q_llm_near_dedup"].builder(spark, sf_dir).collect()
+    }
+    hashes = {
+        r.doc_id: r.simhash
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", simhash64("text").alias("simhash"))
+        .collect()
+    }
+    guaranteed = {p for p in mh if _hamming(hashes[p[0]], hashes[p[1]]) <= 3}
+    assert guaranteed <= sim, f"guaranteed pairs missed: {guaranteed - sim}"
+    assert mh and len(sim & mh) / len(mh) >= 0.6, (len(sim & mh), len(mh))
+
+
 def test_kmeans_deterministic_and_total(spark, sf_dir):
     """Integer k-means must be bit-reproducible run-to-run (the whole
     point of the integer formulation) and partition all vectors."""
