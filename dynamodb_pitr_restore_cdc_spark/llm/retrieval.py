@@ -1,0 +1,114 @@
+"""Text retrieval scoring: TF-IDF search and character-n-gram profiles.
+
+Rounding out the text-analysis extension with the two classic corpus
+feature extractors: a TF-IDF scorer (the keyword-search / relevance
+baseline every corpus pipeline needs next to embedding search) and a
+char-bigram frequency profile (the feature representation real
+language-ID models are trained on — llm/textstats.py's vowel heuristic
+is the inference-time cousin).
+
+Scale notes (100 TB): both are explode → hash-aggregate shapes with
+map-side partials; the TF-IDF document-frequency table is tiny (one
+row per query term) and broadcasts; nothing touches Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import table
+
+QUERY_TERMS = ("spark", "join", "data")
+TOP_K_DOCS = 20
+
+
+@register(
+    "q_llm_tfidf_search",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), tf AS (
+    SELECT doc_id, w, count(*) AS tf FROM tok
+    WHERE w IN {tuple(QUERY_TERMS)}
+    GROUP BY doc_id, w
+), df AS (
+    SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY w
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id,
+           sum(tf.tf * ln(n.n_docs / df.df)) AS score
+    FROM tf JOIN df USING (w) CROSS JOIN n
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT {TOP_K_DOCS}
+""",
+)
+def q_llm_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword search: top-{k} documents for a fixed term set.
+    tf from an explode+filter aggregate, idf from a 3-row broadcast,
+    top-k as TakeOrdered. Exact-integer tf/df feed ln() on identical
+    doubles in both engines."""
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.count()  # driver scalar: corpus size (orchestration)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = (
+        tok.where(F.col("w").isin(*QUERY_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(TOP_K_DOCS)
+        .select("doc_id", F.round("score", 4).alias("score"))
+    )
+
+
+@register(
+    "q_llm_ngram_profile",
+    oracle="""
+WITH chars AS (
+    SELECT lang, replace(text, ' ', '_') AS t FROM documents
+), grams AS (
+    SELECT lang,
+           unnest(list_transform(generate_series(1, length(t) - 1),
+                                 i -> substring(t, i, 2))) AS bigram
+    FROM chars
+), counted AS (
+    SELECT lang, bigram, count(*) AS n FROM grams GROUP BY lang, bigram
+), ranked AS (
+    SELECT lang, bigram, n,
+           row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rn
+    FROM counted
+)
+SELECT lang, bigram, n, rn FROM ranked WHERE rn <= 5
+""",
+)
+def q_llm_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram frequency profile per language (top-5): the
+    feature extractor behind n-gram language ID. Bigrams fan out via a
+    sequence/substring comprehension — JVM-side, no Python — then the
+    standard count + windowed top-k."""
+    d = table(spark, sf_dir, "documents")
+    chars = d.select("lang", F.regexp_replace("text", " ", "_").alias("t"))
+    grams = chars.select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
+        ).alias("bigram"),
+    )
+    counted = grams.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), "bigram")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("lang", "bigram", "n", "rn")
+    )

@@ -56,7 +56,15 @@ def all_queries() -> dict[str, QuerySpec]:
         windows,
     )
     from .functions import maps, scalar, scalar2  # noqa: F401
-    from .llm import clusters, dedup, kmeans, multimodal, similarity, textstats  # noqa: F401
+    from .llm import (  # noqa: F401
+        clusters,
+        dedup,
+        kmeans,
+        multimodal,
+        retrieval,
+        similarity,
+        textstats,
+    )
     from .streaming import stateful, stream_queries  # noqa: F401
 
     return dict(_REGISTRY)
