@@ -342,6 +342,62 @@ def q_cdc_snapshot_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cdc_restore_report",
+    oracle=with_changelog(
+        """
+, state AS (
+    SELECT key, seq_no AS last_seq, payload_value
+    FROM (
+        SELECT key, seq_no, op, payload_value,
+               row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
+        FROM changelog
+    ) WHERE rn = 1 AND op <> 'REMOVE'
+), history AS (
+    SELECT key,
+           count(*) AS n_changes,
+           count(*) FILTER (WHERE op = 'REMOVE') AS n_removes,
+           min(seq_no) AS first_seq
+    FROM changelog GROUP BY key
+)
+SELECT h.key,
+       s.last_seq,
+       s.payload_value,
+       (s.key IS NOT NULL) AS is_live,
+       h.n_changes, h.n_removes, h.first_seq
+FROM history h LEFT JOIN state s ON h.key = s.key
+"""
+    ),
+)
+def q_cdc_restore_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone: restore THEN analyze — the reference's end purpose (the
+    restored table exists to be used). Rebuilds the table state via the
+    full snapshot+merge path, then left-joins it against per-key change
+    history: live rows carry their final image, deleted keys appear
+    with is_live=false and their churn stats. One extra shuffle on key
+    beyond the rebuild — history and state share the partitioning."""
+    state = q_cdc_snapshot_rebuild(spark, sf_dir)
+    cl = changelog(spark, sf_dir)
+    history = cl.groupBy("key").agg(
+        F.count("*").alias("n_changes"),
+        F.count_if(F.col("op") == "REMOVE").alias("n_removes"),
+        F.min("seq_no").alias("first_seq"),
+    )
+    return (
+        history.alias("h")
+        .join(state.alias("s"), on="key", how="left")
+        .select(
+            "key",
+            F.col("s.last_seq").alias("last_seq"),
+            F.col("s.payload_value").alias("payload_value"),
+            F.col("s.last_seq").isNotNull().alias("is_live"),
+            "n_changes",
+            "n_removes",
+            "first_seq",
+        )
+    )
+
+
+@register(
     "q_cdc_dedup_content",
     oracle=with_changelog(
         """
