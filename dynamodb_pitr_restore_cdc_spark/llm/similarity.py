@@ -153,6 +153,66 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEARDUP_COS = 0.35
+
+
+@register(
+    "q_llm_embed_neardup",
+    oracle=f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {N_IVF_CELLS}),
+a AS (SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+      FROM e CROSS JOIN c),
+asg AS (SELECT vec_id, cid FROM a WHERE rn = 1),
+m AS (SELECT e.vec_id, e.v, asg.cid FROM e JOIN asg USING (vec_id))
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       round(list_cosine_similarity(x.v, y.v), 4) AS cos_sim
+FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.v, y.v) >= {NEARDUP_COS}
+""",
+)
+def q_llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, cell-bucketed: vectors are
+    assigned to IVF cells (fixed quantizer, as in q_llm_ann_ivf) and
+    pairs are scored only WITHIN a cell — the candidate set is
+    O(n²/K) instead of O(n²), and `cid` is the shuffle key, so at
+    scale each cell's pair generation is an in-partition job. The
+    oracle runs the identical cell-restricted pair join, making the
+    whole path (assignment + pairing + scoring) hash-checked."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", _as_double("embedding").alias("v"))
+    cents_df = (
+        e.where(F.col("vec_id").between(1, N_IVF_CELLS))
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    from pyspark.sql import Window as W
+
+    ranked = (
+        e.crossJoin(F.broadcast(cents_df))
+        .withColumn("d2", _sq_l2(F.col("v"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(W.partitionBy("vec_id").orderBy("d2", "cid")))
+    )
+    member = (
+        e.join(ranked.where(F.col("rn") == 1).select("vec_id", "cid"), "vec_id")
+        .persist()  # both sides of the pair self-join (no cross-branch CSE)
+    )
+    pairs = (
+        member.alias("x")
+        .join(
+            member.alias("y"),
+            (F.col("x.cid") == F.col("y.cid")) & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            cosine_col(F.col("x.v"), F.col("y.v")).alias("cos"),
+        )
+        .where(F.col("cos") >= NEARDUP_COS)
+    )
+    return pairs.select("vec_a", "vec_b", F.round("cos", 4).alias("cos_sim"))
+
+
 @F.pandas_udf(T.IntegerType())
 def lsh_bucket(embeddings: pd.Series) -> pd.Series:
     """Random-hyperplane LSH bucket (sign pattern over N_PLANES planes,

@@ -87,6 +87,55 @@ def parse_envelope(raw: DataFrame, body_col: str = "body") -> DataFrame:
 
 
 @register(
+    "q_cdc_attrvalue_roundtrip",
+    oracle=with_changelog(
+        """
+SELECT key, seq_no,
+       CASE WHEN op <> 'REMOVE' THEN payload_value END AS payload_value,
+       CASE WHEN op <> 'REMOVE' THEN payload_props END AS payload_props,
+       (op <> 'REMOVE') AS has_image
+FROM (
+    SELECT key, seq_no, op, payload_value, payload_props,
+           row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
+    FROM changelog
+) WHERE rn = 1
+"""
+    ),
+)
+def q_cdc_attrvalue_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DynamoDB AttributeValue tagged-union round trip (SURVEY §1.2): the
+    item image is serialized in DynamoDB-JSON convention — numbers as
+    `{"N": "<decimal string>"}` (arbitrary precision on the wire),
+    strings as `{"S": ...}` — then normalized back to typed columns.
+    The decimal-string N convention is what makes the round trip exact:
+    the float is pinned to its %.2f text form before serialization, so
+    parse-back reproduces the value bit-for-bit (the oracle computes
+    straight from the changelog)."""
+    cl = changelog(spark, sf_dir)
+    image = F.when(
+        F.col("op") != "REMOVE",
+        F.to_json(
+            F.struct(
+                F.struct(F.format_string("%.2f", F.col("payload_value")).alias("N")).alias("value"),
+                F.struct(F.col("payload_props").alias("S")).alias("props"),
+            )
+        ),
+    )
+    serialized = cl.select("key", "seq_no", "op", image.alias("av_image"))
+    parsed = serialized.select(
+        "key",
+        "seq_no",
+        "op",
+        F.get_json_object("av_image", "$.value.N").cast("double").alias("payload_value"),
+        F.get_json_object("av_image", "$.props.S").alias("payload_props"),
+        F.col("av_image").isNotNull().alias("has_image"),
+    )
+    return latest_per_key(parsed).select(
+        "key", "seq_no", "payload_value", "payload_props", "has_image"
+    )
+
+
+@register(
     "q_cdc_envelope_roundtrip",
     oracle=with_changelog(
         """
