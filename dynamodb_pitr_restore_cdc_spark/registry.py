@@ -54,6 +54,7 @@ def all_queries() -> dict[str, QuerySpec]:
         setops,
         skew,
         windows,
+        workloads,
     )
     from .functions import maps, scalar, scalar2  # noqa: F401
     from .llm import (  # noqa: F401

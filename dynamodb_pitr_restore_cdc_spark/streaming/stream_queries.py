@@ -317,6 +317,76 @@ def q_stream_foreachbatch_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_interval_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, s.event_id AS signup_id, p.user_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id
+ AND s.ts BETWEEN p.ts - INTERVAL 7 DAY AND p.ts
+""",
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases joined to same-user signups
+    within the preceding 7 days — two watermarked streams over the same
+    3-batch source, inner-joined on key + event-time band. Spark
+    derives the state-retention horizon from the interval condition
+    itself (signup state lives until the watermark passes its ts + 7d),
+    so cross-batch matches are complete and the result equals — and is
+    oracle-checked against — the batch inequality join."""
+    e = table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    p1, p2 = _ts_tertiles(e, "ts")
+    tsu = F.unix_micros("ts")
+    src, ck = _fresh_dir("ij-src"), _fresh_dir("ij-ck")
+    _write_split_files(e, [tsu <= p1, (tsu > p1) & (tsu <= p2), tsu > p2], src)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def side(kind: str, prefix: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .where(F.col("event_type") == kind)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    purchases = side("purchase", "p")
+    signups = side("signup", "s")
+    joined = purchases.join(
+        signups,
+        F.expr(
+            "p_user = s_user AND s_ts BETWEEN p_ts - INTERVAL 7 DAYS AND p_ts"
+        ),
+    )
+    name = f"ij_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.select(
+            F.col("p_id").alias("purchase_id"),
+            F.col("s_id").alias("signup_id"),
+            F.col("p_user").alias("user_id"),
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.table(name).cache()
+    result.count()
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    return result
+
+
+@register(
     "q_cdc_bucketed_sink",
     oracle=with_changelog(
         """
