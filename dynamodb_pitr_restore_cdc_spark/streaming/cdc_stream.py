@@ -43,15 +43,53 @@ CHANGELOG_STREAM_SCHEMA = T.StructType(
 
 
 def read_changelog_stream(
-    spark: SparkSession, src_dir: str, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    src: str,
+    source: str = "files",
+    max_files_per_trigger: int = 1,
+    starting_offsets: str = "latest",
 ) -> DataFrame:
-    """File-source changelog stream (tests/local; production shape swaps in
-    Kafka/Kinesis with the same downstream plan)."""
-    return (
-        spark.readStream.schema(CHANGELOG_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(src_dir)
-    )
+    """Changelog stream source, config-switchable.
+
+    - ``files`` (tests/local): parquet drops in a directory, batch
+      decomposition pinned by maxFilesPerTrigger.
+    - ``kafka`` (production shape): `src` is "bootstrap_servers/topic";
+      the record value is the JSON stream-record body (the reference's
+      per-record json.dumps, cdc-to-sqs/main.py:33), parsed with the
+      typed envelope schema — same downstream plan either way.
+      startingOffsets="latest" mirrors StartingPosition.LATEST
+      (cdk-stack.ts:98). Requires the spark-sql-kafka package on the
+      classpath; absent (as in this container) the plan raises at
+      start, which tests treat as the documented stub boundary.
+    """
+    if source == "files":
+        return (
+            spark.readStream.schema(CHANGELOG_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(src)
+        )
+    if source == "kafka":
+        servers, _, topic = src.partition("/")
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+        parsed = raw.select(
+            F.from_json(
+                F.col("value").cast("string"),
+                T.StructType(
+                    [
+                        T.StructField(f.name, f.dataType)
+                        for f in CHANGELOG_STREAM_SCHEMA.fields
+                    ]
+                ),
+            ).alias("r")
+        )
+        return parsed.select([F.col(f"r.{f.name}") for f in CHANGELOG_STREAM_SCHEMA.fields])
+    raise ValueError(f"unknown changelog source: {source!r} (expected 'files' or 'kafka')")
 
 
 def split_dlq(stream: DataFrame) -> tuple[DataFrame, DataFrame]:

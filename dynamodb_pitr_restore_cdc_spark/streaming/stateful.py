@@ -32,6 +32,10 @@ from .stream_queries import _fresh_dir, _write_split_files
 OUTPUT_SCHEMA = "key long, n_events long, sum_value_c long, max_seq long"
 STATE_SCHEMA = "n long, s long, m long"
 
+SESSION_GAP_US = 30 * 60 * 1_000_000
+SESSION_OUTPUT_SCHEMA = "user_id long, session_start_us long, n_events long"
+SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+
 
 def running_totals(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -50,6 +54,124 @@ def running_totals(
     yield pd.DataFrame(
         {"key": [key[0]], "n_events": [n], "sum_value_c": [s], "max_seq": [m]}
     )
+
+
+def sessionize(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom gap-based sessionization: maintain (start, last, count) per
+    user; when an event arrives more than the gap after `last`, emit the
+    CLOSED session and start a new one. Events are processed in event-
+    time order within each batch (sorted below); batches arrive in
+    time-split order, so cross-batch continuation works."""
+    if state.exists:
+        start_us, last_us, n = state.get
+    else:
+        start_us, last_us, n = None, None, 0
+    closed = []
+    for pdf in pdfs:
+        # explicit µs: pandas delivers datetime64[ns] and a bare int64
+        # cast would be nanoseconds, off by 1000x vs SESSION_GAP_US
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").sort_values()
+        for t in ts_us:
+            t = int(t)
+            if last_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > SESSION_GAP_US:
+                closed.append((key[0], start_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
+    state.update((start_us, last_us, n))
+    yield pd.DataFrame(closed, columns=["user_id", "session_start_us", "n_events"])
+
+
+@register(
+    "q_stream_stateful_sessions",
+    oracle=with_changelog(
+        """
+, gaps AS (
+    SELECT key AS user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM changelog
+    WINDOW w AS (PARTITION BY key ORDER BY ts, seq_no)
+), sess AS (
+    SELECT user_id, ts,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM gaps
+), agg AS (
+    SELECT user_id, sess_id,
+           epoch_us(min(ts)) AS session_start_us,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sess_id
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY session_start_us DESC) AS rn
+    FROM agg
+)
+SELECT user_id, session_start_us, n_events
+FROM ranked WHERE rn > 1
+"""
+    ),
+)
+def q_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization (the flatMapGroups shape): per-user
+    gap-based sessions maintained in explicit state across a real
+    3-batch stream, each CLOSED session emitted as one row. Without a
+    timeout the final open session per user never closes, so the
+    oracle is the gap-and-islands rewrite MINUS each user's last
+    session — proving the custom operator matches the built-in
+    session-window semantics (q_stream_session) on everything it can
+    legally emit."""
+    cl = changelog(spark, sf_dir).select("key", "ts", "seq_no")
+    src, ck = _fresh_dir("ss-src"), _fresh_dir("ss-ck")
+    tsu = F.unix_micros("ts")
+    row = cl.agg(
+        F.expr("percentile(unix_micros(ts), 0.3333)").alias("p1"),
+        F.expr("percentile(unix_micros(ts), 0.6667)").alias("p2"),
+    ).first()
+    _write_split_files(
+        cl, [tsu <= row.p1, (tsu > row.p1) & (tsu <= row.p2), tsu > row.p2], src
+    )
+
+    stream = (
+        spark.readStream.schema("key long, ts timestamp, seq_no long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .selectExpr("key AS user_id", "ts")
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        SESSION_OUTPUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    name = f"ss_out_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    import shutil
+
+    result = spark.table(name).cache()
+    result.count()
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    return result
 
 
 @register(
