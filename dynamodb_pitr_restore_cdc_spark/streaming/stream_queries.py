@@ -365,20 +365,28 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     name = f"ij_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.select(
-            F.col("p_id").alias("purchase_id"),
-            F.col("s_id").alias("signup_id"),
-            F.col("p_user").alias("user_id"),
+    # stream-stream joins keep one state store PER SIDE per shuffle
+    # partition, checkpointed every batch: pin the width to a few wide
+    # stores for this keyed test stream (same rationale as stateful.py)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        q = (
+            joined.select(
+                F.col("p_id").alias("purchase_id"),
+                F.col("s_id").alias("signup_id"),
+                F.col("p_user").alias("user_id"),
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     result = spark.table(name).cache()
     result.count()
     shutil.rmtree(src, ignore_errors=True)
