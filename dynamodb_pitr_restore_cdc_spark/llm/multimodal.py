@@ -89,6 +89,55 @@ def q_mm_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(table(spark, sf_dir, "documents"))
 
 
+RESIZE_MAX_DIM = 64
+
+
+@register(
+    "q_mm_resize_plan",
+    oracle=f"""
+WITH meta AS (
+    SELECT doc_id,
+           n_chars % 640 + 1 AS width,
+           (n_chars * 7) % 480 + 1 AS height
+    FROM documents
+    WHERE n_chars % 3 = 0
+)
+SELECT doc_id, width, height,
+       CASE WHEN greatest(width, height) <= {RESIZE_MAX_DIM} THEN width
+            ELSE (width * {RESIZE_MAX_DIM}) // greatest(width, height) END AS out_width,
+       CASE WHEN greatest(width, height) <= {RESIZE_MAX_DIM} THEN height
+            ELSE (height * {RESIZE_MAX_DIM}) // greatest(width, height) END AS out_height,
+       greatest(width, height) > {RESIZE_MAX_DIM} AS needs_resize
+FROM meta
+""",
+)
+def q_mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize planning for the 'image' media rows: compute target
+    dimensions (fit within {max}x{max}, aspect preserved, exact integer
+    scaling) from the extracted metadata. The pixel-level resample
+    itself is the stubbed codec step (decode_media_batch
+    real_codecs=True is where PIL's resize would run per Arrow batch);
+    the PLAN — which rows need work and their output shapes — is the
+    Spark-side contract, and it is fully value-checked."""
+    meta = media_metadata(table(spark, sf_dir, "documents")).where(
+        F.col("media_kind") == "image"
+    )
+    longest = F.greatest("width", "height")
+    fits = longest <= RESIZE_MAX_DIM
+    return meta.select(
+        "doc_id",
+        "width",
+        "height",
+        F.when(fits, F.col("width"))
+        .otherwise(F.expr(f"(width * {RESIZE_MAX_DIM}) div greatest(width, height)"))
+        .alias("out_width"),
+        F.when(fits, F.col("height"))
+        .otherwise(F.expr(f"(height * {RESIZE_MAX_DIM}) div greatest(width, height)"))
+        .alias("out_height"),
+        (~fits).alias("needs_resize"),
+    )
+
+
 @register(
     "q_mm_frame_sample",
     oracle="""

@@ -93,13 +93,35 @@ class BucketedCdcSink:
         once the source guarantees no event older than
         `reorder_horizon_seq` can still arrive (the streaming analog of
         the 35-day PITR window), tombstones below the horizon are dead
-        weight. Full rewrite — run at maintenance cadence, not
-        per-batch; at scale, compact bucket-by-bucket."""
-        kept = self.spark.read.parquet(self.path).where(
-            (F.col("op") != "REMOVE") | (F.col("last_seq") >= reorder_horizon_seq)
+        weight.
+
+        Bucket-pruned like apply_batch: only buckets that actually
+        contain an expired tombstone are read and rewritten — a
+        maintenance pass over a mostly-live table touches almost
+        nothing. The bucket list is a tiny driver-side aggregate
+        (orchestration, not data)."""
+        expired = (F.col("op") == "REMOVE") & (F.col("last_seq") < reorder_horizon_seq)
+        snap = self.spark.read.parquet(self.path)
+        dirty = [r.bucket for r in snap.where(expired).select("bucket").distinct().collect()]
+        if not dirty:
+            return
+        kept = snap.where(F.col("bucket").isin(dirty)).where(~expired)
+        kept = kept.repartition("bucket").localCheckpoint(eager=True)
+        (
+            kept.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(self.path)
         )
-        kept = kept.localCheckpoint(eager=True)
-        kept.write.mode("overwrite").partitionBy("bucket").parquet(self.path)
+        # dynamic overwrite only replaces partitions PRESENT in the new
+        # data: a dirty bucket compacted down to zero rows must have its
+        # directory removed explicitly or the expired tombstones survive
+        import shutil
+
+        remaining = {r.bucket for r in kept.select("bucket").distinct().collect()}
+        for b in dirty:
+            if b not in remaining:
+                shutil.rmtree(os.path.join(self.path, f"bucket={b}"), ignore_errors=True)
 
     def untouched_partition_paths(self, touched: list[int]) -> list[str]:
         return [

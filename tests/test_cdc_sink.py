@@ -124,6 +124,12 @@ def test_compaction_drops_old_tombstones_keeps_recent(spark, tmp_path):
     sink.apply_batch(to_batch(spark, [(1, 10, "REMOVE", None), (2, 20, "REMOVE", None)]))
     assert sink.snapshot().where("op = 'REMOVE'").count() == 2
 
+    # compaction must prune: untouched clean buckets keep their files
+    clean_before = {
+        d: sorted(os.listdir(os.path.join(sink.path, d)))
+        for d in os.listdir(sink.path)
+        if d.startswith("bucket=")
+    }
     sink.compact(reorder_horizon_seq=15)
     snap = sink.snapshot()
     # tombstone@10 compacted away, tombstone@20 still guards reordering
@@ -133,6 +139,56 @@ def test_compaction_drops_old_tombstones_keeps_recent(spark, tmp_path):
     # a stale op for the still-guarded key is ignored after compaction
     sink.apply_batch(to_batch(spark, [(2, 12, "MODIFY", 99.0)]))
     assert {r.key for r in sink.visible().collect()} == {0, 3, 4, 5}
+    del clean_before  # layout asserted in the pruning test below
+
+
+def test_compaction_is_bucket_pruned_and_clears_empty_buckets(spark, tmp_path):
+    # 1 key per bucket: bucket of key 100 will hold ONLY an expired tombstone
+    sink = BucketedCdcSink(spark, str(tmp_path / "sink4"), n_buckets=8)
+    sink.init(
+        to_batch(spark, [(k, 1, "INSERT", float(k)) for k in range(6)]).selectExpr(
+            "key", "seq_no as last_seq", "op", "payload_value"
+        )
+    )
+    sink.apply_batch(to_batch(spark, [(100, 5, "INSERT", 1.0)]))
+    sink.apply_batch(to_batch(spark, [(100, 6, "REMOVE", None)]))
+
+    before = {
+        d: sorted(os.listdir(os.path.join(sink.path, d)))
+        for d in os.listdir(sink.path)
+        if d.startswith("bucket=")
+    }
+    from pyspark.sql import functions as F
+
+    tomb_bucket = (
+        sink.snapshot()
+        .where("op = 'REMOVE'")
+        .select(F.pmod(F.hash("key"), F.lit(8)).alias("b"))
+        .first()
+        .b
+    )
+    sink.compact(reorder_horizon_seq=50)
+
+    after = {
+        d: sorted(os.listdir(os.path.join(sink.path, d)))
+        for d in os.listdir(sink.path)
+        if d.startswith("bucket=")
+    }
+    # clean buckets untouched byte-for-byte file list
+    for d in before:
+        if d != f"bucket={tomb_bucket}":
+            assert before[d] == after[d], f"clean {d} was rewritten by compact"
+    # the tombstone-only bucket is GONE (dynamic overwrite can't clear it;
+    # the explicit cleanup must)
+    if all(
+        r.key == 100
+        for r in spark.read.parquet(str(tmp_path / "sink4")).where(
+            F.pmod(F.hash("key"), F.lit(8)) == tomb_bucket
+        ).collect()
+    ):
+        assert f"bucket={tomb_bucket}" not in after
+    assert sink.snapshot().where("op = 'REMOVE'").count() == 0
+    assert {r.key for r in sink.visible().collect()} == {0, 1, 2, 3, 4, 5}
 
 
 def test_bucketed_sink_delete_and_reinsert(spark, tmp_path):
