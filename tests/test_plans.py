@@ -114,6 +114,23 @@ def test_cosine_topk_broadcasts_probe_and_takes_ordered(plans):
     assert "BatchEvalPython" not in p
 
 
+def test_tpch_composites_plan_clean(plans):
+    # multi-join workloads: no cartesian anywhere, dims broadcast, the
+    # fact-side filters reach the lineitem scan, and the top-k queries
+    # never materialize a global sort
+    for q in ("q_tpch_q3_shipping_priority", "q_tpch_q5_local_supplier",
+              "q_tpch_q10_returned_items"):
+        p = plans(q)
+        assert "CartesianProduct" not in p, q
+        assert has_broadcast_join(p), q
+    p3 = plans("q_tpch_q3_shipping_priority")
+    assert "l_shipdate" in pushed_filters(p3, "lineitem")
+    assert "TakeOrderedAndProject" in p3
+    p10 = plans("q_tpch_q10_returned_items")
+    assert "l_returnflag" in pushed_filters(p10, "lineitem")
+    assert "TakeOrderedAndProject" in p10
+
+
 def test_minhash_is_arrow_vectorized(plans):
     # the ONE sanctioned Python stage must be Arrow-batched, never row-wise
     p = plans("q_llm_near_dedup")
