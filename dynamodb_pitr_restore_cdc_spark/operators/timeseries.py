@@ -1,0 +1,90 @@
+"""Time-series operators: dense spine generation, gap filling, and
+forward fill — the resampling family every metrics/feature pipeline
+needs on top of raw event streams.
+
+Spine: `sequence()` + explode generates the dense hourly grid per key
+JVM-side (DuckDB twin: generate_series) — never a driver loop. The
+spine bounds are per-key min/max event times, so a key's grid is only
+as long as its activity span.
+
+Scale notes (100 TB): the spine explode produces (hours-in-span) rows
+per key BEFORE the join — for long spans prefer bucketing the spine by
+day and joining per bucket; here spans are one month (~720 rows/key).
+Forward fill is a single last-non-null window over the spine — one
+shuffle on key, shared with the gap-fill join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import table
+
+
+@register(
+    "q_ts_gapfill_ffill",
+    oracle="""
+WITH hourly AS (
+    SELECT user_id, date_trunc('hour', ts) AS h,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) AS value_c
+    FROM events GROUP BY user_id, date_trunc('hour', ts)
+), bounds AS (
+    SELECT user_id, min(h) AS h_min, max(h) AS h_max FROM hourly GROUP BY user_id
+), spine AS (
+    SELECT user_id, unnest(generate_series(h_min, h_max, INTERVAL 1 HOUR)) AS h
+    FROM bounds
+), joined AS (
+    SELECT s.user_id, s.h, hr.n_events, hr.value_c
+    FROM spine s LEFT JOIN hourly hr ON s.user_id = hr.user_id AND s.h = hr.h
+)
+SELECT user_id,
+       epoch_us(h) AS hour_us,
+       coalesce(n_events, 0) AS n_events,
+       coalesce(value_c, 0) / 100.0 AS hour_value,
+       last_value(value_c IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS ffill_value
+FROM joined
+""",
+)
+def q_ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resample: aggregate events to hours, generate the
+    dense hour spine between each user's first and last activity, left-
+    join (gaps become explicit zero rows), and forward-fill the last
+    observed value across gaps. Value sums are integer cents so the
+    filled series is engine-exact; the ffill window is never null after
+    the first observation because the spine starts at an observed hour."""
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_c"),
+        )
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("h_min"), F.max("h").alias("h_max"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h_min", "h_max", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    joined = spine.join(hourly, ["user_id", "h"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.unix_micros("h").alias("hour_us"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        (F.coalesce("value_c", F.lit(0)) / 100.0).alias("hour_value"),
+        (F.last("value_c", ignorenulls=True).over(w) / 100.0).alias("ffill_value"),
+    )

@@ -53,6 +53,7 @@ def all_queries() -> dict[str, QuerySpec]:
         scans,
         setops,
         skew,
+        timeseries,
         windows,
         workloads,
     )

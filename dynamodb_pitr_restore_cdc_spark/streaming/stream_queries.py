@@ -40,7 +40,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.cdc import changelog, fold_changelog, with_changelog
+from ..operators.cdc import cdc_merge, changelog, fold_changelog, with_changelog
 from ..registry import register
 from ..sources import table
 from .cdc_sink import BucketedCdcSink
@@ -314,6 +314,45 @@ def q_stream_foreachbatch_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.count()
     shutil.rmtree(src, ignore_errors=True)
     return result
+
+
+@register(
+    "q_cdc_multi_sink",
+    oracle=with_changelog(
+        """
+SELECT key, seq_no AS last_seq, payload_value,
+       CASE WHEN key % 2 = 0 THEN 'sink_even' ELSE 'sink_odd' END AS destination
+FROM (
+    SELECT key, seq_no, op, payload_value,
+           row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
+    FROM changelog
+) WHERE rn = 1 AND op <> 'REMOVE'
+"""
+    ),
+)
+def q_cdc_multi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16/A17 generalized: late-bound MULTI-destination routing — the
+    reference binds one destination table at runtime
+    (initiate-lambda-backfill/main.py:65-74); here the changelog fans
+    out to two destination sinks by a routing predicate (key parity),
+    each destination running the same snapshot+merge independently.
+    The union of the destinations must equal the single-sink rebuild —
+    routing is partitioning, never loss — which is exactly what the
+    oracle checks."""
+    cl = changelog(spark, sf_dir)
+    med = cl.agg(F.expr("percentile(seq_no, 0.5)").alias("med")).first().med
+
+    results = []
+    for name, pred in [
+        ("sink_even", F.col("key") % 2 == 0),
+        ("sink_odd", F.col("key") % 2 == 1),
+    ]:
+        routed = cl.where(pred)
+        snapshot = fold_changelog(routed.where(F.col("seq_no") < med))
+        rebuilt = cdc_merge(snapshot, routed.where(F.col("seq_no") >= med))
+        results.append(rebuilt.withColumn("destination", F.lit(name)))
+    out = results[0].unionByName(results[1])
+    return out.select("key", "last_seq", "payload_value", "destination")
 
 
 @register(
