@@ -119,6 +119,26 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_agg_hll_merge", oracle=None)  # rows-only: sketch binaries are engine-specific
+def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct sketches (Apache DataSketches HLL): build one
+    sketch per nation partition, union the sketches, estimate — the
+    100 TB pattern for distinct counts over pre-aggregated shards
+    (sketches are tiny, additive, and never rescan history; the
+    reference-shape use case is distinct-keys-seen across CDC
+    partitions). Test asserts merged == direct estimate."""
+    o = table(spark, sf_dir, "orders")
+    per_status = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count("*").alias("n_rows"),
+    )
+    return per_status.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_distinct_custkeys"),
+        F.sum("n_rows").alias("total_rows"),
+        F.count("*").alias("n_sketches"),
+    )
+
+
 @register(
     "q_agg_having",
     oracle="""

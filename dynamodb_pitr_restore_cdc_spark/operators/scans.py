@@ -60,6 +60,33 @@ def q_scan_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_scan_json_source",
+    oracle="""
+SELECT event_id, user_id, round(value, 2) AS value
+FROM events WHERE event_id % 10 = 0
+""",
+)
+def q_scan_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source round trip: a deterministic slice of events is
+    written as JSON and read back with an EXPLICIT schema (never
+    inference — SURVEY §1.3), proving the second source format's
+    value fidelity against the parquet-direct oracle. Doubles survive
+    because Spark's JSON writer emits shortest-round-trip decimals."""
+    import uuid
+
+    out = os.path.join(
+        tempfile.gettempdir(), "spark_cdc_engine_sink", f"events_json-{uuid.uuid4().hex[:8]}"
+    )
+    subset = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 10 == 0)
+        .select("event_id", "user_id", F.round("value", 2).alias("value"))
+    )
+    subset.write.mode("overwrite").json(out)
+    return spark.read.schema("event_id long, user_id long, value double").json(out)
+
+
 @register("q_sink_roundtrip", oracle=None)  # rows-only: filesystem side effects
 def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13 analog: write a keyed Parquet sink, read it back, aggregate.

@@ -39,6 +39,7 @@ class BucketedCdcSink:
         self.spark = spark
         self.path = path
         self.n_buckets = n_buckets
+        self._schema = None  # set by init(); enables empty-table reads
 
     def _bucket(self, key_col):
         return F.pmod(F.hash(key_col), F.lit(self.n_buckets)).alias("bucket")
@@ -50,12 +51,20 @@ class BucketedCdcSink:
         snap = snapshot
         if "op" not in snap.columns:
             snap = snap.withColumn("op", F.lit("INSERT"))
-        (
-            snap.withColumn("bucket", self._bucket(F.col(key)))
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(self.path)
-        )
+        bucketed = snap.withColumn("bucket", self._bucket(F.col(key)))
+        # an EMPTY partitioned write leaves no parquet files, so later
+        # reads can't infer a schema — remember it here (the empty-
+        # initial-table case is a fresh restore, entirely legitimate)
+        self._schema = bucketed.schema
+        bucketed.write.mode("overwrite").partitionBy("bucket").parquet(self.path)
+
+    def _read(self):
+        try:
+            return self.spark.read.parquet(self.path)
+        except Exception:
+            if self._schema is None:
+                raise
+            return self.spark.createDataFrame([], schema=self._schema)
 
     def apply_batch(self, batch: DataFrame, key: str = "key") -> None:
         """Merge one micro-batch, rewriting only the touched buckets."""
@@ -63,7 +72,7 @@ class BucketedCdcSink:
         touched = [r.bucket for r in batch.select("bucket").distinct().collect()]
         if not touched:
             return
-        current = self.spark.read.parquet(self.path).where(F.col("bucket").isin(touched))
+        current = self._read().where(F.col("bucket").isin(touched))
         merged = cdc_merge_tombstone(
             current.drop("bucket"), batch.drop("bucket"), key=key
         ).withColumn("bucket", self._bucket(F.col(key)))
@@ -81,7 +90,7 @@ class BucketedCdcSink:
         )
 
     def snapshot(self) -> DataFrame:
-        return self.spark.read.parquet(self.path).drop("bucket")
+        return self._read().drop("bucket")
 
     def visible(self) -> DataFrame:
         return visible(self.snapshot())
@@ -101,7 +110,7 @@ class BucketedCdcSink:
         nothing. The bucket list is a tiny driver-side aggregate
         (orchestration, not data)."""
         expired = (F.col("op") == "REMOVE") & (F.col("last_seq") < reorder_horizon_seq)
-        snap = self.spark.read.parquet(self.path)
+        snap = self._read()
         dirty = [r.bucket for r in snap.where(expired).select("bucket").distinct().collect()]
         if not dirty:
             return

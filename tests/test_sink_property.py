@@ -1,0 +1,56 @@
+"""Sink-level property test: the full BucketedCdcSink stack (bucketing,
+dynamic partition overwrite, tombstones, compaction-free path) must
+equal the naive sequential fold for random op sequences over random
+batch splits — the integration-level version of the merge properties."""
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dynamodb_pitr_restore_cdc_spark.streaming.cdc_sink import BucketedCdcSink
+
+
+def naive_fold(ops):
+    state = {}
+    for seq, (key, op, val) in enumerate(ops):
+        if op == "REMOVE":
+            state.pop(key, None)
+        else:
+            state[key] = (seq, val)
+    return state
+
+
+def to_batch(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["key", "seq_no", "op", "payload_value"]),
+        schema="key long, seq_no long, op string, payload_value double",
+    )
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_bucketed_sink_equals_fold(spark, tmp_path_factory, data):
+    n = data.draw(st.integers(1, 15))
+    ops = [
+        (
+            data.draw(st.integers(0, 5)),
+            data.draw(st.sampled_from(["INSERT", "MODIFY", "REMOVE"])),
+            float(data.draw(st.integers(0, 99))),
+        )
+        for _ in range(n)
+    ]
+    assignment = [data.draw(st.integers(0, 1)) for _ in range(n)]
+
+    path = str(tmp_path_factory.mktemp("sinkprop"))
+    sink = BucketedCdcSink(spark, path + "/s", n_buckets=4)
+    sink.init(to_batch(spark, []).selectExpr("key", "seq_no as last_seq", "op", "payload_value"))
+    for b in range(2):
+        rows = [
+            (key, seq, op, val)
+            for seq, (key, op, val) in enumerate(ops)
+            if assignment[seq] == b
+        ]
+        sink.apply_batch(to_batch(spark, rows))
+
+    got = {r.key: (r.last_seq, r.payload_value) for r in sink.visible().collect()}
+    assert got == naive_fold(ops)
