@@ -195,6 +195,10 @@ def q_llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     member = (
         e.join(ranked.where(F.col("rn") == 1).select("vec_id", "cid"), "vec_id")
+        # norm precomputed per vector, not per pair: cos(x,y) needs one
+        # dot per pair but each norm only once per vector — recomputing
+        # norms inside the pair loop would triple the fold work
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
         .persist()  # both sides of the pair self-join (no cross-branch CSE)
     )
     pairs = (
@@ -206,7 +210,7 @@ def q_llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("x.vec_id").alias("vec_a"),
             F.col("y.vec_id").alias("vec_b"),
-            cosine_col(F.col("x.v"), F.col("y.v")).alias("cos"),
+            (_dot(F.col("x.v"), F.col("y.v")) / (F.col("x.nrm") * F.col("y.nrm"))).alias("cos"),
         )
         .where(F.col("cos") >= NEARDUP_COS)
     )
