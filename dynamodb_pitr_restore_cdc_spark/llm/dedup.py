@@ -215,6 +215,71 @@ def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", simhash64("text").alias("simhash"))
 
 
+@register(
+    "q_llm_jaccard_exact",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(generate_series(1, len(t) - 2),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ((2000 * i + (sa.n + sb.n - i)) // (2 * (sa.n + sb.n - i))) / 1000.0 AS jaccard
+FROM pairs
+JOIN sz sa ON doc_a = sa.doc_id
+JOIN sz sb ON doc_b = sb.doc_id
+WHERE i * 2 >= (sa.n + sb.n - i)
+""",
+)
+def q_llm_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (J ≥ 0.5), pure DataFrame ops —
+    no UDF anywhere: shingles fan out via a sequence/element_at
+    comprehension, pair intersections come from the shingle self-join
+    with map-side partial counts, and the Jaccard value is the same
+    integer rounding as the oracle. This is the brute-force baseline
+    whose candidate set is O(pairs sharing a shingle); at corpus scale
+    MinHash-LSH (q_llm_near_dedup) replaces it — same answer on the
+    planted pairs, O(n·bands) candidates."""
+    d = table(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("t"))
+    sh = (
+        d.where(F.size("t") >= SHINGLE_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(t) - 2), "
+                        "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))"
+                    )
+                )
+            ).alias("s"),
+        )
+        .persist()  # both sides of the self-join (no cross-branch CSE)
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    scored = (
+        pairs.join(sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .withColumn("u", F.col("na") + F.col("nb") - F.col("i"))
+        .where(F.col("i") * 2 >= F.col("u"))
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        (F.expr("(2000 * i + u) div (2 * u)") / 1000.0).alias("jaccard"),
+    )
+
+
 SIMHASH_BANDS = 4          # 4 × 16-bit bands: ≤3-bit-different pairs always collide
 SIMHASH_MAX_HAMMING = 16
 
