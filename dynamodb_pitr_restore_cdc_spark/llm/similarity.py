@@ -229,12 +229,15 @@ def lsh_bucket(embeddings: pd.Series) -> pd.Series:
 
 @register("q_llm_ann_lsh", oracle=None)  # rows-only: hyperplane hashing isn't ANSI SQL
 def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate nearest neighbors: score only the probe's LSH bucket.
+    """Approximate nearest neighbors with MULTI-PROBE: score the probe's
+    LSH bucket plus its Hamming-1 neighbors (flip each plane bit once).
 
-    With 4 planes the candidate set is ~1/16 of the corpus; recall vs
-    the brute-force baseline is property-tested (bucket members'
-    scores agree exactly with brute force — LSH changes WHICH vectors
-    are scored, never their scores)."""
+    Single-bucket LSH misses neighbors that fall just across one
+    hyperplane; probing the N_PLANES adjacent buckets recovers most of
+    that recall for (1 + N_PLANES)/2^N_PLANES of the corpus scored —
+    the standard production recall/cost dial. Scores are exact
+    (property-tested: LSH changes WHICH vectors are scored, never
+    their scores); the probed-bucket set is a tiny broadcast."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", _as_double("embedding").alias("v")
     )
@@ -242,10 +245,24 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = bucketed.where(F.col("vec_id") == PROBE_VEC_ID).select(
         F.col("v").alias("pv"), F.col("bucket").alias("probe_bucket")
     )
+    # probe bucket + Hamming-1 neighborhood (bit-flip per plane)
+    probe_buckets = probe.select(
+        "pv",
+        F.explode(
+            F.expr(
+                f"array_union(array(probe_bucket), "
+                f"transform(sequence(0, {N_PLANES - 1}), "
+                f"i -> cast(probe_bucket ^ shiftleft(1, i) as int)))"
+            )
+        ).alias("probed"),
+    )
     cand = (
-        bucketed.crossJoin(F.broadcast(probe))
-        .where((F.col("bucket") == F.col("probe_bucket")) & (F.col("vec_id") != PROBE_VEC_ID))
+        bucketed.join(
+            F.broadcast(probe_buckets),
+            (F.col("bucket") == F.col("probed")) & (F.col("vec_id") != PROBE_VEC_ID),
+        )
         .select("vec_id", "bucket", cosine_col(F.col("v"), F.col("pv")).alias("cos"))
+        .dropDuplicates(["vec_id"])
     )
     return (
         cand.orderBy(F.col("cos").desc(), "vec_id")

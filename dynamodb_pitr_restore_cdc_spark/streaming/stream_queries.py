@@ -356,6 +356,57 @@ def q_cdc_multi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_static_join",
+    oracle="""
+SELECT e.event_id, e.user_id, c.c_mktsegment,
+       round(e.value, 2) AS value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+""",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: a real 3-batch event stream joined to the
+    static customer dimension (broadcast — the dim never shuffles and
+    needs no state, unlike stream-stream joins). Every micro-batch
+    joins against the same static snapshot, so the appended union
+    equals the batch join, which is the oracle. This is A16's
+    destination-enrichment generalized: the stream picks up dimension
+    attributes at apply time."""
+    e = table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    p1, p2 = _ts_tertiles(e, "ts")
+    tsu = F.unix_micros("ts")
+    src, ck = _fresh_dir("sj-src"), _fresh_dir("sj-ck")
+    _write_split_files(e, [tsu <= p1, (tsu > p1) & (tsu <= p2), tsu > p2], src)
+
+    customers = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .where(F.col("event_type") == "purchase")
+        .join(F.broadcast(customers), F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "user_id", "c_mktsegment", F.round("value", 2).alias("value"))
+    )
+    name = f"sj_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.table(name).cache()
+    result.count()
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    return result
+
+
+@register(
     "q_stream_interval_join",
     oracle="""
 SELECT p.event_id AS purchase_id, s.event_id AS signup_id, p.user_id

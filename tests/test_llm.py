@@ -86,6 +86,10 @@ def test_ann_scores_match_brute_force(spark, sf_dir):
     }
     for r in ann:
         assert abs(full[r.vec_id] - r.cos_sim) < 1e-9, r
+    # soft recall floor: multi-probe (5/16 of corpus scored) must catch
+    # at least a couple of the true top-10 even on near-orthogonal data
+    brute_ids = set(brute)
+    assert len({r.vec_id for r in ann} & brute_ids) >= 2
 
 
 def test_simhash_pairs_recall_vs_minhash(spark, sf_dir):
