@@ -213,14 +213,19 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 )
 def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit grouping sets via the SQL entry point (Catalyst plans the
-    same Expand as rollup/cube but only for the 3 requested sets)."""
-    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    same Expand as rollup/cube but only for the 3 requested sets).
+    Unique view name per call: a fixed name would race under
+    concurrent query execution."""
+    import uuid
+
+    view = f"lineitem_{uuid.uuid4().hex[:8]}"
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT l_returnflag, l_linestatus,
                grouping_id(l_returnflag, l_linestatus) AS gid,
                round(sum(l_quantity), 2) AS sum_qty
-        FROM lineitem
+        FROM {view}
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )

@@ -144,15 +144,48 @@ WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDIN
 def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-subquery + scalar subquery through the SQL entry point —
     Catalyst decorrelates to a left-semi join plus a broadcast scalar,
-    exactly the plan the DataFrame formulation would build."""
-    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    exactly the plan the DataFrame formulation would build. Unique
+    view names per call (concurrency safety)."""
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    table(spark, sf_dir, "orders").createOrReplaceTempView(f"orders_{tag}")
+    table(spark, sf_dir, "customer").createOrReplaceTempView(f"customer_{tag}")
     return spark.sql(
-        """
+        f"""
         SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
-        FROM orders
-        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
-          AND o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        FROM orders_{tag}
+        WHERE o_custkey IN (SELECT c_custkey FROM customer_{tag} WHERE c_mktsegment = 'BUILDING')
+          AND o_totalprice > (SELECT avg(o_totalprice) FROM orders_{tag})
+        """
+    )
+
+
+@register(
+    "q_subquery_correlated",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       (SELECT count(*) FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT') AS n_urgent
+FROM customer c
+""",
+)
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery in the SELECT list — Catalyst
+    decorrelates it to a left outer aggregate join; the per-row
+    count(*) over an empty correlation returns 0, not NULL (both
+    engines agree on this COUNT special case)."""
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    table(spark, sf_dir, "orders").createOrReplaceTempView(f"orders_{tag}")
+    table(spark, sf_dir, "customer").createOrReplaceTempView(f"customer_{tag}")
+    return spark.sql(
+        f"""
+        SELECT c_custkey, c_mktsegment,
+               (SELECT count(*) FROM orders_{tag} o
+                WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT') AS n_urgent
+        FROM customer_{tag} c
         """
     )
 
