@@ -34,7 +34,7 @@ BUCKET_W = 200.0  # must be >= RANGE_TOL so ±1 bucket covers the band
 SELECT event_id,
        MAP(['k', 'k2'], [kv, kv * 2])['k'][1]            AS val_k,
        MAP(['k', 'k2'], [kv, kv * 2])['k2'][1]           AS val_k2,
-       cardinality(MAP(['k', 'k2'], [kv, kv * 2]))       AS n_keys,
+       CAST(cardinality(MAP(['k', 'k2'], [kv, kv * 2])) AS BIGINT) AS n_keys,
        array_to_string(map_keys(MAP(['k', 'k2'], [kv, kv * 2])), ',') AS keys_joined
 FROM (SELECT event_id,
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
@@ -62,7 +62,7 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_range_bucketized",
     oracle=f"""
 SELECT p.p_brand, count(*) AS n_matches,
-       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS sum_price_c
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
 FROM lineitem l JOIN part p
   ON l.l_linenumber = 1
  AND abs(l.l_extendedprice - p.p_retailprice * 20) <= {RANGE_TOL}

@@ -39,7 +39,7 @@ def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.upper("p_name").alias("name_upper"),
         F.substring("p_name", 1, 8).alias("name_prefix"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("bigint").alias("name_len"),
         F.size(F.split("p_name", " ")).cast("bigint").alias("n_words"),
         F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
         F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),

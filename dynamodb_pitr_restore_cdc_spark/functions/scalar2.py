@@ -78,7 +78,7 @@ def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag,
        count(*) FILTER (WHERE l_quantity > 25)               AS n_big,
-       sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END)       AS n_no_disc,
+       CAST(sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_disc,
        bool_or(l_tax > 0.07)                                 AS any_high_tax,
        bool_and(l_quantity > 0)                              AS all_positive,
        max(CASE WHEN l_linestatus = 'F' THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) AS max_f_price_c

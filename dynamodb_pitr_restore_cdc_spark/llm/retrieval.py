@@ -110,5 +110,5 @@ def q_llm_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counted.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 5)
-        .select("lang", "bigram", "n", "rn")
+        .select("lang", "bigram", "n", F.col("rn").cast("bigint").alias("rn"))
     )

@@ -35,7 +35,7 @@ WITH t AS (
 )
 SELECT lang, source,
        count(*) AS n_docs,
-       sum(n_tokens) AS sum_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
        ((2 * sum(n_tokens * 100) + count(*)) // (2 * count(*))) / 100.0 AS avg_tokens,
        max(n_chars) AS max_chars
 FROM t GROUP BY lang, source
@@ -99,7 +99,7 @@ def q_llm_lang_topwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counted.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 5)
-        .select("lang", "word", "n", "rn")
+        .select("lang", "word", "n", F.col("rn").cast("bigint").alias("rn"))
     )
 
 
@@ -191,8 +191,8 @@ def q_llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT source,
        count(*) AS n_docs,
-       sum(len(string_split(text, ' '))) AS sum_ws_tokens,
-       sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS sum_bpe_chunks,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS BIGINT) AS sum_bpe_chunks,
        max(len(string_split(text, ' '))) AS max_tokens
 FROM documents
 GROUP BY source

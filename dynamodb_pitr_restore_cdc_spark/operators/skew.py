@@ -55,7 +55,7 @@ def salted_agg(
         """
 SELECT key,
        count(*) AS count_events,
-       sum(CAST(round(payload_value * 100) AS BIGINT)) AS sum_value_c,
+       CAST(sum(CAST(round(payload_value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
        max(seq_no) AS max_seq,
        min(seq_no) AS min_seq
 FROM changelog

@@ -43,9 +43,9 @@ def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
     )
 
 
@@ -151,7 +151,7 @@ def q_win_ntile_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
     wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return c.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
         F.round(F.first("c_acctbal").over(w), 2).alias("min_bal"),
         F.round(F.last("c_acctbal").over(wfull), 2).alias("max_bal"),
     )
