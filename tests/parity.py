@@ -44,8 +44,18 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def assert_parity(spark_df, oracle_pdf: pd.DataFrame, name: str, float_atol: float = 0.0):
-    got = _normalize(spark_df.toPandas())
-    want = _normalize(oracle_pdf)
+    raw_got, raw_want = spark_df.toPandas(), oracle_pdf
+    # STRICT dtype agreement before any normalization: the driver's
+    # schema check may compare bit widths (int32 vs int64, HUGEINT
+    # surfacing as float64), which value comparison would mask
+    for c in raw_got.columns:
+        if c in raw_want.columns:
+            assert str(raw_got[c].dtype) == str(raw_want[c].dtype), (
+                f"{name}: dtype mismatch on {c}: "
+                f"spark={raw_got[c].dtype} oracle={raw_want[c].dtype}"
+            )
+    got = _normalize(raw_got)
+    want = _normalize(raw_want)
 
     assert list(got.columns) == list(want.columns), (
         f"{name}: column mismatch spark={list(got.columns)} oracle={list(want.columns)}"
