@@ -356,6 +356,59 @@ def q_cdc_multi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_complete_mode",
+    oracle="""
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       count(*) AS n_events
+FROM events
+GROUP BY 1
+""",
+)
+def q_stream_complete_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete output mode over a real 3-batch stream: every micro-batch
+    re-emits the ENTIRE aggregate state (no watermark needed — state is
+    unbounded by design), so after the final batch the sink holds
+    exactly the batch-mode tumbling result, which is the oracle. The
+    third output-mode of the trio: append (q_stream_watermark_late),
+    update (q_stream_stateful_totals), complete (here) — each with its
+    state/emission trade-off."""
+    e = table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    p1, p2 = _ts_tertiles(e, "ts")
+    tsu = F.unix_micros("ts")
+    src, ck = _fresh_dir("cm-src"), _fresh_dir("cm-ck")
+    _write_split_files(e, [tsu <= p1, (tsu > p1) & (tsu <= p2), tsu > p2], src)
+
+    agg = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.unix_micros(F.col("window.start")).alias("window_start_us"), "n_events")
+    )
+    name = f"cm_out_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    result = spark.table(name).cache()
+    result.count()
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    return result
+
+
+@register(
     "q_stream_static_join",
     oracle="""
 SELECT e.event_id, e.user_id, c.c_mktsegment,
