@@ -350,6 +350,40 @@ def q_cdc_snapshot_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cdc_change_deltas",
+    oracle=with_changelog(
+        """
+SELECT key, seq_no,
+       payload_value,
+       ((CAST(round(payload_value * 100) AS BIGINT)
+         - lag(CAST(round(payload_value * 100) AS BIGINT))
+           OVER (PARTITION BY key ORDER BY seq_no))) / 100.0 AS delta,
+       lag(seq_no) OVER (PARTITION BY key ORDER BY seq_no) AS prev_seq
+FROM changelog
+WHERE op <> 'REMOVE'
+"""
+    ),
+)
+def q_cdc_change_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image diffing: for each upsert, the value delta against the key's
+    previous image (the OldImage/NewImage comparison the full Streams
+    envelope enables — SURVEY §1.1 change-stream row). First image per
+    key has a NULL delta. Exact cent subtraction keeps deltas
+    engine-identical; one window shuffle on key."""
+    cl = changelog(spark, sf_dir)
+    w = W.partitionBy("key").orderBy("seq_no")
+    upserts = cl.where(F.col("op") != "REMOVE")
+    vc = F.round(F.col("payload_value") * 100).cast("bigint")
+    return upserts.select(
+        "key",
+        "seq_no",
+        "payload_value",
+        ((vc - F.lag(vc).over(w)) / 100.0).alias("delta"),
+        F.lag("seq_no").over(w).alias("prev_seq"),
+    )
+
+
+@register(
     "q_cdc_restore_report",
     oracle=with_changelog(
         """
