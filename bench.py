@@ -2,9 +2,11 @@
 """Benchmark harness: every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (headline queries only — the driver's
+stdout capture truncated the full 100-query map in round 1) and writes
+the full per-query timing map to BENCH_local.json next to this file:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {headline: sec, ...}, "sf": <sf>, "n_queries": 100}
 
 Protocol (BASELINE.md): warm SparkSession, per-query wall time over
 BENCH_RUNS runs (median), full execution forced with a noop-format
@@ -26,6 +28,24 @@ from dynamodb_pitr_restore_cdc_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 RUNS = int(os.environ.get("BENCH_RUNS", "2"))
+
+# Representative queries surfaced in the one-line summary; the full
+# per-query map goes to BENCH_local.json (the driver's stdout capture
+# keeps only a bounded tail, so the final line must stay small).
+HEADLINE = [
+    "q_cdc_snapshot_rebuild",
+    "q_cdc_change_deltas",
+    "q_tpch_q3_shipping_priority",
+    "q_tpch_q10_returned_items",
+    "q_join_inner",
+    "q_agg_groupby",
+    "q_win_topk_per_group",
+    "q_llm_near_dedup",
+    "q_llm_cosine_topk",
+    "q_llm_dedup_clusters",
+    "q_stream_stateful_totals",
+    "q_stream_foreachbatch_cdc",
+]
 
 
 def run_once(spec, spark) -> float:
@@ -50,17 +70,21 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds_all_queries",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    summary = {
+        "metric": "suite_seconds_all_queries",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {n: timings[n] for n in HEADLINE if n in timings},
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    full = dict(summary)
+    full["queries"] = timings
+    local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json")
+    with open(local_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -59,19 +59,30 @@ def _fresh_dir(tag: str) -> str:
     return d
 
 
+_SPLIT_BASE_MTIME = 1_700_000_000
+
+
+def _write_one_split(df: DataFrame, src_dir: str, i: int) -> None:
+    """Write one split as a single parquet file, entirely executor-side
+    (no driver materialization — at 100 TB a split is still a distributed
+    write; coalesce(1) is the micro-batch-fixture shape, not a data
+    funnel through the driver). The part file is renamed to a stable
+    name with an increasing mtime so the file streaming source processes
+    splits in list order."""
+    tmp = os.path.join(src_dir, f"_tmp_{i:05d}")  # leading _ : invisible to the stream source
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+    path = os.path.join(src_dir, f"{i:05d}.parquet")
+    os.replace(os.path.join(tmp, part), path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.utime(path, (_SPLIT_BASE_MTIME + i, _SPLIT_BASE_MTIME + i))
+
+
 def _write_split_files(df: DataFrame, splits: list, src_dir: str) -> None:
     """Write one parquet file per split predicate, with increasing mtimes
     so the file streaming source processes them in list order."""
-    base_mtime = 1_700_000_000
     for i, pred in enumerate(splits):
-        pdf = df.where(pred).toPandas()
-        path = os.path.join(src_dir, f"{i:05d}.parquet")
-        # µs timestamps: pandas would write TIMESTAMP(NANOS), which the
-        # Spark streaming reader sees as INT64 (nanosAsLong)
-        pdf.to_parquet(
-            path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
-        )
-        os.utime(path, (base_mtime + i, base_mtime + i))
+        _write_one_split(df.where(pred), src_dir, i)
 
 
 def _ts_tertiles(df: DataFrame, col: str) -> tuple:
@@ -241,10 +252,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, ck = _fresh_dir("dedup-src"), _fresh_dir("dedup-ck")
     _write_split_files(cl, [tsu <= p2, tsu > p2], src)
     # batch 3: redelivered duplicates
-    pdf = cl.where(F.col("seq_no") % 7 == 0).toPandas()
-    path = os.path.join(src, "00002.parquet")
-    pdf.to_parquet(path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
-    os.utime(path, (1_700_000_002, 1_700_000_002))
+    _write_one_split(cl.where(F.col("seq_no") % 7 == 0), src, 2)
 
     stream = (
         spark.readStream.schema(CHANGELOG_STREAM_SCHEMA)

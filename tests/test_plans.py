@@ -136,3 +136,19 @@ def test_minhash_is_arrow_vectorized(plans):
     p = plans("q_llm_near_dedup")
     assert "ArrowEvalPython" in p
     assert "BatchEvalPython" not in p
+
+
+def test_no_driver_side_materialization_in_source():
+    # the engine never funnels table data through the driver: no
+    # toPandas()/collect()-over-data in package source. Bounded
+    # orchestration collect()s (bucket-id lists, scalar cut points,
+    # converged flags) are sanctioned per-file below.
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "dynamodb_pitr_restore_cdc_spark"
+    offenders = [
+        str(p)
+        for p in pkg.rglob("*.py")
+        if "toPandas" in p.read_text()
+    ]
+    assert offenders == [], f"driver-side toPandas() in: {offenders}"
