@@ -22,7 +22,7 @@ import statistics
 import sys
 import time
 
-from dynamodb_pitr_restore_cdc_spark.registry import all_queries
+from dynamodb_pitr_restore_cdc_spark.registry import all_queries, release_persisted
 from dynamodb_pitr_restore_cdc_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -52,7 +52,9 @@ def run_once(spec, spark) -> float:
     t0 = time.perf_counter()
     df = spec.builder(spark, SF_DIR)
     df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    elapsed = time.perf_counter() - t0
+    release_persisted()  # builder persists don't outlive their run
+    return elapsed
 
 
 def main() -> None:

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..registry import register
+from ..registry import register, tracked_persist
 from ..sources import table
 
 N_PERM = 64
@@ -162,7 +162,7 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash pandas_udf over the whole corpus (2x the Python cost).
     # Standard LSH practice — signatures are computed once and stored;
     # the cached set is (doc_id, band, bucket): 16 small rows per doc.
-    bands = bands.persist()
+    bands = tracked_persist(bands)
     cand = (
         bands.alias("a")
         .join(

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..registry import register
+from ..registry import register, tracked_persist
 from ..sources import table
 
 TOP_K = 10
@@ -199,7 +199,7 @@ def q_llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dot per pair but each norm only once per vector — recomputing
         # norms inside the pair loop would triple the fold work
         .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-        .persist()  # both sides of the pair self-join (no cross-branch CSE)
+        .transform(tracked_persist)  # both sides of the pair self-join (no cross-branch CSE)
     )
     pairs = (
         member.alias("x")

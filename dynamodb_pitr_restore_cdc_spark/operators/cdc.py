@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..registry import register
+from ..registry import register, tracked_persist
 from ..sources import table
 
 # ---------------------------------------------------------------------------
@@ -338,7 +338,7 @@ def q_cdc_snapshot_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flagship (3.7s -> 3.1s) — the remaining cost is the genuine
     # shuffles (windows + merge join), which a cluster's executors
     # divide.
-    cl = changelog(spark, sf_dir).persist()
+    cl = tracked_persist(changelog(spark, sf_dir))
     med = cl.agg(F.expr("percentile(seq_no, 0.5)").alias("med"))
     cl2 = cl.crossJoin(F.broadcast(med))
     first_half = cl2.where(F.col("seq_no") < F.col("med")).drop("med")

@@ -11,6 +11,7 @@ the predicate (ReadSchema / PushedFilters in the formatted plan) — at
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -84,7 +85,10 @@ def q_scan_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", F.round("value", 2).alias("value"))
     )
     subset.write.mode("overwrite").json(out)
-    return spark.read.schema("event_id long, user_id long, value double").json(out)
+    result = spark.read.schema("event_id long, user_id long, value double").json(out).cache()
+    result.count()  # materialize before removing the backing dir
+    shutil.rmtree(out, ignore_errors=True)
+    return result
 
 
 @register("q_sink_roundtrip", oracle=None)  # rows-only: filesystem side effects
@@ -104,7 +108,10 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders.write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out)
-    return back.groupBy("o_orderstatus").agg(
+    result = back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_rows"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
-    )
+    ).cache()
+    result.count()  # materialize before removing the backing dir
+    shutil.rmtree(out, ignore_errors=True)
+    return result

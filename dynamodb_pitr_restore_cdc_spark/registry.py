@@ -31,6 +31,29 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
+# DataFrames persisted inside builders (justified per-site by the
+# no-cross-branch-CSE rule). Builders return lazy plans, so the builder
+# itself can never unpersist; harnesses call release_persisted() after
+# consuming a result so long-lived sessions (bench, parity suite,
+# driver rounds) don't accumulate cached RDDs until LRU eviction.
+_TRACKED_PERSISTS: list[DataFrame] = []
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """persist() + record for a later release_persisted()."""
+    df = df.persist()
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def release_persisted() -> None:
+    """Unpersist every builder-persisted DataFrame recorded so far."""
+    while _TRACKED_PERSISTS:
+        try:
+            _TRACKED_PERSISTS.pop().unpersist()
+        except Exception:
+            pass  # session may already be gone; releasing is best-effort
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builder]:
     def deco(fn: Builder) -> Builder:

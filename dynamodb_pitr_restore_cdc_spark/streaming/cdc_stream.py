@@ -135,14 +135,22 @@ def run_cdc_apply(
     ok, dlq = split_dlq(stream)
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        new_path = os.path.join(work_dir, f"v{epoch_id}")
+        if new_path == state["path"]:
+            # replay of an epoch whose data AND pointer writes both landed
+            # (crash fell between pointer write and the stream's commit-log
+            # write). Re-merging would read and overwrite the same path —
+            # illegal in Spark — and the seq_no guard makes it a no-op
+            # anyway, so the replayed epoch is skipped outright.
+            return
         sess = batch_df.sparkSession
         snap = sess.read.parquet(state["path"])
         merged = cdc_merge(snap, batch_df)
-        new_path = os.path.join(work_dir, f"v{epoch_id}")
         merged.write.mode("overwrite").parquet(new_path)
         state["path"] = new_path
         # pointer write AFTER the data write: a crash between the two
-        # replays the epoch, which overwrites v{epoch} idempotently
+        # replays the epoch, which overwrites v{epoch} idempotently from
+        # the still-prior pointer
         with open(pointer, "w") as fh:
             fh.write(new_path)
 

@@ -50,13 +50,16 @@ def with_retries(
     backoff: float = RETRY_BACKOFF,
     sleep: Callable[[float], None] = time.sleep,
 ) -> object:
-    """A21: bounded retry with exponential backoff (the SFN Retry block)."""
+    """A21: bounded retry with exponential backoff (the SFN Retry block).
+
+    SFN MaxAttempts semantics: `attempts` RETRIES after the initial
+    call — up to attempts+1 invocations (state-machine.json:31-33)."""
     delay = base_delay_s
-    for attempt in range(attempts):
+    for attempt in range(attempts + 1):
         try:
             return fn()
         except Exception:
-            if attempt == attempts - 1:
+            if attempt == attempts:
                 raise
             sleep(delay)
             delay *= backoff
@@ -69,17 +72,19 @@ def wait_until_ready(
     sleep: Callable[[float], None] = time.sleep,
     clock: Callable[[], float] = time.monotonic,
 ) -> RestoreStatus:
-    """A20: the Wait→Poll→Choice loop. Each probe call is itself retried
-    per A21. Returns the terminal status; raises TimeoutError if the
-    deadline passes while still IN PROGRESS."""
+    """A20: the Wait→Poll→Choice loop — the Wait state comes FIRST, as
+    in the reference machine (state-machine.json:10-13), so the initial
+    probe happens poll_interval_s after the restore is initiated. Each
+    probe call is itself retried per A21. Returns the terminal status;
+    raises TimeoutError if the deadline passes while still IN PROGRESS."""
     deadline = clock() + timeout_s
     while True:
+        sleep(poll_interval_s)
         status = with_retries(lambda: probe(), sleep=sleep)
         if status.state in ("SUCCEEDED", "FAILED"):
             return status
         if clock() >= deadline:
             raise TimeoutError(f"restore not ready after {timeout_s}s")
-        sleep(poll_interval_s)
 
 
 def restore_and_backfill(

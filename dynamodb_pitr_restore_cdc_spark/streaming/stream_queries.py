@@ -321,6 +321,7 @@ def q_stream_foreachbatch_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result.count()
     shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(work, ignore_errors=True)
     return result
 
 
@@ -572,7 +573,8 @@ def q_cdc_bucketed_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     snapshot = fold_changelog(cl.where(F.col("seq_no") < row.med))
 
-    sink = BucketedCdcSink(spark, _fresh_dir("bsink"), n_buckets=16)
+    sink_dir = _fresh_dir("bsink")
+    sink = BucketedCdcSink(spark, sink_dir, n_buckets=16)
     sink.init(snapshot)
     s = F.col("seq_no")
     second = cl.where(s >= row.med)
@@ -580,4 +582,5 @@ def q_cdc_bucketed_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink.apply_batch(second.where(pred))
     result = sink.visible().select("key", "last_seq", "payload_value").cache()
     result.count()
+    shutil.rmtree(sink_dir, ignore_errors=True)
     return result

@@ -44,7 +44,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def assert_parity(spark_df, oracle_pdf: pd.DataFrame, name: str, float_atol: float = 0.0):
+    from dynamodb_pitr_restore_cdc_spark.registry import release_persisted
+
     raw_got, raw_want = spark_df.toPandas(), oracle_pdf
+    release_persisted()  # builder persists are consumed once toPandas lands
     # STRICT dtype agreement before any normalization: the driver's
     # schema check may compare bit widths (int32 vs int64, HUGEINT
     # surfacing as float64), which value comparison would mask

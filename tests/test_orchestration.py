@@ -52,7 +52,8 @@ def test_retry_exhaustion_raises():
     clk = FakeClock()
     with pytest.raises(RuntimeError):
         with_retries(lambda: (_ for _ in ()).throw(RuntimeError("down")), sleep=clk.sleep)
-    assert clk.sleeps == [1.0, 2.0]  # 3 attempts, 2 sleeps
+    # SFN MaxAttempts=3: initial call + 3 retries = 4 invocations, 3 sleeps
+    assert clk.sleeps == [1.0, 2.0, 4.0]
 
 
 def test_wait_until_ready_polls_then_succeeds():
@@ -65,7 +66,9 @@ def test_wait_until_ready_polls_then_succeeds():
         clock=clk.clock,
     )
     assert status.state == "SUCCEEDED"
-    assert clk.sleeps == [30.0, 30.0]  # two waits between three polls
+    # the Wait state precedes every poll (reference machine shape):
+    # three polls => three 30s waits
+    assert clk.sleeps == [30.0, 30.0, 30.0]
 
 
 def test_wait_until_ready_times_out():
