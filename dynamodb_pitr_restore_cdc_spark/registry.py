@@ -91,6 +91,32 @@ _DRIVER_VERIFIED_R01: frozenset[str] = frozenset(
     }
 )
 
+# Queries registered in round 1 that the driver did NOT check (the
+# complement of _DRIVER_VERIFIED_R01 within the round-1 registry).
+_R01_REGISTRY_UNCHECKED: frozenset[str] = frozenset(
+    {
+        "q_agg_conditional", "q_array_funcs", "q_cdc_bucketed_sink",
+        "q_cdc_multi_sink", "q_date_funcs", "q_join_range_bucketized",
+        "q_json_funcs", "q_llm_ann_ivf", "q_llm_ann_lsh",
+        "q_llm_cosine_topk", "q_llm_dedup_clusters", "q_llm_embed_neardup",
+        "q_llm_exact_dedup", "q_llm_fingerprint", "q_llm_jaccard_exact",
+        "q_llm_kmeans", "q_llm_lang_id", "q_llm_lang_topwords",
+        "q_llm_near_dedup", "q_llm_ngram_profile", "q_llm_quality_score",
+        "q_llm_simhash", "q_llm_simhash_pairs", "q_llm_text_stats",
+        "q_llm_tfidf_search", "q_llm_token_count", "q_map_funcs",
+        "q_math_funcs", "q_mm_frame_sample", "q_mm_meta_extract",
+        "q_mm_resize_plan", "q_null_funcs", "q_str_funcs", "q_str_funcs2",
+        "q_stream_complete_mode", "q_stream_dedup",
+        "q_stream_foreachbatch_cdc", "q_stream_interval_join",
+        "q_stream_session", "q_stream_sliding", "q_stream_stateful_sessions",
+        "q_stream_stateful_totals", "q_stream_static_join",
+        "q_stream_tumbling", "q_stream_watermark_late",
+        "q_tpch_q10_returned_items", "q_tpch_q3_shipping_priority",
+        "q_tpch_q5_local_supplier", "q_win_range_numeric",
+        "q_win_topk_per_group",
+    }
+)
+
 
 def all_queries() -> dict[str, QuerySpec]:
     """Import all operator modules (side-effect: registration) and return the registry.
@@ -121,8 +147,13 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         textstats,
     )
-    from .streaming import stateful, stream_queries  # noqa: F401
+    from .streaming import redrive, stateful, stream_queries  # noqa: F401
 
+    # three tiers: the 50 queries that existed in round 1 but got no
+    # driver row come first (they exactly fill a 50-query window), then
+    # queries added after round 1, then the already-verified ones.
     fresh = {n: s for n, s in _REGISTRY.items() if n not in _DRIVER_VERIFIED_R01}
+    known = {n: s for n, s in fresh.items() if n in _R01_REGISTRY_UNCHECKED}
+    new = {n: s for n, s in fresh.items() if n not in _R01_REGISTRY_UNCHECKED}
     seen = {n: s for n, s in _REGISTRY.items() if n in _DRIVER_VERIFIED_R01}
-    return {**fresh, **seen}
+    return {**known, **new, **seen}

@@ -1,0 +1,246 @@
+"""Receive-count DLQ redrive (reference A7, full semantics).
+
+The reference's buffer queue moves a message to the DLQ after 5 failed
+receives (cdk/lib/cdk-stack.ts:52-63, ``maxReceiveCount: 5``); each
+redelivery exposes ``ApproximateReceiveCount`` to the consumer. The
+round-1 engine only had the validity *split* half of A7; this module
+adds the *redrive* half for the foreachBatch path:
+
+- every record carries a ``receive_count`` (1-based, incremented per
+  delivery) — the SQS attribute as a column;
+- per cycle, a caller-supplied ``try_reject(df) -> rejected rows``
+  models the consumer's failure (the Lambda's raised exception, at the
+  per-message granularity SQS provides);
+- rejected records re-enter a durable retry store (versioned dirs +
+  pointer, same crash discipline as run_cdc_apply's sink); records
+  whose receive_count reaches ``max_receives`` are appended to
+  ``dlq/`` instead — the batch is never blocked by a poison record.
+
+Scale notes (100 TB): the retry store is O(currently-failing records),
+not O(stream); the happy path adds one anti-join per micro-batch
+(accepted = batch − rejected, both sides already partitioned by the
+batch's key) and zero writes when nothing fails.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cdc import cdc_merge, changelog, with_changelog
+from ..registry import register
+
+MAX_RECEIVES = 5  # cdk-stack.ts:53
+RECEIVE_COUNT_COL = "receive_count"  # SQS ApproximateReceiveCount analog
+
+
+@dataclass
+class RedriveStore:
+    """Durable retry + DLQ state for one consumer.
+
+    Layout under ``root``:
+      retry_v{n}/   versioned retry-store snapshots (parquet)
+      _RETRY_LATEST pointer to the committed retry version
+      dlq/          append-only poison records (parquet)
+    """
+
+    spark: SparkSession
+    root: str
+    max_receives: int = MAX_RECEIVES
+    _schema: object = field(default=None, repr=False)
+
+    def __post_init__(self) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        self._pointer = os.path.join(self.root, "_RETRY_LATEST")
+        self._version = 0
+
+    @property
+    def dlq_dir(self) -> str:
+        return os.path.join(self.root, "dlq")
+
+    def _retry_path(self) -> str | None:
+        if os.path.exists(self._pointer):
+            with open(self._pointer) as fh:
+                return fh.read().strip()
+        return None
+
+    def pending(self) -> DataFrame | None:
+        """Records awaiting redelivery (with receive_count), or None."""
+        path = self._retry_path()
+        if path is None or self._schema is None:
+            return None
+        return self.spark.read.schema(self._schema).parquet(path)
+
+    def dlq(self) -> DataFrame | None:
+        """Poisoned records (receive_count == max_receives), or None."""
+        if self._schema is None or not os.path.isdir(self.dlq_dir):
+            return None
+        return self.spark.read.schema(self._schema).parquet(self.dlq_dir)
+
+    def cleanup(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)
+
+    # -- one receive cycle ---------------------------------------------------
+
+    def deliver(self, batch_df: DataFrame, try_reject) -> DataFrame:
+        """One delivery cycle: new records (receive 1) plus redelivered
+        retries (receive n+1) are offered to the consumer; returns the
+        ACCEPTED rows (with their receive_count). ``try_reject(df)``
+        sees ``receive_count`` — the ApproximateReceiveCount contract —
+        and returns the rejected subset.
+
+        Pass an empty batch_df to model a pure redelivery tick (SQS
+        redelivers on visibility timeout, not on new data)."""
+        incoming = batch_df.withColumn(RECEIVE_COUNT_COL, F.lit(1).cast("int"))
+        prev = self.pending()
+        if prev is not None:
+            redelivered = prev.withColumn(
+                RECEIVE_COUNT_COL, (F.col(RECEIVE_COUNT_COL) + F.lit(1)).cast("int")
+            )
+            incoming = incoming.unionByName(redelivered)
+        if self._schema is None:
+            self._schema = incoming.schema
+
+        # one pass decides accepted/rejected; materialize the cycle once
+        # (incoming feeds three branches and Catalyst has no cross-branch
+        # CSE) — localCheckpoint also cuts lineage so retry chains don't
+        # deepen the plan across cycles
+        incoming = incoming.localCheckpoint(eager=True)
+        rejected = try_reject(incoming)
+        accepted = incoming.join(
+            rejected.select("seq_no"), on="seq_no", how="left_anti"
+        )
+
+        poisoned = rejected.where(F.col(RECEIVE_COUNT_COL) >= self.max_receives)
+        still_retryable = rejected.where(F.col(RECEIVE_COUNT_COL) < self.max_receives)
+
+        poisoned.write.mode("append").parquet(self.dlq_dir)
+        self._version += 1
+        new_retry = os.path.join(self.root, f"retry_v{self._version}")
+        still_retryable.write.mode("overwrite").parquet(new_retry)
+        # pointer write AFTER the data write (same crash-window discipline
+        # as run_cdc_apply: a replayed cycle rewrites its own version)
+        with open(self._pointer, "w") as fh:
+            fh.write(new_retry)
+        return accepted
+
+    def has_pending(self) -> bool:
+        p = self.pending()
+        return p is not None and bool(p.take(1))
+
+
+def run_cdc_apply_redrive(
+    spark: SparkSession,
+    src_dir: str,
+    snapshot: DataFrame,
+    work_dir: str,
+    try_reject,
+    max_receives: int = MAX_RECEIVES,
+) -> tuple[str, RedriveStore]:
+    """run_cdc_apply with A7 redrive: each micro-batch is one delivery
+    cycle — accepted records merge into the versioned sink, rejected
+    ones wait in the retry store, poison ones (max_receives failed
+    deliveries) land in dlq/ WITHOUT blocking the batch. Returns
+    (final sink path, the redrive store)."""
+    from .cdc_stream import read_changelog_stream
+
+    os.makedirs(work_dir, exist_ok=True)
+    store = RedriveStore(spark, os.path.join(work_dir, "redrive"), max_receives)
+    pointer = os.path.join(work_dir, "_LATEST")
+    if os.path.exists(pointer):
+        with open(pointer) as fh:
+            snap_path = fh.read().strip()
+    else:
+        snap_path = os.path.join(work_dir, "v_init")
+        snapshot.write.mode("overwrite").parquet(snap_path)
+        with open(pointer, "w") as fh:
+            fh.write(snap_path)
+    state = {"path": snap_path}
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        new_path = os.path.join(work_dir, f"v{epoch_id}")
+        if new_path == state["path"]:
+            return  # replayed epoch, already fully committed (see cdc_stream)
+        sess = batch_df.sparkSession
+        accepted = store.deliver(batch_df, try_reject).drop(RECEIVE_COUNT_COL)
+        snap = sess.read.parquet(state["path"])
+        merged = cdc_merge(snap, accepted)
+        merged.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+        with open(pointer, "w") as fh:
+            fh.write(new_path)
+
+    q = (
+        read_changelog_stream(spark, src_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(work_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state["path"], store
+
+
+@register(
+    "q_cdc_dlq_redrive",
+    oracle=with_changelog(
+        """
+SELECT route, receive_count, count(*) AS n_records
+FROM (
+    SELECT CASE WHEN key % 97 = 0 THEN 'dlq' ELSE 'applied' END AS route,
+           CAST(CASE WHEN key % 97 = 0 THEN 5
+                     WHEN seq_no % 7 = 0 THEN 3
+                     ELSE 1 END AS INTEGER) AS receive_count
+    FROM changelog
+)
+GROUP BY route, receive_count
+"""
+    ),
+)
+def q_cdc_dlq_redrive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 full semantics through the real redrive machinery: 5 delivery
+    cycles over the changelog with a planted failure model — poison
+    records (key%97==0) fail every receive and must land in the DLQ at
+    receive 5 (maxReceiveCount, cdk-stack.ts:53); transient records
+    (seq_no%7==0) fail receives 1-2 and apply on receive 3; everything
+    else applies first time. The oracle states each record's terminal
+    (route, receive_count) in closed form — the loop must converge to
+    exactly that."""
+    cl = changelog(spark, sf_dir)
+    poison = F.col("key") % 97 == 0
+    transient = F.col("seq_no") % 7 == 0
+
+    def try_reject(df: DataFrame) -> DataFrame:
+        return df.where(poison | (transient & (F.col(RECEIVE_COUNT_COL) < 3)))
+
+    root = os.path.join(
+        tempfile.gettempdir(), "spark_cdc_engine_stream", f"redrive-{uuid.uuid4().hex[:8]}"
+    )
+    store = RedriveStore(spark, root, max_receives=MAX_RECEIVES)
+    empty = spark.createDataFrame([], schema=cl.schema)
+    accepted_cycles = []
+    batch = cl
+    for _ in range(MAX_RECEIVES):  # cycle 1 delivers; 2-5 are redelivery ticks
+        accepted_cycles.append(store.deliver(batch, try_reject))
+        batch = empty
+
+    applied = reduce(lambda a, b: a.unionByName(b), accepted_cycles).select(
+        F.lit("applied").alias("route"), F.col(RECEIVE_COUNT_COL)
+    )
+    dlq = store.dlq().select(F.lit("dlq").alias("route"), F.col(RECEIVE_COUNT_COL))
+    result = (
+        applied.unionByName(dlq)
+        .groupBy("route", RECEIVE_COUNT_COL)
+        .agg(F.count("*").alias("n_records"))
+        .cache()
+    )
+    result.count()  # materialize before removing the store's backing dirs
+    store.cleanup()
+    return result
