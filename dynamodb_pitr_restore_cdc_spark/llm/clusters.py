@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import register
+from ..registry import register, tracked_persist
 from .dedup import q_llm_near_dedup
 
 MAX_CC_ITERS = 20
@@ -45,8 +45,11 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    # intermediate persists are unpersisted in-loop; the FINAL labels
+    # persist survives into the returned (lazy) plan, so it is tracked
+    # for release_persisted() — the one leak the loop can't free itself
     sym = sym.persist()
-    labels = labels.persist()
+    labels = tracked_persist(labels)
 
     for _ in range(MAX_CC_ITERS):
         neighbor_min = (
@@ -62,7 +65,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
                 F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
             )
         )
-        new_labels = new_labels.persist()
+        new_labels = tracked_persist(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -258,8 +258,10 @@ def q_llm_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("s"),
         )
-        .persist()  # both sides of the self-join (no cross-branch CSE)
     )
+    # both sides of the self-join (no cross-branch CSE); tracked so
+    # release_persisted() frees it after the harness consumes the result
+    sh = tracked_persist(sh)
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     pairs = (
         sh.alias("a")
@@ -295,10 +297,12 @@ def q_llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     collide in some band (pigeonhole); pairs further out are found
     probabilistically — the classic SimHash trade-off vs MinHash,
     which is why both pipelines exist."""
-    sigs = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", simhash64("text").alias("simhash"))
-        .persist()  # referenced by both sides of the self-join (no cross-branch CSE)
+    # referenced by both sides of the self-join (no cross-branch CSE);
+    # tracked so release_persisted() frees it post-consumption
+    sigs = tracked_persist(
+        table(spark, sf_dir, "documents").select(
+            "doc_id", simhash64("text").alias("simhash")
+        )
     )
     bands = sigs.select(
         "doc_id",

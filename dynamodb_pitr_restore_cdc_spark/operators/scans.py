@@ -17,7 +17,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import register
+from ..registry import register, tracked_persist
 from ..sources import table
 
 
@@ -85,7 +85,12 @@ def q_scan_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", F.round("value", 2).alias("value"))
     )
     subset.write.mode("overwrite").json(out)
-    result = spark.read.schema("event_id long, user_id long, value double").json(out).cache()
+    # tracked: harnesses release after consuming the result, so the
+    # cached rows don't outlive the run (the backing dir is gone, so
+    # the plan is never recomputed after release — it's fully consumed)
+    result = tracked_persist(
+        spark.read.schema("event_id long, user_id long, value double").json(out)
+    )
     result.count()  # materialize before removing the backing dir
     shutil.rmtree(out, ignore_errors=True)
     return result
@@ -108,10 +113,12 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders.write.mode("overwrite").parquet(out)
     back = spark.read.parquet(out)
-    result = back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n_rows"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
-    ).cache()
+    result = tracked_persist(  # see q_scan_json_source: released post-consumption
+        back.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+    )
     result.count()  # materialize before removing the backing dir
     shutil.rmtree(out, ignore_errors=True)
     return result

@@ -91,9 +91,9 @@ _DRIVER_VERIFIED_R01: frozenset[str] = frozenset(
     }
 )
 
-# Queries registered in round 1 that the driver did NOT check (the
-# complement of _DRIVER_VERIFIED_R01 within the round-1 registry).
-_R01_REGISTRY_UNCHECKED: frozenset[str] = frozenset(
+# Queries with a green row in CORRECTNESS_r02.json (the round-1
+# registry complement of _DRIVER_VERIFIED_R01 — all 50 ran clean).
+_DRIVER_VERIFIED_R02: frozenset[str] = frozenset(
     {
         "q_agg_conditional", "q_array_funcs", "q_cdc_bucketed_sink",
         "q_cdc_multi_sink", "q_date_funcs", "q_join_range_bucketized",
@@ -118,11 +118,34 @@ _R01_REGISTRY_UNCHECKED: frozenset[str] = frozenset(
 )
 
 
+# Queries whose implementation materially changed in round 3 (shared
+# minhash signature store, trained-kmeans IVF quantizer, tracked
+# persists, redrive durability): surfaced for driver RE-verification
+# right after the never-checked tier, because the local parity suite is
+# otherwise their only guard.
+_REVERIFY_R03: frozenset[str] = frozenset(
+    {
+        "q_llm_near_dedup", "q_llm_dedup_clusters", "q_llm_jaccard_exact",
+        "q_llm_simhash_pairs", "q_llm_ann_ivf", "q_llm_embed_neardup",
+        "q_llm_kmeans", "q_scan_json_source", "q_sink_roundtrip",
+    }
+)
+
+
 def all_queries() -> dict[str, QuerySpec]:
     """Import all operator modules (side-effect: registration) and return the registry.
 
-    Returned dict order: driver-unverified queries first (see
-    ``_DRIVER_VERIFIED_R01``), each group in registration order.
+    Returned dict order (the driver evaluates in dict order and keeps
+    only a ~50-entry window, so ordering IS the coverage policy):
+
+    1. queries with no driver row in any round (never checked);
+    2. queries re-implemented this round (``_REVERIFY_R03``);
+    3. everything else, in registration order.
+
+    Trade-off, documented per round-2 advice: queries past the window
+    are NOT re-checked by the driver, so a regression there would only
+    be caught by the local parity suite (tests/test_oracle_parity.py),
+    which therefore stays mandatory before every round snapshot.
     """
     from .operators import (  # noqa: F401
         aggregates,
@@ -149,11 +172,10 @@ def all_queries() -> dict[str, QuerySpec]:
     )
     from .streaming import redrive, stateful, stream_queries  # noqa: F401
 
-    # three tiers: the 50 queries that existed in round 1 but got no
-    # driver row come first (they exactly fill a 50-query window), then
-    # queries added after round 1, then the already-verified ones.
-    fresh = {n: s for n, s in _REGISTRY.items() if n not in _DRIVER_VERIFIED_R01}
-    known = {n: s for n, s in fresh.items() if n in _R01_REGISTRY_UNCHECKED}
-    new = {n: s for n, s in fresh.items() if n not in _R01_REGISTRY_UNCHECKED}
-    seen = {n: s for n, s in _REGISTRY.items() if n in _DRIVER_VERIFIED_R01}
-    return {**known, **new, **seen}
+    verified = _DRIVER_VERIFIED_R01 | _DRIVER_VERIFIED_R02
+    fresh = {n: s for n, s in _REGISTRY.items() if n not in verified}
+    recheck = {n: s for n, s in _REGISTRY.items() if n in _REVERIFY_R03 and n not in fresh}
+    seen = {
+        n: s for n, s in _REGISTRY.items() if n in verified and n not in recheck
+    }
+    return {**fresh, **recheck, **seen}

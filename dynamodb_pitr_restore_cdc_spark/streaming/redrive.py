@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.cdc import cdc_merge, changelog, with_changelog
-from ..registry import register
+from ..registry import register, tracked_persist
 
 MAX_RECEIVES = 5  # cdk-stack.ts:53
 RECEIVE_COUNT_COL = "receive_count"  # SQS ApproximateReceiveCount analog
@@ -235,11 +235,10 @@ def q_cdc_dlq_redrive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("applied").alias("route"), F.col(RECEIVE_COUNT_COL)
     )
     dlq = store.dlq().select(F.lit("dlq").alias("route"), F.col(RECEIVE_COUNT_COL))
-    result = (
+    result = tracked_persist(  # released by the harness post-consumption
         applied.unionByName(dlq)
         .groupBy("route", RECEIVE_COUNT_COL)
         .agg(F.count("*").alias("n_records"))
-        .cache()
     )
     result.count()  # materialize before removing the store's backing dirs
     store.cleanup()

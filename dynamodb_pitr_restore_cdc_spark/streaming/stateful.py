@@ -25,7 +25,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..functions.rounding import avg_div
 from ..operators.cdc import changelog, with_changelog
-from ..registry import register
+from ..registry import register, tracked_persist
 from .cdc_stream import CHANGELOG_STREAM_SCHEMA
 from .stream_queries import _fresh_dir, _write_split_files
 
@@ -167,7 +167,7 @@ def q_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     import shutil
 
-    result = spark.table(name).cache()
+    result = tracked_persist(spark.table(name))
     result.count()
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ck, ignore_errors=True)
@@ -241,7 +241,7 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     w = W.partitionBy("key").orderBy(F.col("n_events").desc())
-    final = (
+    final = tracked_persist(
         out.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select(
@@ -250,7 +250,6 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             avg_div("sum_value_c", "n_events").alias("avg_value"),
             "max_seq",
         )
-        .cache()
     )
     final.count()
     return final

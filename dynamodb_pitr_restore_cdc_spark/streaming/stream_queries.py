@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.cdc import cdc_merge, changelog, fold_changelog, with_changelog
-from ..registry import register
+from ..registry import register, tracked_persist
 from ..sources import table
 from .cdc_sink import BucketedCdcSink
 from .cdc_stream import CHANGELOG_STREAM_SCHEMA, run_cdc_apply
@@ -223,10 +223,10 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    result = (
-        spark.table(name)
-        .select(F.unix_micros(F.col("window.start")).alias("window_start_us"), "n_events")
-        .cache()
+    result = tracked_persist(
+        spark.table(name).select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"), "n_events"
+        )
     )
     result.count()
     shutil.rmtree(src, ignore_errors=True)
@@ -272,7 +272,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    result = spark.table(name).cache()
+    result = tracked_persist(spark.table(name))
     result.count()
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ck, ignore_errors=True)
@@ -314,10 +314,8 @@ def q_stream_foreachbatch_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     final_path = run_cdc_apply(spark, src, snapshot, work)
-    result = (
-        spark.read.parquet(final_path)
-        .select("key", "last_seq", "payload_value")
-        .cache()
+    result = tracked_persist(
+        spark.read.parquet(final_path).select("key", "last_seq", "payload_value")
     )
     result.count()
     shutil.rmtree(src, ignore_errors=True)
@@ -410,7 +408,7 @@ def q_stream_complete_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    result = spark.table(name).cache()
+    result = tracked_persist(spark.table(name))
     result.count()
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ck, ignore_errors=True)
@@ -461,7 +459,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    result = spark.table(name).cache()
+    result = tracked_persist(spark.table(name))
     result.count()
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ck, ignore_errors=True)
@@ -539,7 +537,7 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    result = spark.table(name).cache()
+    result = tracked_persist(spark.table(name))
     result.count()
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ck, ignore_errors=True)
@@ -580,7 +578,7 @@ def q_cdc_bucketed_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     second = cl.where(s >= row.med)
     for pred in [s < row.p1, (s >= row.p1) & (s < row.p2), s >= row.p2]:
         sink.apply_batch(second.where(pred))
-    result = sink.visible().select("key", "last_seq", "payload_value").cache()
+    result = tracked_persist(sink.visible().select("key", "last_seq", "payload_value"))
     result.count()
     shutil.rmtree(sink_dir, ignore_errors=True)
     return result

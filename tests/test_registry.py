@@ -37,3 +37,31 @@ def test_every_oracle_compiles_in_duckdb():
 def test_builders_have_docstrings():
     missing = [n for n, s in SPECS.items() if not (s.builder.__doc__ or "").strip()]
     assert not missing, missing
+
+
+def test_release_persisted_frees_builder_caches(spark):
+    """The round-2 leak class: builder-side persist/cache that outlives
+    its run. Every persist in these builders must go through
+    tracked_persist, so running them + release_persisted() leaves the
+    session's persistent-RDD set no larger than before. (Queries using
+    localCheckpoint are excluded — those RDDs are freed by the
+    ContextCleaner on GC, not by unpersist.)"""
+    from dynamodb_pitr_restore_cdc_spark.registry import release_persisted
+
+    names = [
+        "q_llm_jaccard_exact",
+        "q_llm_simhash_pairs",
+        "q_llm_near_dedup",
+        "q_llm_dedup_clusters",
+        "q_llm_embed_neardup",
+        "q_scan_json_source",
+        "q_sink_roundtrip",
+    ]
+    release_persisted()  # start from a clean tracked list
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    for n in names:
+        df = SPECS[n].builder(spark, SF)
+        df.write.format("noop").mode("overwrite").save()
+        release_persisted()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before, f"persist leak: {before} cached RDDs before, {after} after"
