@@ -24,6 +24,7 @@ batch's key) and zero writes when nothing fails.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
@@ -46,9 +47,20 @@ class RedriveStore:
     """Durable retry + DLQ state for one consumer.
 
     Layout under ``root``:
-      retry_v{n}/   versioned retry-store snapshots (parquet)
-      _RETRY_LATEST pointer to the committed retry version
-      dlq/          append-only poison records (parquet)
+      retry_v{n}/    versioned retry-store snapshots (parquet)
+      accepted_v{n}/ the cycle's accepted rows (for replay-safe returns)
+      dlq/cycle_v{n} per-cycle poison records (parquet, overwrite)
+      _SCHEMA.json   the record schema (written once, read on restart)
+      _RETRY_LATEST  JSON commit pointer {"path", "version", "epoch"}
+
+    Durability contract: every cycle writes ALL its data dirs first and
+    the pointer last; a restarted store derives version, schema, and
+    last-delivered epoch from the committed pointer + _SCHEMA.json, so
+    it resumes exactly from committed state (ADVICE r02). Replaying the
+    epoch of the committed cycle (foreachBatch at-least-once) is a
+    read-only no-op: receive counts don't re-increment, the DLQ cycle
+    dir is simply overwritten by the same content, and the stored
+    accepted rows are returned as-is.
     """
 
     spark: SparkSession
@@ -59,45 +71,81 @@ class RedriveStore:
     def __post_init__(self) -> None:
         os.makedirs(self.root, exist_ok=True)
         self._pointer = os.path.join(self.root, "_RETRY_LATEST")
-        self._version = 0
+        self._schema_file = os.path.join(self.root, "_SCHEMA.json")
+        committed = self._committed()
+        self._version = committed["version"] if committed else 0
+        if self._schema is None and os.path.exists(self._schema_file):
+            from pyspark.sql.types import StructType
+
+            with open(self._schema_file) as fh:
+                self._schema = StructType.fromJson(json.load(fh))
 
     @property
     def dlq_dir(self) -> str:
         return os.path.join(self.root, "dlq")
 
-    def _retry_path(self) -> str | None:
-        if os.path.exists(self._pointer):
-            with open(self._pointer) as fh:
-                return fh.read().strip()
-        return None
+    def _committed(self) -> dict | None:
+        """The last committed cycle: {"path", "version", "epoch"} or None."""
+        if not os.path.exists(self._pointer):
+            return None
+        with open(self._pointer) as fh:
+            return json.load(fh)
 
     def pending(self) -> DataFrame | None:
         """Records awaiting redelivery (with receive_count), or None."""
-        path = self._retry_path()
-        if path is None or self._schema is None:
+        committed = self._committed()
+        if committed is None or self._schema is None:
             return None
-        return self.spark.read.schema(self._schema).parquet(path)
+        return self.spark.read.schema(self._schema).parquet(committed["path"])
 
     def dlq(self) -> DataFrame | None:
-        """Poisoned records (receive_count == max_receives), or None."""
-        if self._schema is None or not os.path.isdir(self.dlq_dir):
+        """Poisoned records (receive_count == max_receives), or None.
+
+        Only cycle dirs at or below the committed version are visible —
+        a crashed cycle's dlq write (data written, pointer not) stays
+        invisible until the cycle commits, then is overwritten in place.
+        """
+        committed = self._committed()
+        if self._schema is None or committed is None or not os.path.isdir(self.dlq_dir):
             return None
-        return self.spark.read.schema(self._schema).parquet(self.dlq_dir)
+        dirs = [
+            os.path.join(self.dlq_dir, d)
+            for d in sorted(os.listdir(self.dlq_dir))
+            if d.startswith("cycle_v") and int(d.rsplit("_v", 1)[1]) <= committed["version"]
+        ]
+        if not dirs:
+            return None
+        return self.spark.read.schema(self._schema).parquet(*dirs)
 
     def cleanup(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)
 
     # -- one receive cycle ---------------------------------------------------
 
-    def deliver(self, batch_df: DataFrame, try_reject) -> DataFrame:
+    def deliver(self, batch_df: DataFrame, try_reject, epoch_id: int | None = None) -> DataFrame:
         """One delivery cycle: new records (receive 1) plus redelivered
         retries (receive n+1) are offered to the consumer; returns the
         ACCEPTED rows (with their receive_count). ``try_reject(df)``
         sees ``receive_count`` — the ApproximateReceiveCount contract —
         and returns the rejected subset.
 
-        Pass an empty batch_df to model a pure redelivery tick (SQS
-        redelivers on visibility timeout, not on new data)."""
+        ``epoch_id`` is the foreachBatch epoch: redelivering the epoch
+        of the already-committed cycle returns the stored accepted rows
+        without touching state (at-least-once replay safety). Pass an
+        empty batch_df to model a pure redelivery tick (SQS redelivers
+        on visibility timeout, not on new data)."""
+        committed = self._committed()
+        if (
+            epoch_id is not None
+            and committed is not None
+            and committed.get("epoch") == epoch_id
+        ):
+            # replayed epoch: the cycle is fully committed; re-running it
+            # would re-increment receive counts and re-route records
+            return self.spark.read.schema(self._schema).parquet(
+                os.path.join(self.root, f"accepted_v{committed['version']}")
+            )
+
         incoming = batch_df.withColumn(RECEIVE_COUNT_COL, F.lit(1).cast("int"))
         prev = self.pending()
         if prev is not None:
@@ -107,6 +155,9 @@ class RedriveStore:
             incoming = incoming.unionByName(redelivered)
         if self._schema is None:
             self._schema = incoming.schema
+        if not os.path.exists(self._schema_file):
+            with open(self._schema_file, "w") as fh:
+                json.dump(self._schema.jsonValue(), fh)
 
         # one pass decides accepted/rejected; materialize the cycle once
         # (incoming feeds three branches and Catalyst has no cross-branch
@@ -121,15 +172,29 @@ class RedriveStore:
         poisoned = rejected.where(F.col(RECEIVE_COUNT_COL) >= self.max_receives)
         still_retryable = rejected.where(F.col(RECEIVE_COUNT_COL) < self.max_receives)
 
-        poisoned.write.mode("append").parquet(self.dlq_dir)
-        self._version += 1
-        new_retry = os.path.join(self.root, f"retry_v{self._version}")
+        # all data dirs first (each overwrite-idempotent under a crashed
+        # cycle's re-run), pointer commit LAST — same crash-window
+        # discipline as run_cdc_apply's versioned sink
+        version = self._version + 1
+        poisoned.write.mode("overwrite").parquet(
+            os.path.join(self.dlq_dir, f"cycle_v{version}")
+        )
+        accepted_path = os.path.join(self.root, f"accepted_v{version}")
+        accepted.write.mode("overwrite").parquet(accepted_path)
+        new_retry = os.path.join(self.root, f"retry_v{version}")
         still_retryable.write.mode("overwrite").parquet(new_retry)
-        # pointer write AFTER the data write (same crash-window discipline
-        # as run_cdc_apply: a replayed cycle rewrites its own version)
         with open(self._pointer, "w") as fh:
-            fh.write(new_retry)
-        return accepted
+            json.dump({"path": new_retry, "version": version, "epoch": epoch_id}, fh)
+        self._version = version
+        # superseded snapshots are unreferenced once the pointer moved on,
+        # keeping the store O(currently-failing), not O(stream). Contract:
+        # the returned accepted rows must be consumed before the NEXT
+        # cycle's deliver (normal foreachBatch shape — the merge happens
+        # within the epoch); holders of older cycles' results must
+        # materialize them first.
+        for stale in (f"accepted_v{version - 1}", f"retry_v{version - 1}"):
+            shutil.rmtree(os.path.join(self.root, stale), ignore_errors=True)
+        return self.spark.read.schema(self._schema).parquet(accepted_path)
 
     def has_pending(self) -> bool:
         p = self.pending()
@@ -169,7 +234,12 @@ def run_cdc_apply_redrive(
         if new_path == state["path"]:
             return  # replayed epoch, already fully committed (see cdc_stream)
         sess = batch_df.sparkSession
-        accepted = store.deliver(batch_df, try_reject).drop(RECEIVE_COUNT_COL)
+        # epoch-guarded: a replay after the store committed but before the
+        # sink did re-reads the stored accepted rows instead of
+        # re-incrementing receive counts (at-least-once safety)
+        accepted = store.deliver(batch_df, try_reject, epoch_id=epoch_id).drop(
+            RECEIVE_COUNT_COL
+        )
         snap = sess.read.parquet(state["path"])
         merged = cdc_merge(snap, accepted)
         merged.write.mode("overwrite").parquet(new_path)
@@ -228,12 +298,15 @@ def q_cdc_dlq_redrive(spark: SparkSession, sf_dir: str) -> DataFrame:
     accepted_cycles = []
     batch = cl
     for _ in range(MAX_RECEIVES):  # cycle 1 delivers; 2-5 are redelivery ticks
-        accepted_cycles.append(store.deliver(batch, try_reject))
+        accepted = store.deliver(batch, try_reject).select(
+            F.lit("applied").alias("route"), F.col(RECEIVE_COUNT_COL)
+        )
+        # materialize NOW: the store reclaims each cycle's accepted
+        # snapshot when the next cycle commits (deliver's contract)
+        accepted_cycles.append(accepted.localCheckpoint(eager=True))
         batch = empty
 
-    applied = reduce(lambda a, b: a.unionByName(b), accepted_cycles).select(
-        F.lit("applied").alias("route"), F.col(RECEIVE_COUNT_COL)
-    )
+    applied = reduce(lambda a, b: a.unionByName(b), accepted_cycles)
     dlq = store.dlq().select(F.lit("dlq").alias("route"), F.col(RECEIVE_COUNT_COL))
     result = tracked_persist(  # released by the harness post-consumption
         applied.unionByName(dlq)
