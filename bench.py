@@ -27,7 +27,7 @@ from dynamodb_pitr_restore_cdc_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-RUNS = int(os.environ.get("BENCH_RUNS", "2"))
+RUNS = int(os.environ.get("BENCH_RUNS", "3"))  # median-of-3 per BASELINE.md
 
 # Representative queries surfaced in the one-line summary; the full
 # per-query map goes to BENCH_local.json (the driver's stdout capture

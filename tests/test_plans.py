@@ -131,11 +131,30 @@ def test_tpch_composites_plan_clean(plans):
     assert "TakeOrderedAndProject" in p10
 
 
-def test_minhash_is_arrow_vectorized(plans):
+def test_minhash_is_arrow_vectorized(plans, spark, sf_dir):
     # the ONE sanctioned Python stage must be Arrow-batched, never row-wise
     p = plans("q_llm_near_dedup")
-    assert "ArrowEvalPython" in p
+    assert "ArrowEvalPython" in p  # candidate verification (jaccard_milli)
     assert "BatchEvalPython" not in p
+    # the signature pass itself (materialized via band_buckets) is also Arrow
+    from dynamodb_pitr_restore_cdc_spark.llm.dedup import minhash_signature
+    from dynamodb_pitr_restore_cdc_spark.sources import table
+
+    sig_plan = plan_string(
+        table(spark, sf_dir, "documents").withColumn("sig", minhash_signature("text"))
+    )
+    assert "ArrowEvalPython" in sig_plan
+    assert "BatchEvalPython" not in sig_plan
+
+
+def test_near_dedup_joins_scan_the_band_artifact(spark, sf_dir):
+    # repeat runs must NOT re-run the signature UDF: after the artifact
+    # exists, the near-dedup plan's band sides are parquet scans
+    from dynamodb_pitr_restore_cdc_spark.llm.dedup import band_buckets
+
+    band_buckets(spark, sf_dir)  # ensure materialized
+    p = plan_string(SPECS["q_llm_near_dedup"].builder(spark, sf_dir))
+    assert "spark_cdc_engine_sigs" in p  # band sides read the artifact
 
 
 def test_no_driver_side_materialization_in_source():
