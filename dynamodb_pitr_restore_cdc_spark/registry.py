@@ -170,7 +170,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         textstats,
     )
-    from .streaming import redrive, stateful, stream_queries  # noqa: F401
+    from .streaming import control, redrive, stateful, stream_queries  # noqa: F401
 
     verified = _DRIVER_VERIFIED_R01 | _DRIVER_VERIFIED_R02
     fresh = {n: s for n, s in _REGISTRY.items() if n not in verified}

@@ -110,6 +110,62 @@ def test_restore_and_backfill_end_to_end(spark, tmp_path):
     assert got == {10: 1.5}  # key 10 inserted, key 11 removed
 
 
+def test_control_event_drain_late_binds_targets(spark, tmp_path):
+    """A18 wired into A16/A17: matching control events (and ONLY those)
+    each late-bind a drain to their targetTableName, mirroring the
+    EventBridge rule -> initiate-lambda-backfill env-var flow."""
+    from dynamodb_pitr_restore_cdc_spark.streaming.control import (
+        drain_for_control_events,
+    )
+
+    clk = FakeClock()
+    rows = [
+        (1, "dynamodb.amazonaws.com", "RestoreTableToPointInTime", "restored_a"),
+        (2, "s3.amazonaws.com", "RestoreTableToPointInTime", "decoy_1"),  # wrong source
+        (3, "dynamodb.amazonaws.com", "DescribeTable", "decoy_2"),        # wrong name
+        (4, "dynamodb.amazonaws.com", "RestoreTableToPointInTime", "restored_b"),
+    ]
+    control = spark.createDataFrame(
+        [
+            (
+                i,
+                '{"detail": {"eventSource": "%s", "eventName": "%s", '
+                '"requestParameters": {"targetTableName": "%s"}}}' % (s, n, t),
+            )
+            for i, s, n, t in rows
+        ],
+        schema="event_id long, body string",
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    cl = pd.DataFrame(
+        [(1, "INSERT", 10, None, 1.5, "{}", "h1")],
+        columns=["seq_no", "op", "key", "ts", "payload_value", "payload_props", "content_hash"],
+    )
+    cl["ts"] = pd.to_datetime(cl["ts"]).astype("datetime64[us]")
+    cl["payload_value"] = cl["payload_value"].astype("float64")
+    cl.to_parquet(src / "00000.parquet", index=False)
+    snapshot = spark.createDataFrame(
+        [(11, 1, 9.0)], schema="key long, last_seq long, payload_value double"
+    )
+    probed = []
+
+    def probe_factory(target):
+        probed.append(target)
+        return lambda: RestoreStatus.from_table_state("ACTIVE")
+
+    out = drain_for_control_events(
+        spark, control, probe_factory, str(src), snapshot,
+        str(tmp_path / "work"), sleep=clk.sleep,
+    )
+    assert sorted(out) == ["restored_a", "restored_b"]  # decoys filtered
+    assert probed == ["restored_a", "restored_b"]
+    for target, path in out.items():
+        assert f"/{target}/" in path + "/"
+        got = {r.key: r.payload_value for r in spark.read.parquet(path).collect()}
+        assert got == {10: 1.5, 11: 9.0}
+
+
 def test_restore_failed_raises(spark, tmp_path):
     clk = FakeClock()
     with pytest.raises(RuntimeError, match="FAILED"):
