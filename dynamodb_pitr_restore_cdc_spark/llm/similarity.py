@@ -15,6 +15,12 @@ values agree to ~1e-15 and the round(_, 4) outputs hash-match.
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
+import uuid
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -77,27 +83,151 @@ def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_IVF_CELLS = 8
 IVF_PROBE_CELLS = 2
+IVF_TRAIN_ITERS = 3   # = kmeans.ITERS: the quantizer IS q_llm_kmeans's trainer
+EMBED_DIM = 64        # fixture contract (embeddings.embedding: array<float>[64])
 
 
-def _sq_l2(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+def ivf_cell_count(n: int) -> int:
+    """K-vs-n sizing rule: K = max(4, ceil(sqrt(n))) — the standard IVF
+    nlist heuristic. Cells then hold ~sqrt(n) vectors, so within-cell
+    work (the neardup self-join's O(n²/K) candidate set, a probe's
+    nprobe·n/K scan) grows as n^1.5/K = n, i.e. linearly with the
+    corpus instead of quadratically. At 100 TB one additionally caps
+    cell bytes (~n·d·4/K ≤ executor-partition budget), which sqrt
+    sizing satisfies for any realistic n."""
+    import math
+
+    return max(4, math.ceil(math.sqrt(n)))
+
+
+# trained quantizers, one per (session, corpus, k): IVF training is an
+# OFFLINE job in production — centroids are computed once per corpus
+# snapshot and every index/search job reuses them (same artifact
+# discipline as llm/dedup.band_buckets). The cached value is the
+# localCheckpointed (cid, cv) DataFrame: k×64 longs, session-lifetime.
+_QUANTIZER_CACHE: dict[tuple[str, str, int | None], DataFrame] = {}
+
+
+def trained_quantizer(spark: SparkSession, sf_dir: str, k: int | None = None):
+    """(quantized vectors, trained centroids) for the embeddings corpus:
+    integer-exact k-means (llm/kmeans.py) over K = ivf_cell_count(n)
+    cells (overridable for the K-sweep property tests),
+    IVF_TRAIN_ITERS Lloyd updates, trained once per (session, corpus)
+    and served from the quantizer cache afterwards. The corpus count is
+    a scalar driver-side read (quantizer sizing is a plan-time
+    decision, orchestration not data); the returned centroids are
+    localCheckpointed so multi-branch consumers don't retrain."""
+    from .kmeans import _quantized, kmeans_centroids
+
+    vectors = _quantized(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), k)
+    cents = _QUANTIZER_CACHE.get(key)
+    if cents is None:
+        kk = ivf_cell_count(vectors.count()) if k is None else k
+        cents = kmeans_centroids(vectors, k=kk, iters=IVF_TRAIN_ITERS)
+        _QUANTIZER_CACHE[key] = cents
+    return vectors, cents
+
+
+# materialized inverted lists, one per (session, corpus, k). An IVF
+# index IS "centroids + vectors grouped by cell": building it is a
+# one-time indexing job in production, and every probe/pairing query
+# reads the index — same artifact discipline as llm/dedup.band_buckets.
+_IVF_INDEX_CACHE: dict[tuple[str, str, int | None], str] = {}
+_IVF_INDEX_ROOT = os.path.join(tempfile.gettempdir(), "spark_cdc_engine_ivf")
+atexit.register(shutil.rmtree, _IVF_INDEX_ROOT, ignore_errors=True)
+
+
+def _cell_members(spark: SparkSession, sf_dir: str, k: int | None = None) -> DataFrame:
+    """(vec_id, cid, v): the IVF inverted lists, built once per corpus
+    and served from the materialized index afterwards. The build is ONE
+    corpus scan — cell assignment fused with the double-vector
+    projection: the argmin over broadcast centroids is a
+    partial-aggregating min(struct(d2, cid)) and v rides along via
+    first(), so it's scan → broadcast join → one combined shuffle of n
+    rows. At 100 TB the index write is partitioned by cid, making each
+    probe a partition-pruned read."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), k)
+    path = _IVF_INDEX_CACHE.get(key)
+    if path is None or not os.path.isdir(path):
+        from .kmeans import int_sq_dist, quantize_expr
+
+        _, cents = trained_quantizer(spark, sf_dir, k=k)
+        e2 = table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            _as_double("embedding").alias("v"),
+            quantize_expr(F.col("embedding")).alias("qv"),
+        )
+        members = (
+            e2.crossJoin(F.broadcast(cents))
+            .withColumn("d2", int_sq_dist())
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cid")).alias("best"), F.first("v").alias("v"))
+            .select("vec_id", F.col("best.cid").alias("cid"), "v")
+        )
+        path = os.path.join(_IVF_INDEX_ROOT, f"index-{uuid.uuid4().hex[:8]}")
+        members.write.mode("overwrite").parquet(path)
+        _IVF_INDEX_CACHE[key] = path
+    return spark.read.parquet(path)
+
+
+def _ivf_oracle_prefix() -> str:
+    """DuckDB CTE chain mirroring the trained quantizer exactly: same
+    floor-quantization, same K formula, same unrolled integer Lloyd
+    iterations (ties by cid, truncating integer means), same final
+    assignment ranking. Exact integer math is what makes the iterative
+    trainer oracle-expressible at all — double centroid means would
+    diverge between engines on summation order."""
+    d2 = (
+        "list_sum(list_transform(list_zip(q.qv, c.cv), "
+        "z -> (z[1] - z[2]) * (z[1] - z[2])))"
     )
+    parts = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
+        (
+            "q AS (SELECT vec_id, list_transform(embedding, "
+            f"x -> CAST(floor(x::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS qv FROM embeddings)"
+        ),
+        "kk AS (SELECT GREATEST(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM embeddings)",
+        "c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk))",
+    ]
+    for i in range(1, IVF_TRAIN_ITERS + 1):
+        parts += [
+            (
+                f"a{i} AS (SELECT q.vec_id, c.cid, row_number() OVER "
+                f"(PARTITION BY q.vec_id ORDER BY {d2}, c.cid) AS rn "
+                f"FROM q CROSS JOIN c{i - 1} c)"
+            ),
+            f"asg{i} AS (SELECT vec_id, cid FROM a{i} WHERE rn = 1)",
+            (
+                f"dims{i} AS (SELECT asg{i}.cid, p.pos, q.qv[p.pos] AS val "
+                f"FROM asg{i} JOIN q USING (vec_id) "
+                f"CROSS JOIN (SELECT unnest(range(1, {EMBED_DIM + 1})) AS pos) p)"
+            ),
+            (
+                f"m{i} AS (SELECT cid, pos, CAST(sum(val) // count(*) AS BIGINT) AS m "
+                f"FROM dims{i} GROUP BY cid, pos)"
+            ),
+            f"c{i} AS (SELECT cid, list(m ORDER BY pos) AS cv FROM m{i} GROUP BY cid)",
+        ]
+    parts += [
+        (
+            f"rank_final AS (SELECT q.vec_id, c.cid, row_number() OVER "
+            f"(PARTITION BY q.vec_id ORDER BY {d2}, c.cid) AS rn "
+            f"FROM q CROSS JOIN c{IVF_TRAIN_ITERS} c)"
+        ),
+        "asg AS (SELECT vec_id, cid FROM rank_final WHERE rn = 1)",
+    ]
+    return ",\n".join(parts)
 
 
 @register(
     "q_llm_ann_ivf",
     oracle=f"""
-WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {N_IVF_CELLS}),
-a AS (SELECT e.vec_id, c.cid,
-             row_number() OVER (PARTITION BY e.vec_id
-                                ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
-      FROM e CROSS JOIN c),
-asg AS (SELECT vec_id, cid FROM a WHERE rn = 1),
-probe_cells AS (SELECT cid FROM a WHERE vec_id = {PROBE_VEC_ID} AND rn <= {IVF_PROBE_CELLS}),
+WITH {_ivf_oracle_prefix()},
+probe_cells AS (SELECT cid FROM rank_final
+                WHERE vec_id = {PROBE_VEC_ID} AND rn <= {IVF_PROBE_CELLS}),
 p AS (SELECT v AS pv FROM e WHERE vec_id = {PROBE_VEC_ID}),
 cand AS (SELECT e.vec_id, asg.cid,
                 list_cosine_similarity(e.v, p.pv) AS cos
@@ -108,40 +238,33 @@ FROM cand ORDER BY cos DESC, vec_id LIMIT 5
 """,
 )
 def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: a coarse quantizer partitions the corpus into
-    cells; search touches only the nprobe cells nearest the probe.
+    """IVF-style ANN: a k-means-trained coarse quantizer partitions the
+    corpus into K = ceil(sqrt(n)) cells; search touches only the nprobe
+    cells nearest the probe.
 
-    The quantizer here is a fixed set of 8 exemplar vectors (vec_ids
-    1-8) — in production the centroids come from offline/sampled
-    k-means, but assignment, inverted-list layout and probing are
-    identical. Cell assignment is a broadcast of K centroids against a
-    map-only pass (one argmin per vector, squared-L2 — same ranking as
-    L2, no sqrt); at scale `cid` becomes the partition key, so a probe
-    reads nprobe/K of the data. Fully oracle-checked: even the ANN
-    path is SQL-expressible once the quantizer is fixed."""
+    The quantizer is the integer-exact Lloyd trainer from llm/kmeans.py
+    (SURVEY §2B-bis: "trains the IVF quantizer" — true in code since
+    round 3; the round-2 fixed-8 exemplar constant is gone). Cell
+    assignment is a broadcast of K centroids against a map-only pass
+    (one argmin per vector, integer squared-L2 — same ranking as L2,
+    no sqrt); the probe's cell ranking filters to the probe vector
+    BEFORE the centroid join, so it costs K rows, not n·K. At scale
+    `cid` becomes the partition key, so a probe reads nprobe/K of the
+    data. Fully oracle-checked, trainer included: exact integer math
+    keeps even the iterative k-means SQL-expressible."""
+    from .kmeans import assignment_ranking
+
+    vectors, cents = trained_quantizer(spark, sf_dir)
     e = table(spark, sf_dir, "embeddings").select("vec_id", _as_double("embedding").alias("v"))
-    cents = (
-        e.where(F.col("vec_id").between(1, N_IVF_CELLS))
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    members = _cell_members(spark, sf_dir)
+    probe_cells = (
+        assignment_ranking(vectors.where(F.col("vec_id") == PROBE_VEC_ID), cents)
+        .where(F.col("rn") <= IVF_PROBE_CELLS)
+        .select("cid")
     )
-    from pyspark.sql import Window as W
-
-    ranked = (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("d2", _sq_l2(F.col("v"), F.col("cv")))
-        .withColumn(
-            "rn",
-            F.row_number().over(W.partitionBy("vec_id").orderBy("d2", "cid")),
-        )
-    )
-    assigned = ranked.where(F.col("rn") == 1).select("vec_id", "cid")
-    probe_cells = ranked.where(
-        (F.col("vec_id") == PROBE_VEC_ID) & (F.col("rn") <= IVF_PROBE_CELLS)
-    ).select("cid")
     probe = e.where(F.col("vec_id") == PROBE_VEC_ID).select(F.col("v").alias("pv"))
     cand = (
-        e.join(assigned, "vec_id")
-        .join(F.broadcast(probe_cells), "cid", "left_semi")
+        members.join(F.broadcast(probe_cells), "cid", "left_semi")
         .where(F.col("vec_id") != PROBE_VEC_ID)
         .crossJoin(F.broadcast(probe))
         .select("vec_id", "cid", cosine_col(F.col("v"), F.col("pv")).alias("cos"))
@@ -159,13 +282,7 @@ NEARDUP_COS = 0.35
 @register(
     "q_llm_embed_neardup",
     oracle=f"""
-WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {N_IVF_CELLS}),
-a AS (SELECT e.vec_id, c.cid,
-             row_number() OVER (PARTITION BY e.vec_id
-                                ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
-      FROM e CROSS JOIN c),
-asg AS (SELECT vec_id, cid FROM a WHERE rn = 1),
+WITH {_ivf_oracle_prefix()},
 m AS (SELECT e.vec_id, e.v, asg.cid FROM e JOIN asg USING (vec_id))
 SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
        round(list_cosine_similarity(x.v, y.v), 4) AS cos_sim
@@ -175,26 +292,25 @@ WHERE list_cosine_similarity(x.v, y.v) >= {NEARDUP_COS}
 )
 def q_llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, cell-bucketed: vectors are
-    assigned to IVF cells (fixed quantizer, as in q_llm_ann_ivf) and
-    pairs are scored only WITHIN a cell — the candidate set is
-    O(n²/K) instead of O(n²), and `cid` is the shuffle key, so at
-    scale each cell's pair generation is an in-partition job. The
-    oracle runs the identical cell-restricted pair join, making the
-    whole path (assignment + pairing + scoring) hash-checked."""
-    e = table(spark, sf_dir, "embeddings").select("vec_id", _as_double("embedding").alias("v"))
-    cents_df = (
-        e.where(F.col("vec_id").between(1, N_IVF_CELLS))
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-    )
-    from pyspark.sql import Window as W
+    assigned to k-means-trained IVF cells (same quantizer as
+    q_llm_ann_ivf, K = ceil(sqrt(n))) and pairs are scored only WITHIN
+    a cell — the candidate set is O(n²/K) = O(n^1.5), and `cid` is the
+    shuffle key, so at scale each cell's pair generation is an
+    in-partition job whose size follows the K-vs-n rule
+    (ivf_cell_count) instead of a fixed constant. The oracle runs the
+    identical trainer + cell-restricted pair join, making the whole
+    path (training + assignment + pairing + scoring) hash-checked."""
+    return embed_neardup_pairs(spark, sf_dir)
 
-    ranked = (
-        e.crossJoin(F.broadcast(cents_df))
-        .withColumn("d2", _sq_l2(F.col("v"), F.col("cv")))
-        .withColumn("rn", F.row_number().over(W.partitionBy("vec_id").orderBy("d2", "cid")))
-    )
+
+def embed_neardup_pairs(spark: SparkSession, sf_dir: str, k: int | None = None) -> DataFrame:
+    """q_llm_embed_neardup's builder, with the cell count overridable:
+    the K-sweep property tests assert that for ANY K the result is
+    exactly (brute-force pairs ≥ τ) ∩ (co-assigned pairs) with exact
+    scores — i.e. the cell restriction is the only recall loss and
+    never a precision loss."""
     member = (
-        e.join(ranked.where(F.col("rn") == 1).select("vec_id", "cid"), "vec_id")
+        _cell_members(spark, sf_dir, k=k)
         # norm precomputed per vector, not per pair: cos(x,y) needs one
         # dot per pair but each norm only once per vector — recomputing
         # norms inside the pair loop would triple the fold work

@@ -154,3 +154,56 @@ def test_exact_dedup_idempotent(spark, sf_dir):
     """Dedup of an already-deduped corpus is the identity."""
     once = SPECS["q_llm_exact_dedup"].builder(spark, sf_dir)
     assert once.count() == once.select("doc_id").distinct().count()
+
+
+def test_embed_neardup_cell_restriction_is_the_only_loss(spark, sf_dir):
+    """K-sweep property for the trained-quantizer IVF neardup: for ANY
+    cell count K the result equals (brute-force pairs >= tau)
+    restricted to co-assigned pairs, with exact scores — the cell
+    bucketing can lose recall (documented IVF trade-off) but can never
+    invent pairs, mis-score one, or miss a within-cell pair."""
+    from dynamodb_pitr_restore_cdc_spark.llm.kmeans import assignment_ranking
+    from dynamodb_pitr_restore_cdc_spark.llm.similarity import (
+        NEARDUP_COS,
+        embed_neardup_pairs,
+        trained_quantizer,
+    )
+    from dynamodb_pitr_restore_cdc_spark.registry import release_persisted
+    from dynamodb_pitr_restore_cdc_spark.sources import table
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").toPandas()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in e.itertuples()}
+    ids = sorted(vecs)
+    brute = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            va, vb = vecs[a], vecs[b]
+            cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            if cos >= NEARDUP_COS:
+                brute[(a, b)] = round(cos, 4)
+
+    seen_pair_sets = []
+    for k in (4, 12):
+        vectors, cents = trained_quantizer(spark, sf_dir, k=k)
+        cell = {
+            r.vec_id: r.cid
+            for r in assignment_ranking(vectors, cents)
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cid")
+            .collect()
+        }
+        expected = {p: c for p, c in brute.items() if cell[p[0]] == cell[p[1]]}
+        got = {
+            (r.vec_a, r.vec_b): r.cos_sim
+            for r in embed_neardup_pairs(spark, sf_dir, k=k).collect()
+        }
+        release_persisted()
+        assert set(got) == set(expected), f"k={k}: pair set diverged from contract"
+        for p in got:
+            assert abs(got[p] - expected[p]) <= 1e-4, f"k={k}: score mismatch at {p}"
+        assert set(got) <= set(brute)  # precision 1.0 at every K
+        assert got, f"k={k}: zero recall at test SF"
+        seen_pair_sets.append(set(got))
+    # K changes WHICH cells exist, so the recalled SETS may differ —
+    # but both must obey the same contract (asserted above); they are
+    # not required to nest (k=12 centroids don't refine k=4's)

@@ -57,6 +57,15 @@ def test_release_persisted_frees_builder_caches(spark):
         "q_scan_json_source",
         "q_sink_roundtrip",
     ]
+    # warm the per-corpus artifacts first: the LSH band store and the
+    # IVF index (whose trainer localCheckpoints the centroids) are
+    # SESSION-lifetime by design — build them before measuring so the
+    # loop below exercises only per-run builder caches
+    from dynamodb_pitr_restore_cdc_spark.llm.dedup import band_buckets
+    from dynamodb_pitr_restore_cdc_spark.llm.similarity import _cell_members
+
+    band_buckets(spark, SF)
+    _cell_members(spark, SF)
     release_persisted()  # start from a clean tracked list
     before = spark.sparkContext._jsc.getPersistentRDDs().size()
     for n in names:
