@@ -582,3 +582,53 @@ def q_cdc_bucketed_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.count()
     shutil.rmtree(sink_dir, ignore_errors=True)
     return result
+
+
+@register(
+    "q_cdc_sink_compaction",
+    oracle=with_changelog(
+        """
+SELECT key, seq_no AS last_seq, payload_value
+FROM (
+    SELECT key, seq_no, op, payload_value,
+           row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
+    FROM changelog
+) WHERE rn = 1 AND op <> 'REMOVE'
+"""
+    ),
+)
+def q_cdc_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone compaction UNDER the stream: same three-batch bucketed
+    rebuild as q_cdc_bucketed_sink, but between batches 2 and 3 the
+    sink compacts away every tombstone below the reorder horizon (the
+    streaming analog of the 35-day PITR window — batch 3 only carries
+    seq >= horizon, so those tombstones are provably dead weight).
+    visible() must be INVARIANT across the mid-stream compact: the
+    oracle is the identical one-shot rebuild. The builder also asserts
+    the compact actually removed tombstones — an inert pass would make
+    this query vacuous."""
+    cl = changelog(spark, sf_dir)
+    row = cl.agg(
+        F.expr("percentile(seq_no, 0.5)").alias("med"),
+        F.expr("percentile(seq_no, 0.6667)").alias("p1"),
+        F.expr("percentile(seq_no, 0.8333)").alias("p2"),
+    ).first()
+    snapshot = fold_changelog(cl.where(F.col("seq_no") < row.med))
+
+    sink_dir = _fresh_dir("csink")
+    sink = BucketedCdcSink(spark, sink_dir, n_buckets=16)
+    sink.init(snapshot)
+    s = F.col("seq_no")
+    second = cl.where(s >= row.med)
+    is_tomb = F.col("op") == "REMOVE"
+    sink.apply_batch(second.where(s < row.p1))
+    sink.apply_batch(second.where((s >= row.p1) & (s < row.p2)))
+    tombs_before = sink.snapshot().where(is_tomb).count()  # orchestration scalar
+    sink.compact(reorder_horizon_seq=int(row.p2))
+    tombs_after = sink.snapshot().where(is_tomb).count()
+    assert tombs_after < tombs_before, "compact removed no tombstones — vacuous run"
+    sink.apply_batch(second.where(s >= row.p2))
+    result = tracked_persist(sink.visible().select("key", "last_seq", "payload_value"))
+    result.count()
+    shutil.rmtree(sink_dir, ignore_errors=True)
+    return result

@@ -157,6 +157,25 @@ def test_near_dedup_joins_scan_the_band_artifact(spark, sf_dir):
     assert "spark_cdc_engine_sigs" in p  # band sides read the artifact
 
 
+def test_aqe_skew_join_split_fires(spark):
+    # the 100 TB hot-key story is AQE's skew split — prove it actually
+    # fires on a skewed SMJ (multi-mapper sides + sub-compression-size
+    # threshold; see operators/skew.py for the preconditions)
+    from dynamodb_pitr_restore_cdc_spark.operators.skew import (
+        SKEW_JOIN_CONFS,
+        hot_key_join,
+        session_confs,
+    )
+
+    with session_confs(spark, SKEW_JOIN_CONFS):
+        j = hot_key_join(spark, n_rows=500_000)
+        j.collect()
+        executed = j._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("== Initial Plan ==")[0]
+    assert "skew=true" in final, "AQE skew-join split did not fire"
+    assert "skewed" in final  # the AQEShuffleRead on the hot side
+
+
 def test_no_driver_side_materialization_in_source():
     # the engine never funnels table data through the driver: no
     # toPandas()/collect()-over-data in package source. Bounded
