@@ -122,3 +122,37 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.count()  # materialize before removing the backing dir
     shutil.rmtree(out, ignore_errors=True)
     return result
+
+
+@register(
+    "q_scan_csv_source",
+    oracle="""
+SELECT event_id, user_id, round(value, 2) AS value
+FROM events WHERE event_id % 10 = 3
+""",
+)
+def q_scan_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source round trip (the third source format beside parquet and
+    JSON-lines): a deterministic slice of events is written as
+    headered CSV and read back with an EXPLICIT schema (never
+    inference — SURVEY §1.3). Doubles survive because Spark's CSV
+    writer emits shortest-round-trip decimals, same as the JSON path."""
+    import uuid
+
+    out = os.path.join(
+        tempfile.gettempdir(), "spark_cdc_engine_sink", f"events_csv-{uuid.uuid4().hex[:8]}"
+    )
+    subset = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 10 == 3)
+        .select("event_id", "user_id", F.round("value", 2).alias("value"))
+    )
+    subset.write.mode("overwrite").option("header", "true").csv(out)
+    result = tracked_persist(  # released post-consumption (see q_scan_json_source)
+        spark.read.schema("event_id long, user_id long, value double")
+        .option("header", "true")
+        .csv(out)
+    )
+    result.count()  # materialize before removing the backing dir
+    shutil.rmtree(out, ignore_errors=True)
+    return result

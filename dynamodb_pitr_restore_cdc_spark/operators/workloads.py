@@ -164,3 +164,51 @@ def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "q_tpch_q18_large_volume",
+    oracle="""
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       round(o.o_totalprice, 2) AS total_price,
+       q.total_qty
+FROM (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 200) q
+JOIN orders o ON o.o_orderkey = q.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY total_price DESC, o.o_orderkey
+LIMIT 100
+""",
+)
+def q_tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape (large-volume customer): an aggregation-derived filter —
+    orders whose total lineitem quantity exceeds a threshold — joined
+    back to orders and customer, top-100 by order value. The HAVING
+    subquery becomes a pre-aggregated build side: the fact is reduced
+    to one row per qualifying order BEFORE any join (partial agg +
+    having), so the join tree only ever sees the heavy-hitter subset —
+    the plan that matters when 'large volume' selects 1% of a 100 TB
+    fact table."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+        .where(F.col("total_qty") > 200)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_price").desc(), "o_orderkey")
+        .limit(100)
+    )

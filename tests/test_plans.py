@@ -131,6 +131,16 @@ def test_tpch_composites_plan_clean(plans):
     assert "TakeOrderedAndProject" in p10
 
 
+def test_q18_pre_aggregates_before_join(plans):
+    # the HAVING subquery must become a pre-aggregated build side: the
+    # partial/final agg pair sits BELOW the join tree, no cartesian,
+    # and the top-100 is TakeOrdered, never a global sort
+    p = plans("q_tpch_q18_large_volume")
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in p
+
+
 def test_minhash_is_arrow_vectorized(plans, spark, sf_dir):
     # the ONE sanctioned Python stage must be Arrow-batched, never row-wise
     p = plans("q_llm_near_dedup")
