@@ -163,6 +163,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from .functions import maps, scalar, scalar2  # noqa: F401
     from .llm import (  # noqa: F401
         clusters,
+        curation,
         dedup,
         kmeans,
         multimodal,

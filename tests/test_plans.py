@@ -131,6 +131,18 @@ def test_tpch_composites_plan_clean(plans):
     assert "TakeOrderedAndProject" in p10
 
 
+def test_curation_pipeline_shapes(plans):
+    # train/test split must be a map-only projection (no exchange — it
+    # fuses into whatever scan runs next); the composed curation
+    # pipeline and packing stay entirely JVM-side
+    p_split = plans("q_llm_train_test_split")
+    assert "Exchange" not in p_split
+    for q in ("q_llm_train_test_split", "q_llm_seq_packing", "q_llm_corpus_curation"):
+        p = plans(q)
+        assert "BatchEvalPython" not in p, q
+        assert "ArrowEvalPython" not in p, q
+
+
 def test_q18_pre_aggregates_before_join(plans):
     # the HAVING subquery must become a pre-aggregated build side: the
     # partial/final agg pair sits BELOW the join tree, no cartesian,
