@@ -127,12 +127,80 @@ def kmeans_fit(vectors: DataFrame, k: int = K, iters: int = ITERS) -> DataFrame:
     return _assign(vectors, centroids).select("vec_id", "cid")
 
 
-@register("q_llm_kmeans", oracle=None)  # rows-only: iterative fixpoint isn't ANSI SQL
+EMBED_DIM = 64  # fixture contract (embeddings.embedding: array<float>[64])
+
+
+def lloyd_oracle_ctes(k_sql: str, iters: int) -> str:
+    """DuckDB CTE chain mirroring the exact-integer Lloyd trainer: same
+    floor-quantization, same initialization (vec_id 1..k), `iters`
+    unrolled updates (tied argmin by cid, truncating integer means),
+    then a final assignment ranking (`rank_final`/`asg`). Exact integer
+    math is what makes the iterative trainer oracle-expressible at all
+    — double centroid means would diverge between engines on summation
+    order. `k_sql` is an aggregate expression over `embeddings`
+    (a literal for a fixed k)."""
+    d2 = (
+        "list_sum(list_transform(list_zip(q.qv, c.cv), "
+        "z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    )
+    parts = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
+        (
+            "q AS (SELECT vec_id, list_transform(embedding, "
+            f"x -> CAST(floor(x::DOUBLE * {QUANT} + 0.5) AS BIGINT)) AS qv FROM embeddings)"
+        ),
+        f"kk AS (SELECT {k_sql} AS k FROM embeddings)",
+        "c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk))",
+    ]
+    for i in range(1, iters + 1):
+        parts += [
+            (
+                f"a{i} AS (SELECT q.vec_id, c.cid, row_number() OVER "
+                f"(PARTITION BY q.vec_id ORDER BY {d2}, c.cid) AS rn "
+                f"FROM q CROSS JOIN c{i - 1} c)"
+            ),
+            f"asg{i} AS (SELECT vec_id, cid FROM a{i} WHERE rn = 1)",
+            (
+                f"dims{i} AS (SELECT asg{i}.cid, p.pos, q.qv[p.pos] AS val "
+                f"FROM asg{i} JOIN q USING (vec_id) "
+                f"CROSS JOIN (SELECT unnest(range(1, {EMBED_DIM + 1})) AS pos) p)"
+            ),
+            (
+                f"m{i} AS (SELECT cid, pos, CAST(sum(val) // count(*) AS BIGINT) AS m "
+                f"FROM dims{i} GROUP BY cid, pos)"
+            ),
+            f"c{i} AS (SELECT cid, list(m ORDER BY pos) AS cv FROM m{i} GROUP BY cid)",
+        ]
+    parts += [
+        (
+            f"rank_final AS (SELECT q.vec_id, c.cid, row_number() OVER "
+            f"(PARTITION BY q.vec_id ORDER BY {d2}, c.cid) AS rn "
+            f"FROM q CROSS JOIN c{iters} c)"
+        ),
+        "asg AS (SELECT vec_id, cid FROM rank_final WHERE rn = 1)",
+    ]
+    return ",\n".join(parts)
+
+
+@register(
+    "q_llm_kmeans",
+    # fully oracled since round 3: kmeans_fit(iters=3) assigns against
+    # the centroids after 2 updates, so the oracle unrolls 2 Lloyd
+    # iterations and takes rank_final's argmin as the fit assignment
+    oracle=f"""
+WITH {lloyd_oracle_ctes(k_sql=str(K), iters=ITERS - 1)}
+SELECT cid, count(*) AS n_members,
+       CAST(sum(vec_id) AS BIGINT) AS member_id_sum,
+       min(vec_id) AS min_member
+FROM asg GROUP BY cid
+""",
+)
 def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration integer k-means (K=8) over the embeddings: outputs per-
     cluster membership stats. Deterministic by construction (exact
     integer math; see module docstring), asserted by running twice in
-    tests/test_llm.py."""
+    tests/test_llm.py — and, since round 3, hash-checked against a
+    DuckDB oracle that unrolls the identical integer Lloyd chain."""
     assigned = kmeans_fit(_quantized(spark, sf_dir))
     return assigned.groupBy("cid").agg(
         F.count("*").alias("n_members"),

@@ -173,53 +173,15 @@ def _cell_members(spark: SparkSession, sf_dir: str, k: int | None = None) -> Dat
 
 
 def _ivf_oracle_prefix() -> str:
-    """DuckDB CTE chain mirroring the trained quantizer exactly: same
-    floor-quantization, same K formula, same unrolled integer Lloyd
-    iterations (ties by cid, truncating integer means), same final
-    assignment ranking. Exact integer math is what makes the iterative
-    trainer oracle-expressible at all — double centroid means would
-    diverge between engines on summation order."""
-    d2 = (
-        "list_sum(list_transform(list_zip(q.qv, c.cv), "
-        "z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    """DuckDB CTE chain mirroring the trained quantizer exactly (see
+    kmeans.lloyd_oracle_ctes): the IVF instance uses the dynamic
+    K = max(4, ceil(sqrt(n))) sizing rule and IVF_TRAIN_ITERS updates."""
+    from .kmeans import lloyd_oracle_ctes
+
+    return lloyd_oracle_ctes(
+        k_sql="GREATEST(4, CAST(ceil(sqrt(count(*))) AS BIGINT))",
+        iters=IVF_TRAIN_ITERS,
     )
-    parts = [
-        "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
-        (
-            "q AS (SELECT vec_id, list_transform(embedding, "
-            f"x -> CAST(floor(x::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS qv FROM embeddings)"
-        ),
-        "kk AS (SELECT GREATEST(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k FROM embeddings)",
-        "c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk))",
-    ]
-    for i in range(1, IVF_TRAIN_ITERS + 1):
-        parts += [
-            (
-                f"a{i} AS (SELECT q.vec_id, c.cid, row_number() OVER "
-                f"(PARTITION BY q.vec_id ORDER BY {d2}, c.cid) AS rn "
-                f"FROM q CROSS JOIN c{i - 1} c)"
-            ),
-            f"asg{i} AS (SELECT vec_id, cid FROM a{i} WHERE rn = 1)",
-            (
-                f"dims{i} AS (SELECT asg{i}.cid, p.pos, q.qv[p.pos] AS val "
-                f"FROM asg{i} JOIN q USING (vec_id) "
-                f"CROSS JOIN (SELECT unnest(range(1, {EMBED_DIM + 1})) AS pos) p)"
-            ),
-            (
-                f"m{i} AS (SELECT cid, pos, CAST(sum(val) // count(*) AS BIGINT) AS m "
-                f"FROM dims{i} GROUP BY cid, pos)"
-            ),
-            f"c{i} AS (SELECT cid, list(m ORDER BY pos) AS cv FROM m{i} GROUP BY cid)",
-        ]
-    parts += [
-        (
-            f"rank_final AS (SELECT q.vec_id, c.cid, row_number() OVER "
-            f"(PARTITION BY q.vec_id ORDER BY {d2}, c.cid) AS rn "
-            f"FROM q CROSS JOIN c{IVF_TRAIN_ITERS} c)"
-        ),
-        "asg AS (SELECT vec_id, cid FROM rank_final WHERE rn = 1)",
-    ]
-    return ",\n".join(parts)
 
 
 @register(
