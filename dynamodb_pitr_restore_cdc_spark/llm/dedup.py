@@ -133,6 +133,20 @@ _ARTIFACT_ROOT = os.path.join(tempfile.gettempdir(), "spark_cdc_engine_sigs")
 atexit.register(shutil.rmtree, _ARTIFACT_ROOT, ignore_errors=True)
 
 
+def to_band_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) for a (doc_id, text) DataFrame: signature
+    via the Arrow-vectorized UDF, then one band hash per LSH band."""
+    return docs.withColumn("sig", minhash_signature("text")).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {LSH_BANDS - 1}), "
+                f"b -> xxhash64(concat_ws(',', slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}))))"
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 def band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band, bucket) LSH band hashes for the corpus, computed
     through the Arrow-vectorized signature UDF on first use and served
@@ -142,15 +156,7 @@ def band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _BANDS_ARTIFACT.get(key)
     if path is None or not os.path.isdir(path):
         d = table(spark, sf_dir, "documents").select("doc_id", "text")
-        bands = d.withColumn("sig", minhash_signature("text")).select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, {LSH_BANDS - 1}), "
-                    f"b -> xxhash64(concat_ws(',', slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}))))"
-                )
-            ).alias("band", "bucket"),
-        )
+        bands = to_band_buckets(d)
         path = os.path.join(_ARTIFACT_ROOT, f"bands-{uuid.uuid4().hex[:8]}")
         bands.write.mode("overwrite").parquet(path)
         _BANDS_ARTIFACT[key] = path

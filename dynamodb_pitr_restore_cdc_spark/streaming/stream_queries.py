@@ -632,3 +632,111 @@ def q_cdc_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.count()
     shutil.rmtree(sink_dir, ignore_errors=True)
     return result
+
+
+@register(
+    "q_stream_near_dedup",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(generate_series(1, len(t) - 2),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+verified AS (
+    SELECT doc_a, doc_b,
+           ((2000 * i + (sa.n + sb.n - i)) // (2 * (sa.n + sb.n - i))) / 1000.0 AS jaccard
+    FROM pairs
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE i * 2 >= (sa.n + sb.n - i)
+)
+SELECT doc_b AS doc_id, count(*) AS n_dup_sources, max(jaccard) AS best_jaccard
+FROM verified GROUP BY doc_b
+""",
+)
+def q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dedup against the STATIC LSH index — the production
+    ingestion shape: documents arrive in micro-batches (3 pinned
+    doc_id-range splits), each batch is signature-banded (the one
+    Arrow-vectorized UDF) and joined against the materialized
+    band-bucket artifact of the corpus (llm/dedup.band_buckets), with
+    exact-Jaccard verification of candidates; per arriving doc the
+    query emits how many EARLIER corpus docs it near-duplicates. Every
+    doc arrives exactly once, so the appended per-batch outputs union
+    to the batch-mode answer — the oracle is the brute-force pair join
+    grouped by the later doc. Composes: file stream + stream-static
+    join + pandas_udf inside foreachBatch + append sink."""
+    from ..llm.dedup import JACCARD_THRESHOLD, jaccard_milli, to_band_buckets
+    from ..llm.dedup import band_buckets as corpus_band_buckets
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    index_bands = corpus_band_buckets(spark, sf_dir)
+    texts_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+
+    row = docs.agg(
+        F.expr("percentile(doc_id, 0.3333)").alias("p1"),
+        F.expr("percentile(doc_id, 0.6667)").alias("p2"),
+    ).first()
+    d = F.col("doc_id")
+    src, out, ck = _fresh_dir("snd-src"), _fresh_dir("snd-out"), _fresh_dir("snd-ck")
+    _write_split_files(
+        docs, [d < row.p1, (d >= row.p1) & (d < row.p2), d >= row.p2], src
+    )
+
+    def dedup_batch(batch: DataFrame, epoch_id: int) -> None:
+        bands_b = to_band_buckets(batch)
+        cand = (
+            bands_b.alias("b")
+            .join(
+                index_bands.alias("a"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        verified = (
+            cand.join(texts_a, "doc_a")
+            .join(
+                batch.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")),
+                "doc_b",
+            )
+            .withColumn("j_milli", jaccard_milli("text_a", "text_b"))
+            .where(F.col("j_milli") >= int(JACCARD_THRESHOLD * 1000))
+        )
+        (
+            verified.groupBy("doc_b")
+            .agg(
+                F.count("*").alias("n_dup_sources"),
+                (F.max("j_milli") / 1000.0).alias("best_jaccard"),
+            )
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = tracked_persist(
+        spark.read.schema(
+            "doc_b long, n_dup_sources long, best_jaccard double"
+        ).parquet(out).select(
+            F.col("doc_b").alias("doc_id"), "n_dup_sources", "best_jaccard"
+        )
+    )
+    result.count()  # materialize before removing the backing dirs
+    for p in (src, out, ck):
+        shutil.rmtree(p, ignore_errors=True)
+    return result
