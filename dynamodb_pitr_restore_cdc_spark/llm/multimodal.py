@@ -161,3 +161,61 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.expr("sequence(0, n_frames - 1, 4)")).alias("frame_idx"),
         )
     )
+
+
+AUDIO_CHUNK_BYTES = 4096
+
+
+@register(
+    "q_mm_media_curation",
+    oracle=f"""
+WITH meta AS (
+    SELECT doc_id,
+           CASE n_chars % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_kind,
+           n_chars AS n_bytes,
+           n_chars % 640 + 1 AS width,
+           (n_chars * 7) % 480 + 1 AS height,
+           n_chars % 16 + 1 AS n_frames
+    FROM documents
+),
+work AS (
+    SELECT media_kind, n_bytes,
+           CASE media_kind
+                WHEN 'image' THEN CASE WHEN greatest(width, height) > {RESIZE_MAX_DIM} THEN 1 ELSE 0 END
+                WHEN 'video' THEN len(generate_series(0, n_frames - 1, 4))
+                ELSE (n_bytes + {AUDIO_CHUNK_BYTES} - 1) // {AUDIO_CHUNK_BYTES}
+           END AS work_units
+    FROM meta
+)
+SELECT media_kind,
+       count(*) AS n_items,
+       CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+       CAST(sum(work_units) AS BIGINT) AS sum_work_units
+FROM work GROUP BY media_kind
+""",
+)
+def q_mm_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality work planning in ONE metadata pass — the job a
+    media-curation scheduler runs before dispatching decoders: images
+    count a work unit when they need resizing, videos one per sampled
+    frame (every 4th), audio one per fixed-size chunk. The decode stub
+    is consulted once per row for metadata; all the arithmetic and the
+    aggregation stay JVM-side, so at 100 TB this is a single
+    mapInPandas metadata pass + one partial-aggregated shuffle of K=3
+    rows per partition."""
+    meta = media_metadata(table(spark, sf_dir, "documents"))
+    longest = F.greatest("width", "height")
+    work = meta.select(
+        "media_kind",
+        "n_bytes",
+        F.when(F.col("media_kind") == "image", F.when(longest > RESIZE_MAX_DIM, 1).otherwise(0))
+        .when(F.col("media_kind") == "video", F.size(F.expr("sequence(0, n_frames - 1, 4)")))
+        .otherwise(F.expr(f"(n_bytes + {AUDIO_CHUNK_BYTES} - 1) div {AUDIO_CHUNK_BYTES}"))
+        .cast("bigint")
+        .alias("work_units"),
+    )
+    return work.groupBy("media_kind").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_bytes").alias("sum_bytes"),
+        F.sum("work_units").alias("sum_work_units"),
+    )

@@ -128,6 +128,12 @@ _REVERIFY_R03: frozenset[str] = frozenset(
         "q_llm_near_dedup", "q_llm_dedup_clusters", "q_llm_jaccard_exact",
         "q_llm_simhash_pairs", "q_llm_ann_ivf", "q_llm_embed_neardup",
         "q_llm_kmeans", "q_scan_json_source", "q_sink_roundtrip",
+        # streaming queries whose result-cache handling moved to
+        # tracked_persist this round
+        "q_stream_tumbling", "q_stream_dedup", "q_stream_foreachbatch_cdc",
+        "q_cdc_multi_sink", "q_cdc_bucketed_sink", "q_stream_static_join",
+        "q_stream_interval_join", "q_stream_complete_mode",
+        "q_stream_stateful_totals", "q_stream_stateful_sessions",
     }
 )
 

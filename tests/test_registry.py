@@ -39,6 +39,13 @@ def test_builders_have_docstrings():
     assert not missing, missing
 
 
+def test_bench_headline_queries_exist():
+    # bench.py's one-line summary must only name registered queries
+    import bench
+
+    assert set(bench.HEADLINE) <= set(SPECS)
+
+
 def test_release_persisted_frees_builder_caches(spark):
     """The round-2 leak class: builder-side persist/cache that outlives
     its run. Every persist in these builders must go through
