@@ -30,6 +30,10 @@ def get_spark(app_name: str = "spark-cdc-engine", cpus: int | None = None) -> Sp
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")  # events.ts is TIMESTAMP(NANOS)
+        # naive (isAdjustedToUTC=false) parquet timestamps must read as
+        # TIMESTAMP, not TIMESTAMP_NTZ: unix_micros()/window() take LTZ, and
+        # with a UTC session the values match DuckDB's naive-as-UTC reading
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
@@ -51,6 +55,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
         # the driver's default 200 over-parallelizes local test SFs; AQE
         # coalescing makes this a ceiling, not a fixed width
         "spark.sql.shuffle.partitions": str(cpus),

@@ -36,11 +36,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table: {name}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is Parquet TIMESTAMP(NANOS), which Spark reads only as a
-    # nanos-since-epoch LongType (spark.sql.legacy.parquet.nanosAsLong,
-    # set in session.py). Convert to a microsecond timestamp by integer
-    # division — the same truncation DuckDB applies when loading nanos
-    # into its microsecond-native TIMESTAMP, so oracle values agree.
+    # Normalize timestamp representations so every downstream query sees a
+    # plain (LTZ) TIMESTAMP under the UTC session — the same values DuckDB
+    # gets reading the naive parquet column as UTC:
+    # - TIMESTAMP(NANOS) fixtures arrive as nanos-since-epoch LongType
+    #   (spark.sql.legacy.parquet.nanosAsLong, set in session.py);
+    # - naive TIMESTAMP(MICROS) fixtures arrive as TIMESTAMP_NTZ when the
+    #   session wasn't built by us (inferTimestampNTZ left at its default) —
+    #   unix_micros()/window() reject NTZ, so cast it here.
     from pyspark.sql import types as T
 
     for f in df.schema.fields:
@@ -48,4 +51,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer DIV, not `/`: float division of nanos-since-epoch
             # (~1.7e18) exceeds double precision and would corrupt low bits
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            # NTZ -> LTZ cast interprets the naive value in the session
+            # timezone (UTC), which is exactly the oracle's reading
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
