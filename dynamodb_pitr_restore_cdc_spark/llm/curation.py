@@ -168,3 +168,187 @@ def q_llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("sum_tokens")
     )
+
+
+# Second multiplicative constant (xxhash PRIME32_2) for the sampling
+# hash: independent of the SPLIT_MULT stream so mixture sampling never
+# correlates with split assignment (a doc's split must not bias its
+# survival probability).
+SAMPLE_MULT = 2246822519
+
+_SAMPLE_BUCKET_SQL = f"((doc_id * {SAMPLE_MULT}) % 4294967296) % 1000"
+# per-source target keep-rate in permille, derived arithmetically from
+# the source ordinal so both dialects compute it without a lookup table
+_RATE_SQL = f"(100 + (CAST(substr(source, 4) AS BIGINT) * 97) % 800)"
+
+
+@register(
+    "q_llm_decontaminate",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+                    i -> array_to_string(ws[i:i+4], ' ')))) AS gram
+      FROM w WHERE len(ws) >= 5),
+train_grams AS (
+    SELECT DISTINCT gram FROM g WHERE {_SPLIT_BUCKET_SQL} < {TRAIN_PERMILLE}),
+test_docs AS (
+    SELECT doc_id FROM documents WHERE {_SPLIT_BUCKET_SQL} >= {VALID_PERMILLE}),
+hits AS (
+    SELECT g.doc_id, count(*) AS n_shared
+    FROM g JOIN train_grams t ON g.gram = t.gram
+    WHERE {_SPLIT_BUCKET_SQL} >= {VALID_PERMILLE}
+    GROUP BY g.doc_id)
+SELECT d.doc_id,
+       COALESCE(h.n_shared, 0) AS n_shared,
+       CAST(COALESCE(h.n_shared, 0) > 0 AS INTEGER) AS contaminated
+FROM test_docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
+""",
+)
+def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag held-out (test-split) documents
+    that share any word 5-gram with the training split — the standard
+    n-gram-overlap leak check run before every LLM training job. The
+    train side reduces to DISTINCT grams before the join (at 100 TB
+    that's the difference between joining the corpus and joining its
+    vocabulary); the join key is the gram itself so the check is
+    exact, and both sides reuse the deterministic multiplicative-hash
+    split (q_llm_train_test_split) — decontamination must see the SAME
+    split the trainer will.
+
+    Scale: gram explosion is ~n_words rows per doc but map-side only;
+    the single shuffle is the gram-equijoin, whose build side (distinct
+    train grams) is the corpus vocabulary, amenable to bloom-filter
+    pre-pruning at 100 TB. No Python anywhere."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    grams = d.where(F.size("w") >= 5).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                # guard above makes sequence() ascending (size-4 >= 1)
+                F.expr("transform(sequence(1, size(w) - 4), i -> concat_ws(' ', slice(w, i, 5)))")
+            )
+        ).alias("gram"),
+    )
+    bucket = split_bucket(F.col("doc_id"))
+    train_grams = grams.where(bucket < TRAIN_PERMILLE).select("gram").distinct()
+    test_grams = grams.where(bucket >= VALID_PERMILLE)
+    hits = (
+        test_grams.join(train_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    test_docs = (
+        table(spark, sf_dir, "documents")
+        .where(split_bucket(F.col("doc_id")) >= VALID_PERMILLE)
+        .select("doc_id")
+    )
+    return test_docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+        (F.coalesce("n_shared", F.lit(0)) > 0).cast("int").alias("contaminated"),
+    )
+
+
+@register(
+    "q_llm_domain_mix",
+    oracle=f"""
+SELECT source,
+       CAST({_RATE_SQL} AS BIGINT) AS target_permille,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN {_SAMPLE_BUCKET_SQL} < {_RATE_SQL} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM documents
+GROUP BY source
+""",
+)
+def q_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: down-sample each source domain to a
+    target keep-rate (permille) so the training mixture matches a
+    recipe, using a second independent multiplicative hash of doc_id —
+    NOT rand() — so the sample is reproducible across runs, engines,
+    and partitionings, and composes with the train/test split without
+    correlation. Selection is a map-side predicate (zero shuffle); the
+    reported per-domain kept/total summary is one partial-agg
+    groupBy. At 100 TB the sampler is a fused scan filter — the only
+    full-corpus cost is the scan itself."""
+    d = table(spark, sf_dir, "documents")
+    rate = 100 + (F.substring("source", 4, 10).cast("bigint") * 97) % 800
+    sample_bucket = F.pmod(F.col("doc_id") * F.lit(SAMPLE_MULT), F.lit(2**32)) % F.lit(1000)
+    return (
+        d.select("source", rate.alias("target_permille"), sample_bucket.alias("b"))
+        .groupBy("source", "target_permille")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum((F.col("b") < F.col("target_permille")).cast("bigint")).alias("n_kept"),
+        )
+        .select("source", "target_permille", "n_total", "n_kept")
+    )
+
+
+@register(
+    "q_llm_repetition_filter",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (SELECT doc_id,
+             len(ws) AS n_words,
+             list_max(list_transform(list_distinct(ws),
+                      x -> len(list_filter(ws, y -> y = x)))) AS top_word_n,
+             len(ws) - 1 AS n_bigrams,
+             len(list_distinct(list_transform(range(1, len(ws)),
+                      i -> ws[i] || ' ' || ws[i + 1]))) AS n_distinct_bigrams
+      FROM w WHERE len(ws) >= 2)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(top_word_n AS BIGINT) AS top_word_n,
+       CAST(n_bigrams - n_distinct_bigrams AS BIGINT) AS n_dup_bigrams,
+       CAST((top_word_n * 10 > n_words * 3)
+            OR ((n_bigrams - n_distinct_bigrams) * 10 > n_bigrams * 2)
+            AS INTEGER) AS repetitive
+FROM s
+""",
+)
+def q_llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: drop documents dominated by a
+    single word (top-word fraction > 0.3) or by repeated bigrams
+    (duplicate-bigram fraction > 0.2). Everything is computed INSIDE
+    the row with JVM higher-order array functions — mode-of-array via
+    transform+filter over distinct words, duplicate bigrams via
+    array_distinct — so the whole filter is map-only: ZERO shuffles,
+    no explode, no Python. That is the 100 TB shape: quality filters
+    must fuse into the scan, not fan the corpus out into a
+    words-exploded shuffle. Thresholds compare in integer space
+    (n*10 > m*3), never float ratios."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    stats = d.where(F.size("w") >= 2).select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_words"),
+        F.expr(
+            "array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x))))"
+        )
+        .cast("bigint")
+        .alias("top_word_n"),
+        (F.size("w") - 1).cast("bigint").alias("n_bigrams"),
+        F.expr(
+            "size(array_distinct(transform(sequence(1, size(w) - 1), "
+            "i -> concat(w[i - 1], ' ', w[i]))))"
+        )
+        .cast("bigint")
+        .alias("n_distinct_bigrams"),
+    )
+    return stats.select(
+        "doc_id",
+        "n_words",
+        "top_word_n",
+        (F.col("n_bigrams") - F.col("n_distinct_bigrams")).alias("n_dup_bigrams"),
+        (
+            (F.col("top_word_n") * 10 > F.col("n_words") * 3)
+            | ((F.col("n_bigrams") - F.col("n_distinct_bigrams")) * 10 > F.col("n_bigrams") * 2)
+        )
+        .cast("int")
+        .alias("repetitive"),
+    )

@@ -156,3 +156,50 @@ def q_scan_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.count()  # materialize before removing the backing dir
     shutil.rmtree(out, ignore_errors=True)
     return result
+
+
+@register(
+    "q_scan_orc_source",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       round(o_totalprice, 2) AS total_price,
+       epoch_us(o_orderdate) AS order_date_us
+FROM orders WHERE o_orderkey % 7 = 0
+""",
+)
+def q_scan_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round trip (fourth source format: parquet, JSON-lines,
+    CSV, ORC). ORC is the other splittable columnar format a lakehouse
+    ingests at scale; unlike CSV/JSON its reader supports the same
+    predicate pushdown + column pruning as parquet, so the read-back
+    scan stays prunable. Timestamps survive natively (no string round
+    trip) and leave as epoch-us per the engine-wide contract."""
+    import uuid
+
+    out = os.path.join(
+        tempfile.gettempdir(), "spark_cdc_engine_sink", f"orders_orc-{uuid.uuid4().hex[:8]}"
+    )
+    subset = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "o_orderdate",
+        )
+    )
+    subset.write.mode("overwrite").orc(out)
+    result = tracked_persist(  # released post-consumption (see q_scan_json_source)
+        spark.read.orc(out).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "total_price",
+            F.unix_micros("o_orderdate").alias("order_date_us"),
+        )
+    )
+    result.count()  # materialize before removing the backing dir
+    shutil.rmtree(out, ignore_errors=True)
+    return result

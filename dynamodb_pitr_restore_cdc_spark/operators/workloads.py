@@ -212,3 +212,86 @@ def q_tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_price").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "q_tpch_q6_forecast_revenue",
+    oracle="""
+SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0 AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+""",
+)
+def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape (forecast revenue change): a pure scan-filter-aggregate
+    with no joins — the canonical predicate-pushdown showcase. All
+    three range predicates reach the parquet scan (PushedFilters), the
+    projection prunes to 3 columns, and the aggregate is a partial
+    (map-side) + final pair, so at 100 TB the shuffled volume is one
+    row per task regardless of fact size. The discount band compares
+    in integer cents (BETWEEN 5 AND 7), never `0.05 <= x <= 0.07` —
+    float literals near hundredths are representation-unstable."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & cents("l_discount").between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(cents("l_extendedprice") * cents("l_discount")) / 10000.0).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q14_promo_effect",
+    oracle="""
+SELECT sum(CASE WHEN p.p_type = 'PROMO'
+                THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                ELSE 0 END) / 10000.0 AS promo_revenue,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0 AS total_revenue,
+       CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                     ELSE 0 END) AS DOUBLE)
+       / sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS promo_frac
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-09-01 00:00:00'
+""",
+)
+def q_tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape (promotion effect): date-filtered fact ⋈ broadcast part
+    dim, conditional aggregation into a promo/total revenue ratio. The
+    ratio divides two EXACT integer cent-sums (cast to double only at
+    the division), so both engines produce the bit-identical quotient —
+    no intermediate float rounding anywhere."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-09-01 00:00:00").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    disc = cents("l_extendedprice") * (100 - cents("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (F.sum(promo) / 10000.0).alias("promo_revenue"),
+            (F.sum(disc) / 10000.0).alias("total_revenue"),
+            (F.sum(promo).cast("double") / F.sum(disc)).alias("promo_frac"),
+        )
+    )

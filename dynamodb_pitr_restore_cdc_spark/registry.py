@@ -137,6 +137,36 @@ _REVERIFY_R03: frozenset[str] = frozenset(
     }
 )
 
+# Queries with a green row in CORRECTNESS_r03.json (round-3 additions
+# plus the _REVERIFY_R03 re-checks that ran clean).
+_DRIVER_VERIFIED_R03: frozenset[str] = frozenset(
+    {
+        "q_scan_csv_source", "q_tpch_q18_large_volume",
+        "q_llm_train_test_split", "q_llm_seq_packing",
+        "q_llm_corpus_curation", "q_mm_media_curation",
+        "q_cdc_control_filter", "q_cdc_dlq_redrive",
+        "q_cdc_sink_compaction", "q_stream_near_dedup",
+        "q_scan_json_source", "q_sink_roundtrip", "q_llm_near_dedup",
+        "q_llm_jaccard_exact", "q_llm_simhash_pairs",
+        "q_llm_dedup_clusters", "q_llm_kmeans", "q_llm_ann_ivf",
+        "q_llm_embed_neardup", "q_stream_foreachbatch_cdc",
+        "q_cdc_multi_sink", "q_cdc_bucketed_sink",
+        "q_stream_stateful_totals",
+    }
+)
+
+# Round-3 regressions: these six FAILED their r03 driver check
+# (TIMESTAMP_NTZ fixture reads under the driver's vanilla session,
+# fixed in sources/fixtures.py this round) and must surface for a green
+# row before anything already verified.
+_REVERIFY_R04: frozenset[str] = frozenset(
+    {
+        "q_stream_tumbling", "q_stream_dedup", "q_stream_complete_mode",
+        "q_stream_static_join", "q_stream_interval_join",
+        "q_stream_stateful_sessions",
+    }
+)
+
 
 def all_queries() -> dict[str, QuerySpec]:
     """Import all operator modules (side-effect: registration) and return the registry.
@@ -145,7 +175,8 @@ def all_queries() -> dict[str, QuerySpec]:
     only a ~50-entry window, so ordering IS the coverage policy):
 
     1. queries with no driver row in any round (never checked);
-    2. queries re-implemented this round (``_REVERIFY_R03``);
+    2. queries that FAILED their last driver check or were
+       re-implemented this round (``_REVERIFY_R04``);
     3. everything else, in registration order.
 
     Trade-off, documented per round-2 advice: queries past the window
@@ -179,9 +210,9 @@ def all_queries() -> dict[str, QuerySpec]:
     )
     from .streaming import control, redrive, stateful, stream_queries  # noqa: F401
 
-    verified = _DRIVER_VERIFIED_R01 | _DRIVER_VERIFIED_R02
+    verified = _DRIVER_VERIFIED_R01 | _DRIVER_VERIFIED_R02 | _DRIVER_VERIFIED_R03
     fresh = {n: s for n, s in _REGISTRY.items() if n not in verified}
-    recheck = {n: s for n, s in _REGISTRY.items() if n in _REVERIFY_R03 and n not in fresh}
+    recheck = {n: s for n, s in _REGISTRY.items() if n in _REVERIFY_R04 and n not in fresh}
     seen = {
         n: s for n, s in _REGISTRY.items() if n in verified and n not in recheck
     }

@@ -212,3 +212,51 @@ def test_no_driver_side_materialization_in_source():
         if "toPandas" in p.read_text()
     ]
     assert offenders == [], f"driver-side toPandas() in: {offenders}"
+
+
+def test_q6_is_pushed_scan_filter_agg(plans):
+    # Q6: no join, all three predicates reach the parquet scan, and the
+    # projection prunes to the 4 referenced columns
+    p = plans("q_tpch_q6_forecast_revenue")
+    assert "Join" not in p
+    filters = pushed_filters(p, "lineitem")
+    assert "l_shipdate" in filters and "l_quantity" in filters
+    schema = scan_read_schema(p, "lineitem")
+    assert "l_extendedprice" in schema and "l_discount" in schema
+    assert "l_orderkey" not in schema and "l_returnflag" not in schema
+
+
+def test_q14_broadcasts_part_dim(plans):
+    p = plans("q_tpch_q14_promo_effect")
+    assert has_broadcast_join(p)
+    assert "CartesianProduct" not in p
+    assert "l_shipdate" in pushed_filters(p, "lineitem")
+
+
+def test_repetition_filter_is_map_only(plans):
+    # Gopher-style repetition stats compute inside the row via JVM
+    # higher-order functions: zero shuffles, zero Python — the filter
+    # fuses into the scan at any scale
+    p = plans("q_llm_repetition_filter")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_domain_mix_prunes_text_column(plans):
+    # mixture sampling never touches document BODIES — the scan must
+    # prune to (doc_id, source); reading `text` for a sampling decision
+    # would be a 100 TB-scale mistake
+    p = plans("q_llm_domain_mix")
+    schema = scan_read_schema(p, "documents")
+    assert "doc_id" in schema and "source" in schema
+    assert "text" not in schema
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_decontaminate_stays_jvm_side(plans):
+    p = plans("q_llm_decontaminate")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # the train side reduces to DISTINCT grams (partial + final agg)
+    # before the equijoin
+    assert "HashAggregate" in p
