@@ -352,3 +352,39 @@ def q_llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("repetitive"),
     )
+
+
+DOMAIN_CAP = 12  # per-source cap for the cap-based sampler
+
+
+@register(
+    "q_llm_domain_cap",
+    oracle=f"""
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+FROM (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_SAMPLE_BUCKET_SQL}, doc_id) AS rk
+    FROM documents)
+WHERE rk <= {DOMAIN_CAP}
+""",
+)
+def q_llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap-based mixture control (the complement of q_llm_domain_mix's
+    rate-based sampler): keep at most K documents per source domain,
+    chosen by the deterministic sampling-hash order — a reproducible
+    'uniform random K' that never depends on partitioning or arrival
+    order. Spark's WindowGroupLimit rewrite turns the rank filter into
+    a per-partition top-K push-down: each map task keeps K rows per
+    group BEFORE the shuffle, so the exchange carries O(groups × K),
+    not the corpus — the same physical shape as q_win_topk_per_group,
+    which is what makes a per-domain cap viable over 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    sample_bucket = F.pmod(F.col("doc_id") * F.lit(SAMPLE_MULT), F.lit(2**32)) % F.lit(1000)
+    w = W.partitionBy("source").orderBy(sample_bucket, F.col("doc_id"))
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= DOMAIN_CAP)
+    )

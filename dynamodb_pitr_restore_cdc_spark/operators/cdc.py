@@ -520,3 +520,66 @@ def q_cdc_batch_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.ceil(F.count("*") / 25.0).cast("bigint").alias("n_chunks"),
     )
+
+
+@register(
+    "q_cdc_schema_evolution",
+    oracle=with_changelog(
+        """
+SELECT key, seq_no AS last_seq, payload_value,
+       CASE WHEN seq_no % 10 >= 5 THEN payload_props END AS payload_props
+FROM (
+    SELECT key, seq_no, op, payload_value, payload_props,
+           row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
+    FROM changelog
+) WHERE rn = 1 AND op <> 'REMOVE'
+"""
+    ),
+)
+def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift across CDC batches: DynamoDB items are schemaless
+    (AttributeValue maps, `initiate-lambda-backfill/main.py:33-47`
+    writes whatever attributes each item has), so during a writer
+    deploy the changelog contains BOTH shapes — records without the
+    new attribute and records with it. The engine must fold them into
+    one snapshot where the new column is NULL for keys whose last
+    write predates it.
+
+    Spark-first: the two shapes land as parquet files with different
+    schemas in one directory; `mergeSchema=true` unions them by name
+    (missing columns read as NULL — the columnar twin of schemaless
+    items), and the fold is the ordinary latest-per-key + tombstone
+    filter. At 100 TB schema evolution costs nothing at write time
+    (files keep their own schema; no table-wide rewrite) and one footer
+    union at read planning."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    cl = changelog(spark, sf_dir)
+    out = os.path.join(
+        tempfile.gettempdir(), "spark_cdc_engine_sink", f"evolve-{uuid.uuid4().hex[:8]}"
+    )
+    # old-writer records (seq_no % 10 < 5): no payload_props column yet
+    cl.where(F.col("seq_no") % 10 < 5).select(
+        "seq_no", "op", "key", "payload_value"
+    ).write.mode("overwrite").parquet(os.path.join(out, "old"))
+    # new-writer records: the evolved shape carries the new attribute
+    cl.where(F.col("seq_no") % 10 >= 5).select(
+        "seq_no", "op", "key", "payload_value", "payload_props"
+    ).write.mode("overwrite").parquet(os.path.join(out, "new"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "old"), os.path.join(out, "new")
+    )
+    snap = latest_per_key(merged).where(F.col("op") != "REMOVE").select(
+        "key",
+        F.col("seq_no").alias("last_seq"),
+        "payload_value",
+        "payload_props",
+    )
+    result = tracked_persist(snap)  # materialize before the backing dir is removed
+    result.count()
+    shutil.rmtree(out, ignore_errors=True)
+    return result

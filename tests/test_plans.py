@@ -260,3 +260,12 @@ def test_decontaminate_stays_jvm_side(plans):
     # the train side reduces to DISTINCT grams (partial + final agg)
     # before the equijoin
     assert "HashAggregate" in p
+
+
+def test_domain_cap_uses_window_group_limit(plans):
+    # the per-source cap must push top-K below the shuffle (each map
+    # task keeps K rows per group), and never read document bodies
+    p = plans("q_llm_domain_cap")
+    assert "WindowGroupLimit" in p
+    schema = scan_read_schema(p, "documents")
+    assert "text" not in schema
