@@ -208,7 +208,13 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity,
         textstats,
     )
-    from .streaming import control, redrive, stateful, stream_queries  # noqa: F401
+    from .streaming import (  # noqa: F401
+        control,
+        redrive,
+        stateful,
+        stream_queries,
+        versioned_sink,
+    )
 
     verified = _DRIVER_VERIFIED_R01 | _DRIVER_VERIFIED_R02 | _DRIVER_VERIFIED_R03
     fresh = {n: s for n, s in _REGISTRY.items() if n not in verified}

@@ -1,0 +1,268 @@
+"""Versioned CDC sink: copy-on-write time travel — the engine's own
+point-in-time restore.
+
+The reference's whole identity is PITR: restore a table to an earlier
+point, then replay CDC forward (`cdk/lib/cdk-stack.ts:119`
+`eventName: ["RestoreTableToPointInTime"]`; README restore flow). On
+DynamoDB that restore is a managed service call; on a 100 TB lakehouse
+the equivalent is a VERSIONED table: every merge commit produces a new
+snapshot version, any retained version is readable ("restore" =
+reading it — zero data movement), and old versions expire explicitly.
+
+Layout (Iceberg-style manifests, radically simplified):
+
+    <path>/data/v<N>/bucket=<b>/part-*.parquet   files WRITTEN by commit N
+    <path>/manifests/v<N>.json                   {bucket -> owning commit}
+    <path>/LATEST                                current version pointer
+
+Copy-on-write at BUCKET granularity: commit N rewrites only the
+buckets its batch touches; every untouched bucket is inherited by
+pointing the new manifest at the file the previous commit (or any
+earlier one) already wrote. Reading version V lists V's manifest and
+reads exactly the named bucket directories — manifest-level partition
+pruning, no directory walk, no filter on a partition column.
+
+Commit protocol (single-writer, crash-safe): data files first, then
+the manifest, then an atomic `os.replace` of the LATEST pointer. A
+crash before the pointer flip leaves orphan files that the next
+`expire_versions` sweep removes; readers never see a half commit.
+
+Scale: a commit costs O(touched buckets) writes + one manifest (a few
+KB for thousands of buckets — at millions, manifests shard, which is
+where real Iceberg picks up). Time travel costs nothing at write time;
+retention is a policy knob (`expire_versions(keep_last=...)`), the
+35-day PITR window's analog.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cdc import cdc_merge_tombstone, visible
+
+N_BUCKETS_DEFAULT = 32
+
+
+class VersionedCdcSink:
+    """Bucket-partitioned CDC merge target with commit-level time travel."""
+
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int = N_BUCKETS_DEFAULT):
+        self.spark = spark
+        self.path = path
+        self.n_buckets = n_buckets
+        self._schema = None  # remembered for empty-table reads
+        os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
+
+    # -- pointer + manifest plumbing ------------------------------------
+
+    def _latest_path(self) -> str:
+        return os.path.join(self.path, "LATEST")
+
+    def latest_version(self) -> int:
+        try:
+            with open(self._latest_path()) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def _manifest(self, version: int) -> dict[int, int]:
+        with open(os.path.join(self.path, "manifests", f"v{version}.json")) as fh:
+            raw = json.load(fh)
+        return {int(b): int(v) for b, v in raw["buckets"].items()}
+
+    def _commit(self, version: int, buckets: dict[int, int]) -> None:
+        mpath = os.path.join(self.path, "manifests", f"v{version}.json")
+        with open(mpath, "w") as fh:
+            json.dump({"version": version, "buckets": {str(b): v for b, v in buckets.items()}}, fh)
+        # the pointer flip is the commit: readers either see the old
+        # LATEST or the new one, never a torn state
+        tmp = self._latest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, self._latest_path())
+
+    def _bucket_dir(self, version: int, bucket: int) -> str:
+        return os.path.join(self.path, "data", f"v{version}", f"bucket={bucket}")
+
+    def _bucket(self, key_col) -> F.Column:
+        return F.pmod(F.hash(key_col), F.lit(self.n_buckets))
+
+    # -- writes ---------------------------------------------------------
+
+    def _write_buckets(self, df: DataFrame, version: int, key: str) -> list[int]:
+        """Write df (tombstoned rows) into per-bucket dirs under v<version>;
+        returns the bucket ids actually written."""
+        bucketed = df.withColumn("bucket", self._bucket(F.col(key)))
+        self._schema = df.schema
+        out = os.path.join(self.path, "data", f"v{version}")
+        # one file per bucket: repartition on the partition column so the
+        # write doesn't scatter slivers of every bucket across every task
+        (
+            bucketed.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(out)
+        )
+        return [
+            int(d.split("=")[1])
+            for d in os.listdir(out)
+            if d.startswith("bucket=")
+        ]
+
+    def init(self, snapshot: DataFrame, key: str = "key") -> None:
+        """Commit v1: the restored base snapshot, all buckets owned by v1."""
+        snap = snapshot
+        if "op" not in snap.columns:
+            snap = snap.withColumn("op", F.lit("INSERT"))
+        written = self._write_buckets(snap, 1, key)
+        self._commit(1, {b: 1 for b in written})
+
+    def apply_batch(self, batch: DataFrame, key: str = "key") -> None:
+        """Merge one micro-batch as commit N+1, rewriting ONLY touched
+        buckets; every other bucket is inherited by manifest reference."""
+        batch = batch.withColumn("bucket", self._bucket(F.col(key)))
+        touched = sorted(r.bucket for r in batch.select("bucket").distinct().collect())
+        if not touched:
+            return
+        cur_version = self.latest_version()
+        manifest = self._manifest(cur_version) if cur_version else {}
+        current = self._read_buckets(manifest, only=touched)
+        merged = cdc_merge_tombstone(current, batch.drop("bucket"), key=key)
+        new_version = cur_version + 1
+        written = self._write_buckets(merged, new_version, key)
+        new_manifest = dict(manifest)
+        # a touched bucket whose merge came out empty simply drops out of
+        # the manifest (the file-less analog of deleting the partition)
+        for b in touched:
+            new_manifest.pop(b, None)
+        for b in written:
+            new_manifest[b] = new_version
+        self._commit(new_version, new_manifest)
+
+    # -- reads ----------------------------------------------------------
+
+    def _read_buckets(self, manifest: dict[int, int], only: list[int] | None = None) -> DataFrame:
+        paths = [
+            self._bucket_dir(v, b)
+            for b, v in sorted(manifest.items())
+            if only is None or b in only
+        ]
+        if not paths:
+            if self._schema is None:
+                raise ValueError("empty sink with no remembered schema")
+            return self.spark.createDataFrame([], schema=self._schema)
+        # manifest-level pruning: ONLY the named bucket dirs are listed —
+        # the bucket id is derivable from key, so no partition column is
+        # needed on the way back in
+        return self.spark.read.parquet(*paths)
+
+    def snapshot(self, version: int | None = None) -> DataFrame:
+        """Tombstoned state at a commit (default: latest). Time travel is
+        just reading an older manifest."""
+        v = self.latest_version() if version is None else version
+        return self._read_buckets(self._manifest(v))
+
+    def visible(self, version: int | None = None) -> DataFrame:
+        return visible(self.snapshot(version))
+
+    # -- retention ------------------------------------------------------
+
+    def expire_versions(self, keep_last: int) -> list[int]:
+        """Drop manifests older than the retention window and delete data
+        dirs no retained manifest references (the PITR-window analog).
+        Returns the expired version ids."""
+        latest = self.latest_version()
+        retained = [v for v in range(max(1, latest - keep_last + 1), latest + 1)]
+        referenced: set[tuple[int, int]] = set()
+        for v in retained:
+            referenced |= {(ver, b) for b, ver in self._manifest(v).items()}
+        expired = []
+        data_root = os.path.join(self.path, "data")
+        for d in sorted(os.listdir(data_root)):
+            ver = int(d.lstrip("v"))
+            if ver in retained:
+                continue
+            vdir = os.path.join(data_root, d)
+            for bd in list(os.listdir(vdir)):
+                if bd.startswith("bucket=") and (ver, int(bd.split("=")[1])) not in referenced:
+                    shutil.rmtree(os.path.join(vdir, bd), ignore_errors=True)
+            # a version dir may stay alive holding files inherited by
+            # retained manifests; remove it only when fully orphaned
+            if not any(x.startswith("bucket=") for x in os.listdir(vdir)):
+                shutil.rmtree(vdir, ignore_errors=True)
+            expired.append(ver)
+        for v in expired:
+            m = os.path.join(self.path, "manifests", f"v{v}.json")
+            if os.path.exists(m):
+                os.remove(m)
+        return expired
+
+
+# ---------------------------------------------------------------------------
+# registered query
+# ---------------------------------------------------------------------------
+
+from ..operators.cdc import changelog, fold_changelog, with_changelog  # noqa: E402
+from ..registry import register, tracked_persist  # noqa: E402
+
+
+@register(
+    "q_cdc_time_travel",
+    oracle=with_changelog(
+        """
+SELECT key, seq_no AS last_seq, payload_value
+FROM (
+    SELECT key, seq_no, op, payload_value,
+           row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
+    FROM changelog
+    WHERE seq_no <= (SELECT (2 * max(seq_no)) // 3 FROM changelog)
+) WHERE rn = 1 AND op <> 'REMOVE'
+"""
+    ),
+)
+def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time restore as a table read: replay the changelog into
+    the versioned sink (restore base = first third, then two CDC
+    commits), expire down to the retention window, and read the table
+    AS OF the middle commit — which must equal the fold of the
+    changelog prefix up to that commit's high-water seq (the oracle).
+
+    The expire runs BEFORE the time-travel read on purpose: v1 leaves
+    the retention window but its untouched-bucket files are still
+    referenced by the v2 manifest, so copy-on-write inheritance — not
+    file survival by luck — is what the oracle match proves.
+
+    Reference twin: RestoreTableToPointInTime + forward CDC replay
+    (`cdk/lib/cdk-stack.ts:119`, README restore flow); here restore =
+    reading a retained commit, no data movement."""
+    import tempfile
+    import uuid
+
+    cl = changelog(spark, sf_dir).select("seq_no", "op", "key", "payload_value")
+    max_seq = cl.agg(F.max("seq_no")).first()[0]  # driver scalar: orchestration
+    c1, c2 = max_seq // 3, (2 * max_seq) // 3
+
+    work = os.path.join(
+        tempfile.gettempdir(), "spark_cdc_engine_sink", f"tt-{uuid.uuid4().hex[:8]}"
+    )
+    sink = VersionedCdcSink(spark, work)
+    try:
+        base = fold_changelog(cl.where(F.col("seq_no") <= c1))
+        sink.init(base.select("key", "last_seq", F.col("payload_value")))
+        sink.apply_batch(
+            cl.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2))
+        )
+        sink.apply_batch(cl.where(F.col("seq_no") > c2))
+        sink.expire_versions(keep_last=2)  # v1 ages out; its files live on via v2
+        result = tracked_persist(
+            sink.visible(version=2).select("key", "last_seq", "payload_value")
+        )
+        result.count()  # materialize before the working dir is removed
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return result
