@@ -266,3 +266,178 @@ def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+@register(
+    "q_stream_versioned_sink",
+    oracle=with_changelog(
+        """
+SELECT key, seq_no AS last_seq, payload_value
+FROM (
+    SELECT key, seq_no, op, payload_value,
+           row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
+    FROM changelog
+    WHERE seq_no <= (SELECT (7 * max(seq_no)) // 9 FROM changelog)
+) WHERE rn = 1 AND op <> 'REMOVE'
+"""
+    ),
+)
+def q_stream_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned sink under a REAL stream: three pinned changelog
+    splits drain through writeStream.foreachBatch → one COW commit per
+    micro-batch (maxFilesPerTrigger=1, availableNow), then the table is
+    read AS OF the commit two batches in — time travel against live
+    streaming history. Every commit is a version, so 'what did the
+    table look like N batches ago' needs no extra bookkeeping; the
+    oracle is the changelog-prefix fold at that commit's high-water
+    seq."""
+    import tempfile
+    import uuid
+
+    from .cdc_stream import CHANGELOG_STREAM_SCHEMA
+
+    cl = changelog(spark, sf_dir)
+    max_seq = cl.agg(F.max("seq_no")).first()[0]  # driver scalar: orchestration
+    q1, q2, q3 = max_seq // 3, (5 * max_seq) // 9, (7 * max_seq) // 9
+
+    root = os.path.join(
+        tempfile.gettempdir(), "spark_cdc_engine_stream", f"vsink-{uuid.uuid4().hex[:8]}"
+    )
+    src, work, ckpt = (os.path.join(root, d) for d in ("src", "sink", "ckpt"))
+    os.makedirs(src, exist_ok=True)
+
+    from .stream_queries import _write_split_files  # pinned mtime-ordered splits
+
+    s = F.col("seq_no")
+    _write_split_files(
+        cl.where(s > q1),
+        [s <= q2, (s > q2) & (s <= q3), s > q3],
+        src,
+    )
+
+    sink = VersionedCdcSink(spark, work, n_buckets=16)
+    sink.init(fold_changelog(cl.where(s <= q1)))
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        sink.spark = batch_df.sparkSession  # merge reads run on the batch session
+        sink.apply_batch(batch_df.select("seq_no", "op", "key", "payload_value"))
+
+    try:
+        q = (
+            spark.readStream.schema(CHANGELOG_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(commit_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sink.spark = spark
+        assert sink.latest_version() == 4, sink.latest_version()  # init + 3 commits
+        result = tracked_persist(
+            sink.visible(version=3).select("key", "last_seq", "payload_value")
+        )
+        result.count()  # materialize before the working dir is removed
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
+def _changes_between(sink: VersionedCdcSink, v_from: int, v_to: int) -> DataFrame:
+    """Change data feed between two commits, pruned at the MANIFEST
+    level: a bucket whose owning commit is identical in both manifests
+    points at the same immutable files — provably unchanged, never
+    read. Only differing buckets are scanned from each side, then a
+    per-key full-outer diff classifies INSERT / UPDATE / DELETE (on
+    visible rows; tombstone-to-tombstone is no change).
+
+    At 100 TB this is the operation that makes downstream incremental
+    consumers possible: the diff cost scales with what CHANGED (touched
+    buckets since v_from), not with the table."""
+    m_from, m_to = sink._manifest(v_from), sink._manifest(v_to)
+    changed = sorted(
+        set(m_from) ^ set(m_to)
+        | {b for b in set(m_from) & set(m_to) if m_from[b] != m_to[b]}
+    )
+    a = visible(sink._read_buckets(m_from, only=changed)).alias("a")
+    b = visible(sink._read_buckets(m_to, only=changed)).alias("b")
+    j = a.join(b, on="key", how="full_outer")
+    return (
+        j.select(
+            F.col("key"),
+            F.when(F.col("a.last_seq").isNull(), F.lit("INSERT"))
+            .when(F.col("b.last_seq").isNull(), F.lit("DELETE"))
+            .otherwise(F.lit("UPDATE"))
+            .alias("change_type"),
+            F.coalesce(F.col("b.last_seq"), F.col("a.last_seq")).alias("last_seq"),
+            F.col("b.payload_value").alias("payload_value"),  # NULL for DELETE
+        )
+        # an unchanged key living in a changed bucket is not a change
+        .where(
+            F.col("a.last_seq").isNull()
+            | F.col("b.last_seq").isNull()
+            | (F.col("a.last_seq") != F.col("b.last_seq"))
+        )
+    )
+
+
+@register(
+    "q_cdc_changefeed",
+    oracle=with_changelog(
+        """
+, a AS (
+    SELECT key, seq_no AS last_seq, payload_value
+    FROM (
+        SELECT key, seq_no, op, payload_value,
+               row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
+        FROM changelog
+        WHERE seq_no <= (SELECT (2 * max(seq_no)) // 3 FROM changelog)
+    ) WHERE rn = 1 AND op <> 'REMOVE'
+),
+b AS (
+    SELECT key, seq_no AS last_seq, payload_value
+    FROM (
+        SELECT key, seq_no, op, payload_value,
+               row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
+        FROM changelog
+    ) WHERE rn = 1 AND op <> 'REMOVE'
+)
+SELECT COALESCE(a.key, b.key) AS key,
+       CASE WHEN a.key IS NULL THEN 'INSERT'
+            WHEN b.key IS NULL THEN 'DELETE'
+            ELSE 'UPDATE' END AS change_type,
+       COALESCE(b.last_seq, a.last_seq) AS last_seq,
+       b.payload_value AS payload_value
+FROM a FULL JOIN b ON a.key = b.key
+WHERE a.key IS NULL OR b.key IS NULL OR a.last_seq <> b.last_seq
+"""
+    ),
+)
+def q_cdc_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed over the versioned sink: replay the changelog
+    into three commits, then ask 'what changed between the middle
+    commit and now' — the incremental-consumer primitive (Delta CDF /
+    Iceberg incremental-read twin). The engine prunes at the manifest
+    level (identical owning commit ⇒ identical files ⇒ skipped), so
+    the oracle equivalence proves the pruning loses nothing."""
+    import tempfile
+    import uuid
+
+    cl = changelog(spark, sf_dir).select("seq_no", "op", "key", "payload_value")
+    max_seq = cl.agg(F.max("seq_no")).first()[0]  # driver scalar: orchestration
+    c1, c2 = max_seq // 3, (2 * max_seq) // 3
+
+    work = os.path.join(
+        tempfile.gettempdir(), "spark_cdc_engine_sink", f"cf-{uuid.uuid4().hex[:8]}"
+    )
+    sink = VersionedCdcSink(spark, work)
+    try:
+        sink.init(fold_changelog(cl.where(F.col("seq_no") <= c1)))
+        sink.apply_batch(cl.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2)))
+        sink.apply_batch(cl.where(F.col("seq_no") > c2))
+        result = tracked_persist(_changes_between(sink, 2, 3))
+        result.count()  # materialize before the working dir is removed
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return result

@@ -97,3 +97,40 @@ def test_torn_pointer_never_visible(spark, tmp_path):
         json.dump({"version": 4, "buckets": {str(b): v for b, v in m3.items()}}, fh)
     assert sink.latest_version() == 3
     assert _rows(sink.visible()) == _rows(fold_changelog(cl))
+
+
+def test_changefeed_pruning_loses_nothing(spark, tmp_path):
+    # the manifest-pruned diff must equal the brute-force full diff,
+    # and the pruning must actually skip buckets — the final batch is
+    # deliberately narrow (top 2% of seqs) so it touches a strict
+    # subset of buckets
+    from dynamodb_pitr_restore_cdc_spark.streaming.versioned_sink import (
+        VersionedCdcSink,
+        _changes_between,
+    )
+
+    cl = changelog(spark, SF_SMOKE).select("seq_no", "op", "key", "payload_value")
+    max_seq = cl.agg(F.max("seq_no")).first()[0]
+    c1, c2 = max_seq // 2, (98 * max_seq) // 100
+    sink = VersionedCdcSink(spark, str(tmp_path / "cfsink"), n_buckets=64)
+    sink.init(fold_changelog(cl.where(F.col("seq_no") <= c1)))
+    sink.apply_batch(cl.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2)))
+    sink.apply_batch(cl.where(F.col("seq_no") > c2))
+
+    m2, m3 = sink._manifest(2), sink._manifest(3)
+    changed = {b for b in set(m2) | set(m3) if m2.get(b) != m3.get(b)}
+    assert changed and changed < (set(m2) | set(m3))  # real pruning happened
+
+    got = _rows(_changes_between(sink, 2, 3))
+
+    a = {r.key: r for r in fold_changelog(cl.where(F.col("seq_no") <= c2)).collect()}
+    b = {r.key: r for r in fold_changelog(cl).collect()}
+    want = []
+    for k in set(a) | set(b):
+        if k not in a:
+            want.append((k, "INSERT", b[k].last_seq, b[k].payload_value))
+        elif k not in b:
+            want.append((k, "DELETE", a[k].last_seq, None))
+        elif a[k].last_seq != b[k].last_seq:
+            want.append((k, "UPDATE", b[k].last_seq, b[k].payload_value))
+    assert got == sorted(want)
