@@ -372,6 +372,9 @@ def _changes_between(sink: VersionedCdcSink, v_from: int, v_to: int) -> DataFram
             .alias("change_type"),
             F.coalesce(F.col("b.last_seq"), F.col("a.last_seq")).alias("last_seq"),
             F.col("b.payload_value").alias("payload_value"),  # NULL for DELETE
+            # pre-image: what the row was at v_from (NULL for INSERT) —
+            # exactly what an incremental consumer needs to retract
+            F.col("a.payload_value").alias("payload_value_old"),
         )
         # an unchanged key living in a changed bucket is not a change
         .where(
@@ -408,7 +411,8 @@ SELECT COALESCE(a.key, b.key) AS key,
             WHEN b.key IS NULL THEN 'DELETE'
             ELSE 'UPDATE' END AS change_type,
        COALESCE(b.last_seq, a.last_seq) AS last_seq,
-       b.payload_value AS payload_value
+       b.payload_value AS payload_value,
+       a.payload_value AS payload_value_old
 FROM a FULL JOIN b ON a.key = b.key
 WHERE a.key IS NULL OR b.key IS NULL OR a.last_seq <> b.last_seq
 """
@@ -437,6 +441,104 @@ def q_cdc_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink.apply_batch(cl.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2)))
         sink.apply_batch(cl.where(F.col("seq_no") > c2))
         result = tracked_persist(_changes_between(sink, 2, 3))
+        result.count()  # materialize before the working dir is removed
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
+@register(
+    "q_cdc_incremental_agg",
+    oracle=with_changelog(
+        """
+SELECT key % 10 AS grp,
+       count(*) AS n_keys,
+       sum(CAST(round(payload_value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM (
+    SELECT key, seq_no, op, payload_value,
+           row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
+    FROM changelog
+) WHERE rn = 1 AND op <> 'REMOVE'
+GROUP BY 1
+"""
+    ),
+)
+def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance off the change data feed: a grouped
+    aggregate (count + exact cent-sum per key%10) is maintained by
+    applying the v2→v3 changefeed's retractions and additions to the
+    aggregate AT v2 — never re-scanning the table — and must equal the
+    direct aggregate over the final state (the oracle).
+
+    The delta math is the standard retract/accumulate pair: DELETE
+    retracts the pre-image, INSERT accumulates the post-image, UPDATE
+    does both. Exact integer cents make retraction lossless (float
+    sums would drift under retraction — the reason streaming engines
+    keep aggregates in exact or decimal form). At 100 TB the
+    maintenance cost is O(changefeed), not O(table): this query is WHY
+    the sink keeps versions."""
+    import tempfile
+    import uuid
+
+    cl = changelog(spark, sf_dir).select("seq_no", "op", "key", "payload_value")
+    max_seq = cl.agg(F.max("seq_no")).first()[0]  # driver scalar: orchestration
+    c1, c2 = max_seq // 3, (2 * max_seq) // 3
+
+    work = os.path.join(
+        tempfile.gettempdir(), "spark_cdc_engine_sink", f"iagg-{uuid.uuid4().hex[:8]}"
+    )
+    sink = VersionedCdcSink(spark, work)
+    try:
+        sink.init(fold_changelog(cl.where(F.col("seq_no") <= c1)))
+        sink.apply_batch(cl.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2)))
+        sink.apply_batch(cl.where(F.col("seq_no") > c2))
+
+        grp = (F.col("key") % 10).alias("grp")
+        cents_new = F.round(F.col("payload_value") * 100).cast("bigint")
+        cents_old = F.round(F.col("payload_value_old") * 100).cast("bigint")
+
+        base = (
+            sink.visible(version=2)
+            .groupBy(grp)
+            .agg(
+                F.count("*").alias("n_keys"),
+                F.sum(cents_new).alias("sum_cents"),
+            )
+        )
+        delta = (
+            _changes_between(sink, 2, 3)
+            .groupBy(grp)
+            .agg(
+                F.sum(
+                    F.when(F.col("change_type") == "INSERT", 1)
+                    .when(F.col("change_type") == "DELETE", -1)
+                    .otherwise(0)
+                ).alias("d_keys"),
+                F.sum(
+                    F.coalesce(cents_new, F.lit(0)) - F.coalesce(cents_old, F.lit(0))
+                ).alias("d_cents"),
+            )
+        )
+        merged = (
+            base.alias("s")
+            .join(delta.alias("d"), on="grp", how="full_outer")
+            .select(
+                F.col("grp"),
+                (
+                    F.coalesce(F.col("s.n_keys"), F.lit(0))
+                    + F.coalesce(F.col("d.d_keys"), F.lit(0))
+                ).alias("n_keys"),
+                (
+                    (
+                        F.coalesce(F.col("s.sum_cents"), F.lit(0))
+                        + F.coalesce(F.col("d.d_cents"), F.lit(0))
+                    )
+                    / 100.0
+                ).alias("sum_value"),
+            )
+            .where(F.col("n_keys") > 0)
+        )
+        result = tracked_persist(merged)
         result.count()  # materialize before the working dir is removed
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -128,9 +128,11 @@ def test_changefeed_pruning_loses_nothing(spark, tmp_path):
     want = []
     for k in set(a) | set(b):
         if k not in a:
-            want.append((k, "INSERT", b[k].last_seq, b[k].payload_value))
+            want.append((k, "INSERT", b[k].last_seq, b[k].payload_value, None))
         elif k not in b:
-            want.append((k, "DELETE", a[k].last_seq, None))
+            want.append((k, "DELETE", a[k].last_seq, None, a[k].payload_value))
         elif a[k].last_seq != b[k].last_seq:
-            want.append((k, "UPDATE", b[k].last_seq, b[k].payload_value))
+            want.append(
+                (k, "UPDATE", b[k].last_seq, b[k].payload_value, a[k].payload_value)
+            )
     assert got == sorted(want)
