@@ -388,3 +388,44 @@ def q_llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= DOMAIN_CAP)
     )
+
+
+@register(
+    "q_llm_rarity_score",
+    oracle="""
+WITH w AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+c AS (
+    SELECT doc_id, count(*) OVER (PARTITION BY word) AS wc FROM w)
+SELECT doc_id,
+       count(*) AS n_words,
+       CAST(sum(wc) AS BIGINT) AS sum_freq,
+       CAST(min(wc) AS BIGINT) AS min_freq,
+       CAST(sum(wc) // count(*) AS BIGINT) AS mean_freq
+FROM c GROUP BY doc_id
+""",
+)
+def q_llm_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality signal: score each document by the
+    global frequency of its words — documents full of corpus-rare
+    words (low mean/min frequency) are OOV-heavy or noisy; documents
+    of only ultra-common words carry little signal. This is the
+    integer-exact stand-in for an n-gram LM perplexity filter: the
+    frequency table IS a unigram model, and staying in counts (never
+    log-probs) keeps every value engine-stable.
+
+    The frequency attaches via a count window over `word`, NOT a
+    groupBy+self-join — the join shape would reference the exploded
+    words twice and (no cross-branch CSE) scan the corpus twice. One
+    explode, one shuffle on word, one re-shuffle on doc_id. At 100 TB
+    the word partition carries heavy-hitter skew; AQE skew-split
+    handles it (the stopword partitions split at mapper boundaries)."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    c = w.select("doc_id", F.count("*").over(W.partitionBy("word")).alias("wc"))
+    return c.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("wc").alias("sum_freq"),
+        F.min("wc").alias("min_freq"),
+        F.expr("sum(wc) div count(*)").alias("mean_freq"),
+    )

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Versioned-sink scale evidence (SCALE.md): measures, on local[32],
+the copy-on-write sink's core operations at sf0.1 and at a 10×
+replication of it, to show what scales with the TABLE and what scales
+with the CHANGE:
+
+- commit (apply_batch of the last 5% of seqs): COW — cost tracks the
+  touched-bucket subset, not the table;
+- time-travel read (visible at the middle commit): manifest-listed
+  read of the whole retained version — O(table);
+- changefeed (middle commit → latest): manifest-pruned — cost tracks
+  changed buckets only.
+
+10× replication shifts event_id/user_id so keys are disjoint across
+replicas (10× keys, 10× rows — a genuine corpus growth, not 10 copies
+of the same key space).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from dynamodb_pitr_restore_cdc_spark.operators.cdc import changelog, fold_changelog
+from dynamodb_pitr_restore_cdc_spark.session import get_spark
+from dynamodb_pitr_restore_cdc_spark.streaming.versioned_sink import (
+    VersionedCdcSink,
+    _changes_between,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = 3
+REPLICAS = 10
+N_BUCKETS = 64
+
+
+def timed(fn) -> float:
+    times = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
+
+
+def replicate(cl, n: int):
+    """n disjoint key/seq shards of the changelog (shifted ids)."""
+    parts = []
+    for i in range(n):
+        shift = i * 10_000_000
+        parts.append(
+            cl.select(
+                (F.col("seq_no") + shift).alias("seq_no"),
+                "op",
+                (F.col("key") + shift).alias("key"),
+                "payload_value",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def bench(tag: str, cl) -> None:
+    # materialize the changelog once so sink timings don't re-derive it
+    cl = cl.localCheckpoint(eager=True)
+    max_seq = cl.agg(F.max("seq_no")).first()[0]
+    n = cl.count()
+    c1, c2, c3 = max_seq // 2, (3 * max_seq) // 4, (95 * max_seq) // 100
+
+    work = os.path.join(tempfile.gettempdir(), f"sinkbench-{uuid.uuid4().hex[:8]}")
+    sink = VersionedCdcSink(cl.sparkSession, work, n_buckets=N_BUCKETS)
+    try:
+        sink.init(fold_changelog(cl.where(F.col("seq_no") <= c1)))
+        sink.apply_batch(cl.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2)))
+        sink.apply_batch(cl.where((F.col("seq_no") > c2) & (F.col("seq_no") <= c3)))
+        tail = cl.where(F.col("seq_no") > c3).localCheckpoint(eager=True)
+
+        t_commit = timed(lambda: sink.apply_batch(tail))
+        t_read = timed(lambda: sink.visible(version=2).write.format("noop").mode("overwrite").save())
+        t_feed = timed(
+            lambda: _changes_between(sink, 2, sink.latest_version())
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        print(
+            f"{tag}: rows={n} commit_tail5pct={t_commit:.3f}s "
+            f"timetravel_read={t_read:.3f}s changefeed={t_feed:.3f}s"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    spark = get_spark("sink-scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    cl1 = changelog(spark, SF_DIR).select("seq_no", "op", "key", "payload_value")
+    bench("sf0.1", cl1)
+    bench(f"sf0.1 x{REPLICAS}", replicate(cl1, REPLICAS))
+
+
+if __name__ == "__main__":
+    main()

@@ -269,3 +269,12 @@ def test_domain_cap_uses_window_group_limit(plans):
     assert "WindowGroupLimit" in p
     schema = scan_read_schema(p, "documents")
     assert "text" not in schema
+
+
+def test_rarity_score_scans_corpus_once(plans):
+    # frequency attaches via a count window over word, not a
+    # groupBy+self-join — the join shape would scan the corpus twice
+    # (no cross-branch CSE)
+    p = plans("q_llm_rarity_score")
+    assert "EvalPython" not in p
+    assert p.count("InMemoryFileIndex") == 1
