@@ -429,3 +429,61 @@ def q_llm_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("wc").alias("min_freq"),
         F.expr("sum(wc) div count(*)").alias("mean_freq"),
     )
+
+
+CHUNK_WORDS = 32   # context-window chunk size
+CHUNK_STRIDE = 24  # 8-word overlap between consecutive chunks
+
+
+@register(
+    "q_llm_doc_chunking",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS n,
+           CASE WHEN len(string_split(text, ' ')) <= {CHUNK_WORDS} THEN 0
+                ELSE (len(string_split(text, ' ')) - {CHUNK_WORDS} + {CHUNK_STRIDE} - 1)
+                     // {CHUNK_STRIDE} END AS k
+    FROM documents),
+s AS (
+    SELECT doc_id, n, unnest(generate_series(0, k * {CHUNK_STRIDE}, {CHUNK_STRIDE})) AS start_word
+    FROM t)
+SELECT doc_id,
+       CAST(start_word // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(start_word AS BIGINT) AS start_word,
+       CAST(least({CHUNK_WORDS}, n - start_word) AS BIGINT) AS n_chunk_words
+FROM s
+""",
+)
+def q_llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking for RAG / training-example construction:
+    each document becomes overlapping fixed-size word windows (32-word
+    chunks, 24-word stride). The chunk PLAN is computed map-side from
+    the word count alone — sequence + explode, no shuffle, no text
+    duplication (consumers slice the text lazily by word offsets) —
+    because at 100 TB materializing overlapping text copies would
+    inflate the corpus ~1.33× before a single chunk is used. The
+    start sequence is ascending by construction (k ≥ 0), dodging the
+    descending-sequence(1,0) gotcha."""
+    d = table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    k = F.when(n <= CHUNK_WORDS, F.lit(0)).otherwise(
+        F.expr(
+            f"((size(split(text, ' ')) - {CHUNK_WORDS}) + {CHUNK_STRIDE} - 1)"
+            f" div {CHUNK_STRIDE}"
+        )
+    )
+    t = d.select("doc_id", n.alias("n"), k.alias("k"))
+    return t.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("k") * CHUNK_STRIDE, F.lit(CHUNK_STRIDE))
+        ).alias("start_word"),
+    ).select(
+        "doc_id",
+        (F.col("start_word") / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+        F.col("start_word").cast("bigint").alias("start_word"),
+        F.least(F.lit(CHUNK_WORDS), F.col("n") - F.col("start_word"))
+        .cast("bigint")
+        .alias("n_chunk_words"),
+    )

@@ -347,3 +347,69 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id", "bucket", F.round("cos", 4).alias("cos_sim"))
     )
+
+
+@register(
+    "q_llm_embed_quantize",
+    oracle="""
+WITH m AS (
+    SELECT vec_id, label,
+           len(embedding) AS n_dims,
+           list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS max_abs,
+           list_transform(embedding, x -> x::DOUBLE) AS v
+    FROM embeddings),
+q AS (
+    SELECT vec_id, label, n_dims,
+           CAST(floor(max_abs * 1000000 + 0.5) AS BIGINT) AS scale_micro,
+           list_transform(v, x -> CAST(floor(x * 127.0 / max_abs + 0.5) AS BIGINT)) AS qv
+    FROM m WHERE max_abs > 0)
+SELECT vec_id, label, CAST(n_dims AS BIGINT) AS n_dims, scale_micro,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_sq_sum,
+       CAST(list_min(qv) AS BIGINT) AS q_min,
+       CAST(list_max(qv) AS BIGINT) AS q_max
+FROM q
+""",
+)
+def q_llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization — the storage/serving form
+    of an embedding table (4× smaller than float32, SIMD-friendly
+    dot products): per-vector scale = max|x|, q_i = floor(x_i·127/scale
+    + 0.5). Everything after the scale division is the floor-plus-half
+    rule from llm/kmeans.quantize_expr — never round(), whose half-way
+    behavior differs across engines. Entirely map-side JVM array
+    expressions: zero shuffle, zero Python — quantizing 100 TB of
+    embeddings is a fused scan-projection. The result reports exact
+    integer checksums (sum, sum-of-squares, min, max) plus the
+    µs-quantized scale, all engine-stable."""
+    e = table(spark, sf_dir, "embeddings")
+    m = e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("bigint").alias("n_dims"),
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))).alias(
+            "max_abs"
+        ),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = m.where(F.col("max_abs") > 0).select(
+        "vec_id",
+        "label",
+        "n_dims",
+        F.floor(F.col("max_abs") * 1000000 + F.lit(0.5)).cast("bigint").alias("scale_micro"),
+        F.transform(
+            "v",
+            lambda x: F.floor(x * 127.0 / F.col("max_abs") + F.lit(0.5)).cast("long"),
+        ).alias("qv"),
+    )
+    zero = F.lit(0).cast("long")
+    return q.select(
+        "vec_id",
+        "label",
+        "n_dims",
+        "scale_micro",
+        F.aggregate("qv", zero, lambda a, x: a + x).alias("q_sum"),
+        F.aggregate("qv", zero, lambda a, x: a + x * x).alias("q_sq_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+    )

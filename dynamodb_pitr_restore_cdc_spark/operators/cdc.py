@@ -583,3 +583,37 @@ def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.count()
     shutil.rmtree(out, ignore_errors=True)
     return result
+
+
+@register(
+    "q_cdc_restore_asof_ts",
+    oracle=with_changelog(
+        """
+SELECT key, seq_no AS last_seq, payload_value
+FROM (
+    SELECT key, seq_no, op, payload_value,
+           row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
+    FROM changelog
+    WHERE epoch_us(ts) <= (
+        SELECT min(epoch_us(ts)) + ((max(epoch_us(ts)) - min(epoch_us(ts))) * 2) // 3
+        FROM changelog)
+) WHERE rn = 1 AND op <> 'REMOVE'
+"""
+    ),
+)
+def q_cdc_restore_asof_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-TIME point-in-time restore — the reference's literal
+    semantic (RestoreDateTime is a wall-clock instant, not a sequence
+    number): fold every change whose event time is at or before the
+    restore point, 2/3 into the stream's time range. The cutoff is
+    pure integer µs arithmetic (min + 2(max-min) div 3) so both
+    engines compute the identical instant — never a float percentile,
+    whose interpolation would make the boundary representation-
+    dependent. The ts filter reaches the scan (pushdown), so at 100 TB
+    a restore reads only the pre-cutoff changelog."""
+    cl = changelog(spark, sf_dir)
+    row = cl.agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    ).first()  # driver scalars: orchestration, not data
+    cutoff_us = row.lo + ((row.hi - row.lo) * 2) // 3
+    return fold_changelog(cl.where(F.unix_micros("ts") <= F.lit(cutoff_us)))

@@ -278,3 +278,12 @@ def test_rarity_score_scans_corpus_once(plans):
     p = plans("q_llm_rarity_score")
     assert "EvalPython" not in p
     assert p.count("InMemoryFileIndex") == 1
+
+
+def test_chunking_and_quantize_are_map_only(plans):
+    # chunk planning and int8 quantization are scan-fused projections:
+    # no shuffle, no Python, at any corpus size
+    for q in ("q_llm_doc_chunking", "q_llm_embed_quantize"):
+        p = plans(q)
+        assert "Exchange" not in p, q
+        assert "EvalPython" not in p, q
