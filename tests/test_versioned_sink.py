@@ -136,3 +136,35 @@ def test_changefeed_pruning_loses_nothing(spark, tmp_path):
                 (k, "UPDATE", b[k].last_seq, b[k].payload_value, a[k].payload_value)
             )
     assert got == sorted(want)
+
+
+def test_sink_state_invariant_under_batching_and_order(spark, tmp_path):
+    """The versioned sink's tombstoned merge is a per-key max-seq
+    reduction, so the LATEST state must equal the whole-changelog fold
+    under ANY batch decomposition applied in ANY order — stronger than
+    the reference's FIFO assumption. Deterministic sweep over several
+    decompositions and permutations (hypothesis-style, but each case
+    costs a sink replay, so the cases are pinned)."""
+    cl = changelog(spark, SF_SMOKE).select("seq_no", "op", "key", "payload_value")
+    max_seq = cl.agg(F.max("seq_no")).first()[0]
+    want = _rows(fold_changelog(cl))
+
+    cases = [
+        # (cut permilles, batch application order)
+        ((250, 500, 750), (0, 1, 2, 3)),       # in order
+        ((250, 500, 750), (3, 2, 1, 0)),       # fully reversed
+        ((100, 900), (1, 0, 2)),               # middle-heavy, swapped head
+        ((500,), (1, 0)),                      # two halves, reversed
+    ]
+    for i, (permilles, order) in enumerate(cases):
+        bounds = [0] + [max_seq * p // 1000 for p in permilles] + [max_seq]
+        batches = [
+            cl.where((F.col("seq_no") > lo) & (F.col("seq_no") <= hi))
+            for lo, hi in zip(bounds, bounds[1:])
+        ]
+        sink = VersionedCdcSink(spark, str(tmp_path / f"perm{i}"), n_buckets=8)
+        # empty init: schema remembered via an empty base write
+        sink.init(fold_changelog(cl.where(F.lit(False))))
+        for j in order:
+            sink.apply_batch(batches[j])
+        assert _rows(sink.visible()) == want, (permilles, order)
