@@ -168,3 +168,57 @@ def test_sink_state_invariant_under_batching_and_order(spark, tmp_path):
         for j in order:
             sink.apply_batch(batches[j])
         assert _rows(sink.visible()) == want, (permilles, order)
+
+
+def test_streaming_commits_resume_from_checkpoint(spark, tmp_path):
+    """Crash/restart under the stream: drain one split, stop, then
+    restart with the SAME checkpoint after two more splits land — the
+    source must skip the committed file, the sink must append commits
+    v3/v4 on top of v2, and the final state must equal the full fold."""
+    from dynamodb_pitr_restore_cdc_spark.streaming.cdc_stream import (
+        CHANGELOG_STREAM_SCHEMA,
+    )
+    from dynamodb_pitr_restore_cdc_spark.streaming.stream_queries import (
+        _write_one_split,
+    )
+
+    cl = changelog(spark, SF_SMOKE).select("seq_no", "op", "key", "payload_value")
+    max_seq = cl.agg(F.max("seq_no")).first()[0]
+    q1, q2, q3 = max_seq // 3, (5 * max_seq) // 9, (7 * max_seq) // 9
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    sink = VersionedCdcSink(spark, str(tmp_path / "sink"), n_buckets=8)
+    sink.init(fold_changelog(cl.where(F.col("seq_no") <= q1)))
+
+    def drain():
+        def commit(batch_df, epoch_id):
+            sink.spark = batch_df.sparkSession
+            sink.apply_batch(batch_df.select("seq_no", "op", "key", "payload_value"))
+
+        q = (
+            spark.readStream.schema(CHANGELOG_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(commit)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sink.spark = spark
+
+    s = F.col("seq_no")
+    _write_one_split(cl.where((s > q1) & (s <= q2)), src, 0)
+    drain()  # run 1: only split 0 exists
+    assert sink.latest_version() == 2
+
+    _write_one_split(cl.where((s > q2) & (s <= q3)), src, 1)
+    _write_one_split(cl.where(s > q3), src, 2)
+    drain()  # run 2, same checkpoint: split 0 must NOT replay
+    assert sink.latest_version() == 4
+    assert _rows(sink.visible()) == _rows(fold_changelog(cl))
+    # and the commit two batches back is still the run-1 state
+    want_v2 = _rows(fold_changelog(cl.where(F.col("seq_no") <= q2)))
+    assert _rows(sink.visible(version=2)) == want_v2
