@@ -45,6 +45,9 @@ HEADLINE = [
     "q_llm_dedup_clusters",
     "q_stream_stateful_totals",
     "q_stream_foreachbatch_cdc",
+    "q_cdc_time_travel",
+    "q_cdc_changefeed",
+    "q_llm_decontaminate",
 ]
 
 
