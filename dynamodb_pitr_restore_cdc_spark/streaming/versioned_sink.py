@@ -11,34 +11,62 @@ reading it — zero data movement), and old versions expire explicitly.
 
 Layout (Iceberg-style manifests, radically simplified):
 
-    <path>/data/v<N>/bucket=<b>/part-*.parquet   files WRITTEN by commit N
-    <path>/manifests/v<N>.json                   {bucket -> owning commit}
-    <path>/LATEST                                current version pointer
+    <path>/data/<token>/bucket=<b>/part-*.parquet  files of one commit attempt
+    <path>/manifests/shards/<tok>.json             {bucket -> data token} for one shard
+    <path>/manifests/roots/<tok>.json              staged root (pre-commit)
+    <path>/manifests/v<N>.json                     published root {shard -> shard token}
+    <path>/LATEST                                  "N:<root token>" pointer
 
 Copy-on-write at BUCKET granularity: commit N rewrites only the
 buckets its batch touches; every untouched bucket is inherited by
-pointing the new manifest at the file the previous commit (or any
-earlier one) already wrote. Reading version V lists V's manifest and
-reads exactly the named bucket directories — manifest-level partition
-pruning, no directory walk, no filter on a partition column.
+pointing the new manifest at the data token an earlier commit already
+wrote. Reading version V resolves V's manifest and reads exactly the
+named bucket directories — manifest-level partition pruning, no
+directory walk, no filter on a partition column.
 
-Commit protocol (single-writer, crash-safe): data files first, then
-the manifest, then an atomic `os.replace` of the LATEST pointer. A
-crash before the pointer flip leaves orphan files that the next
-`expire_versions` sweep removes; readers never see a half commit.
+The bucket->token map is SHARDED by bucket range (``shard_size``
+buckets per shard file): a commit writes only the shard files whose
+ranges contain touched buckets and inherits every other shard by
+token reference in a small root manifest. Commit metadata cost is
+O(touched shards), not O(buckets) — at 10^5+ buckets the single-JSON
+manifest would otherwise become the very bottleneck the reference's
+25-item write chunks were.
 
-Scale: a commit costs O(touched buckets) writes + one manifest (a few
-KB for thousands of buckets — at millions, manifests shard, which is
-where real Iceberg picks up). Time travel costs nothing at write time;
-retention is a policy knob (`expire_versions(keep_last=...)`), the
-35-day PITR window's analog.
+Commit protocol (optimistic, multi-writer, crash-safe): every attempt
+stages its data and manifests under fresh unique tokens, then performs
+ONE conditional swap of the LATEST pointer (compare-and-set on the
+exact value it read). A loser re-reads the winner's manifest and either
+REBASES (winner touched disjoint buckets: re-point and retry the CAS —
+no data rewrite) or RE-MERGES (winner rewrote a bucket this batch also
+touches: redo the merge against the new state), bounded by
+``max_commit_retries``. This reproduces, under concurrency, exactly the
+serial semantics the reference gets from single-consumer FIFO delivery
+(`cdk-stack.ts:47`, `lambda-backfill/main.py:25`). A crash at any point
+before the pointer swap leaves only unreferenced token files that the
+orphan sweep removes; readers never see a half commit.
+
+The pointer itself is behind a swappable ``PointerStore`` seam:
+locally a file with an flock'd compare-and-replace; on an object store
+(the actual 100 TB substrate) atomic rename DOES NOT EXIST and this
+seam is where a conditional put goes — S3 ``If-Match``/``If-None-Match``
+preconditions, a DynamoDB conditional write, or a catalog (Glue/HMS/
+Nessie) holding the table pointer. Do not ship the file store to S3.
+
+Scale: a commit costs O(touched buckets) data writes + O(touched
+shards) manifest writes + one pointer CAS. Time travel costs nothing
+at write time; retention is a policy knob
+(`expire_versions(keep_last=...)`), the 35-day PITR window's analog;
+readers pin versions (``pinned()``) to fence expiry races.
 """
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
+import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,60 +74,208 @@ from pyspark.sql import functions as F
 from ..operators.cdc import cdc_merge_tombstone, visible
 
 N_BUCKETS_DEFAULT = 32
+SHARD_SIZE_DEFAULT = 1024  # buckets per manifest shard file
+
+
+class CommitConflictError(RuntimeError):
+    """Raised when a commit loses the pointer CAS more than
+    ``max_commit_retries`` times — the optimistic protocol's bounded
+    give-up, after which the caller owns backoff/abort policy."""
+
+
+class LocalPointerStore:
+    """File-backed pointer with flock'd compare-and-set.
+
+    ``put_if`` takes the EXACT raw value the caller read (None for
+    "pointer must not exist yet") and swaps only if the pointer still
+    holds it — the local twin of an object-store conditional put.
+    POSIX-correct on a local/NFS-with-locks filesystem ONLY: on S3/GCS
+    there is no atomic compare-and-replace, so production deployments
+    must swap this class for a catalog or conditional-put
+    implementation (see module docstring). Everything above this seam
+    is substrate-agnostic.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self._lock_path = path + ".lock"
+
+    def read(self) -> str | None:
+        try:
+            with open(self.path) as fh:
+                return fh.read().strip()
+        except FileNotFoundError:
+            return None
+
+    def put_if(self, expected: str | None, new: str) -> bool:
+        fd = os.open(self._lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            if self.read() != expected:
+                return False
+            tmp = self.path + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write(new)
+            os.replace(tmp, self.path)
+            return True
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
 
 
 class VersionedCdcSink:
     """Bucket-partitioned CDC merge target with commit-level time travel."""
 
-    def __init__(self, spark: SparkSession, path: str, n_buckets: int = N_BUCKETS_DEFAULT):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_buckets: int = N_BUCKETS_DEFAULT,
+        shard_size: int = SHARD_SIZE_DEFAULT,
+        pointer_store=None,
+        max_commit_retries: int = 5,
+    ):
         self.spark = spark
         self.path = path
         self.n_buckets = n_buckets
+        self.shard_size = shard_size
+        self.max_commit_retries = max_commit_retries
+        self.pointer = pointer_store or LocalPointerStore(os.path.join(path, "LATEST"))
         self._schema = None  # remembered for empty-table reads
-        os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
+        self._pins: dict[int, int] = {}  # version -> in-flight reader count
+        self._pre_commit_hook = None  # test seam: called right before each CAS
+        os.makedirs(os.path.join(path, "manifests", "shards"), exist_ok=True)
+        os.makedirs(os.path.join(path, "manifests", "roots"), exist_ok=True)
 
     # -- pointer + manifest plumbing ------------------------------------
 
-    def _latest_path(self) -> str:
-        return os.path.join(self.path, "LATEST")
-
-    def latest_version(self) -> int:
+    @staticmethod
+    def _parse_version(raw: str | None) -> int:
+        """Pointer value -> version. An empty or unparseable pointer
+        (e.g. a zero-byte LATEST left by an interrupted first commit)
+        reads as version 0 — the orphan sweep covers any half-written
+        data behind it."""
+        if not raw:
+            return 0
         try:
-            with open(self._latest_path()) as fh:
-                return int(fh.read().strip())
-        except FileNotFoundError:
+            return int(raw.split(":", 1)[0])
+        except ValueError:
             return 0
 
-    def _manifest(self, version: int) -> dict[int, int]:
-        with open(os.path.join(self.path, "manifests", f"v{version}.json")) as fh:
+    def latest_version(self) -> int:
+        return self._parse_version(self.pointer.read())
+
+    @staticmethod
+    def _new_token() -> str:
+        return uuid.uuid4().hex[:12]
+
+    def _root_path(self, version: int) -> str:
+        return os.path.join(self.path, "manifests", f"v{version}.json")
+
+    def _shard_path(self, token: str) -> str:
+        return os.path.join(self.path, "manifests", "shards", f"{token}.json")
+
+    def _staged_root_path(self, token: str) -> str:
+        return os.path.join(self.path, "manifests", "roots", f"{token}.json")
+
+    def _root(self, version: int) -> dict[int, str]:
+        """Root manifest of a commit: {shard id -> shard token}.
+
+        Falls back to the pointer's staged root for the tiny crash
+        window between winning the CAS and publishing v<N>.json."""
+        try:
+            with open(self._root_path(version)) as fh:
+                raw = json.load(fh)
+        except FileNotFoundError:
+            ptr = self.pointer.read()
+            if ptr and self._parse_version(ptr) == version and ":" in ptr:
+                staged = self._staged_root_path(ptr.split(":", 1)[1])
+                if os.path.exists(staged):
+                    with open(staged) as fh:
+                        raw = json.load(fh)
+                    return {int(s): t for s, t in raw["shards"].items()}
+            raise FileNotFoundError(
+                f"no manifest for version {version} under {self.path}: "
+                "either it was expired or it never committed"
+            )
+        return {int(s): t for s, t in raw["shards"].items()}
+
+    def _shard_map(self, token: str) -> dict[int, str]:
+        with open(self._shard_path(token)) as fh:
             raw = json.load(fh)
-        return {int(b): int(v) for b, v in raw["buckets"].items()}
+        return {int(b): t for b, t in raw["buckets"].items()}
 
-    def _commit(self, version: int, buckets: dict[int, int]) -> None:
-        mpath = os.path.join(self.path, "manifests", f"v{version}.json")
-        with open(mpath, "w") as fh:
-            json.dump({"version": version, "buckets": {str(b): v for b, v in buckets.items()}}, fh)
-        # the pointer flip is the commit: readers either see the old
-        # LATEST or the new one, never a torn state
-        tmp = self._latest_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(version))
-        os.replace(tmp, self._latest_path())
+    def _manifest(self, version: int, buckets=None) -> dict[int, str]:
+        """Bucket -> data-token map of a commit. With ``buckets``, loads
+        only the shard files covering those buckets — the read-side
+        half of O(touched shards) commit metadata."""
+        shards = self._root(version)
+        if buckets is not None:
+            need = {b // self.shard_size for b in buckets}
+            shards = {s: t for s, t in shards.items() if s in need}
+        out: dict[int, str] = {}
+        for t in shards.values():
+            out.update(self._shard_map(t))
+        return out
 
-    def _bucket_dir(self, version: int, bucket: int) -> str:
-        return os.path.join(self.path, "data", f"v{version}", f"bucket={bucket}")
+    def _try_commit(
+        self,
+        new_version: int,
+        new_shard_maps: dict[int, dict[int, str]],
+        inherited_shards: dict[int, str],
+        expected_raw: str | None,
+    ) -> bool:
+        """Stage shard + root files under fresh tokens, then CAS the
+        pointer. On a lost race every staged file is removed — the
+        loser leaves no litter to sweep."""
+        shards = dict(inherited_shards)
+        staged: list[str] = []
+        for sid, m in sorted(new_shard_maps.items()):
+            if not m:  # shard emptied out: drop it from the root
+                shards.pop(sid, None)
+                continue
+            tok = self._new_token()
+            spath = self._shard_path(tok)
+            with open(spath, "w") as fh:
+                json.dump({"buckets": {str(b): t for b, t in m.items()}}, fh)
+            staged.append(spath)
+            shards[sid] = tok
+        root_token = self._new_token()
+        rpath = self._staged_root_path(root_token)
+        with open(rpath, "w") as fh:
+            json.dump(
+                {"version": new_version, "shards": {str(s): t for s, t in shards.items()}},
+                fh,
+            )
+        if self._pre_commit_hook is not None:
+            self._pre_commit_hook()
+        if self.pointer.put_if(expected_raw, f"{new_version}:{root_token}"):
+            # publish the root under its version name for time-travel
+            # readers; latest-readers resolve via the pointer token, so
+            # a crash before this replace loses nothing
+            os.replace(rpath, self._root_path(new_version))
+            return True
+        os.remove(rpath)
+        for spath in staged:
+            os.remove(spath)
+        return False
+
+    def _bucket_dir(self, token: str, bucket: int) -> str:
+        return os.path.join(self.path, "data", token, f"bucket={bucket}")
 
     def _bucket(self, key_col) -> F.Column:
         return F.pmod(F.hash(key_col), F.lit(self.n_buckets))
 
     # -- writes ---------------------------------------------------------
 
-    def _write_buckets(self, df: DataFrame, version: int, key: str) -> list[int]:
-        """Write df (tombstoned rows) into per-bucket dirs under v<version>;
-        returns the bucket ids actually written."""
+    def _write_buckets(self, df: DataFrame, token: str, key: str) -> list[int]:
+        """Write df (tombstoned rows) into per-bucket dirs under
+        data/<token>; returns the bucket ids actually written. Token
+        dirs are unique per commit ATTEMPT, so concurrent writers can
+        never scribble on each other's (or committed) data."""
         bucketed = df.withColumn("bucket", self._bucket(F.col(key)))
         self._schema = df.schema
-        out = os.path.join(self.path, "data", f"v{version}")
+        out = os.path.join(self.path, "data", token)
         # one file per bucket: repartition on the partition column so the
         # write doesn't scatter slivers of every bucket across every task
         (
@@ -114,42 +290,100 @@ class VersionedCdcSink:
             if d.startswith("bucket=")
         ]
 
+    def _shard_maps_for(
+        self, touched: list[int], merged_tokens: dict[int, str], cur_root: dict[int, str]
+    ) -> tuple[dict[int, dict[int, str]], dict[int, str]]:
+        """New shard contents for the shards containing touched
+        buckets, plus the untouched shards inherited by token."""
+        touched_set = set(touched)
+        touched_sids = {b // self.shard_size for b in touched}
+        new_maps: dict[int, dict[int, str]] = {}
+        for sid in touched_sids:
+            prev = self._shard_map(cur_root[sid]) if sid in cur_root else {}
+            new_maps[sid] = {b: t for b, t in prev.items() if b not in touched_set}
+        for b, t in merged_tokens.items():
+            new_maps.setdefault(b // self.shard_size, {})[b] = t
+        inherited = {s: t for s, t in cur_root.items() if s not in touched_sids}
+        return new_maps, inherited
+
     def init(self, snapshot: DataFrame, key: str = "key") -> None:
-        """Commit v1: the restored base snapshot, all buckets owned by v1."""
+        """Commit v1: the restored base snapshot, all buckets owned by
+        the init commit's data token. Conditional on the table not
+        existing yet (pointer CAS expected=None)."""
         snap = snapshot
         if "op" not in snap.columns:
             snap = snap.withColumn("op", F.lit("INSERT"))
-        written = self._write_buckets(snap, 1, key)
-        self._commit(1, {b: 1 for b in written})
+        token = self._new_token()
+        written = self._write_buckets(snap, token, key)
+        maps, inherited = self._shard_maps_for(written, {b: token for b in written}, {})
+        if not self._try_commit(1, maps, inherited, expected_raw=None):
+            raise CommitConflictError(
+                f"init lost the v1 CAS at {self.path}: another writer "
+                "initialized this table concurrently"
+            )
 
     def apply_batch(self, batch: DataFrame, key: str = "key") -> None:
-        """Merge one micro-batch as commit N+1, rewriting ONLY touched
-        buckets; every other bucket is inherited by manifest reference."""
+        """Merge one micro-batch as the next commit, rewriting ONLY
+        touched buckets; every other bucket/shard is inherited by
+        manifest reference.
+
+        Optimistic concurrency: the merge is computed against the
+        manifest as read; if the pointer CAS then loses to a concurrent
+        commit, the loser re-reads and REBASES when the winner's
+        touched buckets are disjoint (no data rewrite — just re-point
+        the inherited shards and retry) or RE-MERGES when they overlap
+        (the previously merged data is stale — rebuild it against the
+        winner's state). Bounded by ``max_commit_retries``; the final
+        state equals some serial order of the batches, which is all the
+        reference's FIFO queue guarantees too."""
         batch = batch.withColumn("bucket", self._bucket(F.col(key)))
         touched = sorted(r.bucket for r in batch.select("bucket").distinct().collect())
         if not touched:
             return
-        cur_version = self.latest_version()
-        manifest = self._manifest(cur_version) if cur_version else {}
-        current = self._read_buckets(manifest, only=touched)
-        merged = cdc_merge_tombstone(current, batch.drop("bucket"), key=key)
-        new_version = cur_version + 1
-        written = self._write_buckets(merged, new_version, key)
-        new_manifest = dict(manifest)
-        # a touched bucket whose merge came out empty simply drops out of
-        # the manifest (the file-less analog of deleting the partition)
-        for b in touched:
-            new_manifest.pop(b, None)
-        for b in written:
-            new_manifest[b] = new_version
-        self._commit(new_version, new_manifest)
+        base_view: dict[int, str] | None = None  # touched-bucket entries the merge saw
+        merged_tokens: dict[int, str] = {}
+        data_token: str | None = None
+        for _ in range(self.max_commit_retries + 1):
+            raw = self.pointer.read()
+            cur_version = self._parse_version(raw)
+            cur_root = self._root(cur_version) if cur_version else {}
+            cur_view = {
+                b: t
+                for b, t in (
+                    self._manifest(cur_version, buckets=touched) if cur_version else {}
+                ).items()
+                if b in set(touched)
+            }
+            if base_view is None or cur_view != base_view:
+                # first attempt, or a concurrent commit rewrote a bucket
+                # this batch also touches: (re)merge against current state
+                if data_token is not None:
+                    shutil.rmtree(
+                        os.path.join(self.path, "data", data_token), ignore_errors=True
+                    )
+                base_view = cur_view
+                current = self._read_buckets(cur_view)
+                merged = cdc_merge_tombstone(current, batch.drop("bucket"), key=key)
+                data_token = self._new_token()
+                written = self._write_buckets(merged, data_token, key)
+                merged_tokens = {b: data_token for b in written}
+            maps, inherited = self._shard_maps_for(touched, merged_tokens, cur_root)
+            if self._try_commit(cur_version + 1, maps, inherited, expected_raw=raw):
+                return
+        if data_token is not None:
+            shutil.rmtree(os.path.join(self.path, "data", data_token), ignore_errors=True)
+        raise CommitConflictError(
+            f"apply_batch gave up after {self.max_commit_retries} pointer-CAS "
+            f"retries at {self.path} (buckets {touched[:8]}...): sustained "
+            "concurrent-writer contention"
+        )
 
     # -- reads ----------------------------------------------------------
 
-    def _read_buckets(self, manifest: dict[int, int], only: list[int] | None = None) -> DataFrame:
+    def _read_buckets(self, manifest: dict[int, str], only=None) -> DataFrame:
         paths = [
-            self._bucket_dir(v, b)
-            for b, v in sorted(manifest.items())
+            self._bucket_dir(t, b)
+            for b, t in sorted(manifest.items())
             if only is None or b in only
         ]
         if not paths:
@@ -170,36 +404,86 @@ class VersionedCdcSink:
     def visible(self, version: int | None = None) -> DataFrame:
         return visible(self.snapshot(version))
 
+    @contextmanager
+    def pinned(self, version: int | None = None):
+        """Pin a version for the duration of a read: ``expire_versions``
+        treats pinned versions as retained, fencing the race where a
+        reader holds an old manifest while expiry deletes its files.
+        In-process refcount — a multi-process deployment moves this
+        refcount into the same catalog that holds the pointer."""
+        v = self.latest_version() if version is None else version
+        self._pins[v] = self._pins.get(v, 0) + 1
+        try:
+            yield v
+        finally:
+            self._pins[v] -= 1
+            if self._pins[v] <= 0:
+                del self._pins[v]
+
     # -- retention ------------------------------------------------------
 
-    def expire_versions(self, keep_last: int) -> list[int]:
-        """Drop manifests older than the retention window and delete data
-        dirs no retained manifest references (the PITR-window analog).
-        Returns the expired version ids."""
+    def expire_versions(self, keep_last: int, sweep_orphans: bool = False) -> list[int]:
+        """Drop manifests older than the retention window and delete
+        data/shard files no retained (or pinned) manifest references —
+        the PITR-window analog. Versions already expired by an earlier,
+        deeper sweep are skipped, so widening ``keep_last`` later is
+        safe. With ``sweep_orphans`` (only when no writer is in
+        flight), also removes token files referenced by NO manifest —
+        the debris of crashed or CAS-losing commit attempts.
+        Returns the version ids expired this call."""
         latest = self.latest_version()
-        retained = [v for v in range(max(1, latest - keep_last + 1), latest + 1)]
-        referenced: set[tuple[int, int]] = set()
-        for v in retained:
-            referenced |= {(ver, b) for b, ver in self._manifest(v).items()}
-        expired = []
-        data_root = os.path.join(self.path, "data")
-        for d in sorted(os.listdir(data_root)):
-            ver = int(d.lstrip("v"))
-            if ver in retained:
-                continue
-            vdir = os.path.join(data_root, d)
-            for bd in list(os.listdir(vdir)):
-                if bd.startswith("bucket=") and (ver, int(bd.split("=")[1])) not in referenced:
-                    shutil.rmtree(os.path.join(vdir, bd), ignore_errors=True)
-            # a version dir may stay alive holding files inherited by
-            # retained manifests; remove it only when fully orphaned
-            if not any(x.startswith("bucket=") for x in os.listdir(vdir)):
-                shutil.rmtree(vdir, ignore_errors=True)
-            expired.append(ver)
+        window = set(range(max(1, latest - keep_last + 1), latest + 1))
+        keep = window | {v for v, c in self._pins.items() if c > 0}
+        mdir = os.path.join(self.path, "manifests")
+        on_disk = {
+            int(f[1:-5])
+            for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        }
+
+        def refs(versions):
+            shard_toks: set[str] = set()
+            data_refs: set[tuple[str, int]] = set()
+            for v in versions:
+                for tok in self._root(v).values():
+                    shard_toks.add(tok)
+                    data_refs.update((t, b) for b, t in self._shard_map(tok).items())
+            return shard_toks, data_refs
+
+        retained = sorted(v for v in on_disk if v in keep)
+        expired = sorted(v for v in on_disk if v not in keep)
+        keep_shards, keep_data = refs(retained)
+        exp_shards, exp_data = refs(expired)
+        for tok, b in sorted(exp_data - keep_data):
+            shutil.rmtree(self._bucket_dir(tok, b), ignore_errors=True)
         for v in expired:
-            m = os.path.join(self.path, "manifests", f"v{v}.json")
-            if os.path.exists(m):
-                os.remove(m)
+            os.remove(self._root_path(v))
+        for tok in exp_shards - keep_shards:
+            os.remove(self._shard_path(tok))
+        data_root = os.path.join(self.path, "data")
+        if sweep_orphans:
+            live_tokens = {t for t, _ in keep_data}
+            for d in os.listdir(data_root) if os.path.isdir(data_root) else []:
+                if d not in live_tokens:
+                    shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+            live_shards = keep_shards
+            sdir = os.path.join(mdir, "shards")
+            for f in os.listdir(sdir):
+                if f[:-5] not in live_shards:
+                    os.remove(os.path.join(sdir, f))
+            ptr = self.pointer.read()
+            live_root = ptr.split(":", 1)[1] if ptr and ":" in ptr else None
+            rdir = os.path.join(mdir, "roots")
+            for f in os.listdir(rdir):
+                if f[:-5] != live_root:
+                    os.remove(os.path.join(rdir, f))
+        # a token dir may stay alive holding buckets inherited by
+        # retained manifests; remove it only when fully orphaned
+        if os.path.isdir(data_root):
+            for d in os.listdir(data_root):
+                vdir = os.path.join(data_root, d)
+                if not any(x.startswith("bucket=") for x in os.listdir(vdir)):
+                    shutil.rmtree(vdir, ignore_errors=True)
         return expired
 
 
@@ -209,7 +493,6 @@ class VersionedCdcSink:
 
 import atexit  # noqa: E402
 import tempfile  # noqa: E402
-import uuid  # noqa: E402
 
 from ..operators.cdc import changelog, fold_changelog, with_changelog  # noqa: E402
 from ..registry import register, tracked_persist  # noqa: E402
@@ -302,9 +585,6 @@ def q_stream_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     table look like N batches ago' needs no extra bookkeeping; the
     oracle is the changelog-prefix fold at that commit's high-water
     seq."""
-    import tempfile
-    import uuid
-
     from .cdc_stream import CHANGELOG_STREAM_SCHEMA
 
     cl = changelog(spark, sf_dir)
@@ -345,7 +625,13 @@ def q_stream_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         sink.spark = spark
-        assert sink.latest_version() == 4, sink.latest_version()  # init + 3 commits
+        if sink.latest_version() != 4:  # init + 3 split commits
+            raise RuntimeError(
+                f"versioned stream drained to v{sink.latest_version()}, expected v4: "
+                f"a pinned split (cutoffs q1={q1} q2={q2} q3={q3}, max_seq={max_seq}) "
+                "came out empty, so its micro-batch committed nothing — the fixture's "
+                "seq distribution no longer covers all three splits"
+            )
         result = tracked_persist(
             sink.visible(version=3).select("key", "last_seq", "payload_value")
         )
@@ -357,19 +643,32 @@ def q_stream_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _changes_between(sink: VersionedCdcSink, v_from: int, v_to: int) -> DataFrame:
     """Change data feed between two commits, pruned at the MANIFEST
-    level: a bucket whose owning commit is identical in both manifests
-    points at the same immutable files — provably unchanged, never
-    read. Only differing buckets are scanned from each side, then a
-    per-key full-outer diff classifies INSERT / UPDATE / DELETE (on
-    visible rows; tombstone-to-tombstone is no change).
+    level in two stages: a shard whose token is identical in both root
+    manifests holds identical bucket entries — its shard file is never
+    even opened; within differing shards, a bucket whose owning data
+    token is identical points at the same immutable files — provably
+    unchanged, never read. Only differing buckets are scanned from each
+    side, then a per-key full-outer diff classifies INSERT / UPDATE /
+    DELETE (on visible rows; tombstone-to-tombstone is no change).
 
     At 100 TB this is the operation that makes downstream incremental
     consumers possible: the diff cost scales with what CHANGED (touched
-    buckets since v_from), not with the table."""
-    m_from, m_to = sink._manifest(v_from), sink._manifest(v_to)
+    shards/buckets since v_from), not with the table."""
+    r_from, r_to = sink._root(v_from), sink._root(v_to)
+    diff_sids = {
+        s for s in set(r_from) | set(r_to) if r_from.get(s) != r_to.get(s)
+    }
+
+    def side(root):
+        out: dict[int, str] = {}
+        for s in diff_sids:
+            if s in root:
+                out.update(sink._shard_map(root[s]))
+        return out
+
+    m_from, m_to = side(r_from), side(r_to)
     changed = sorted(
-        set(m_from) ^ set(m_to)
-        | {b for b in set(m_from) & set(m_to) if m_from[b] != m_to[b]}
+        {b for b in set(m_from) | set(m_to) if m_from.get(b) != m_to.get(b)}
     )
     a = visible(sink._read_buckets(m_from, only=changed)).alias("a")
     b = visible(sink._read_buckets(m_to, only=changed)).alias("b")
@@ -517,4 +816,3 @@ def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_keys") > 0)
     )
     return merged
-

@@ -46,23 +46,31 @@ def test_every_version_matches_its_prefix_fold(spark, tmp_path):
 
 
 def test_commits_are_copy_on_write(spark, tmp_path):
-    # a commit's data dir contains ONLY its touched buckets; untouched
-    # buckets are inherited through the manifest, not rewritten
+    # a commit's data-token dir contains ONLY its touched buckets;
+    # untouched buckets are inherited through the manifest (their
+    # entries keep the PRIOR commit's data token), not rewritten
     sink, cl, c1, c2 = _mk(spark, tmp_path)
     b2 = cl.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2))
-    v2_dir = os.path.join(sink.path, "data", "v2")
-    written = {d for d in os.listdir(v2_dir) if d.startswith("bucket=")}
+    m1, m2 = sink._manifest(1), sink._manifest(2)
+    rewritten = {b for b, t in m2.items() if m1.get(b) != t}
     batch_buckets = {
-        f"bucket={r.b}"
+        r.b
         for r in b2.select(
             F.pmod(F.hash("key"), F.lit(sink.n_buckets)).alias("b")
         ).distinct().collect()
     }
-    assert written == batch_buckets
-    # and the v2 manifest still references v1 for at least one bucket
+    assert rewritten == batch_buckets
+    # all rewritten buckets share commit 2's single data token, and its
+    # dir holds exactly those buckets
+    (tok2,) = {m2[b] for b in rewritten}
+    v2_dir = os.path.join(sink.path, "data", tok2)
+    assert {d for d in os.listdir(v2_dir) if d.startswith("bucket=")} == {
+        f"bucket={b}" for b in rewritten
+    }
+    # and at least one untouched bucket is inherited token-for-token
     # (this fixture doesn't touch every bucket every third)
-    m2 = sink._manifest(2)
-    assert set(m2.values()) >= {1, 2} or set(m2.values()) == {2}
+    inherited = {b for b, t in m2.items() if m1.get(b) == t}
+    assert inherited or set(m2) == rewritten
 
 
 def test_expire_preserves_inherited_files(spark, tmp_path):
@@ -85,16 +93,16 @@ def test_empty_batch_is_a_noop_commit(spark, tmp_path):
 
 
 def test_torn_pointer_never_visible(spark, tmp_path):
-    # simulate a crash AFTER data+manifest but BEFORE the pointer flip:
-    # readers of LATEST still see the previous commit, consistently
+    # simulate a crash AFTER staging data + manifests but BEFORE the
+    # pointer CAS: readers of LATEST still see the previous commit,
+    # consistently — the staged root is invisible until the swap
     sink, cl, _, c2 = _mk(spark, tmp_path)
-    # fake an in-flight v4: data + manifest exist, pointer not flipped
-    m3 = sink._manifest(3)
-    mpath = os.path.join(sink.path, "manifests", "v4.json")
     import json
 
-    with open(mpath, "w") as fh:
-        json.dump({"version": 4, "buckets": {str(b): v for b, v in m3.items()}}, fh)
+    r3 = sink._root(3)
+    staged = sink._staged_root_path("deadbeef0000")
+    with open(staged, "w") as fh:
+        json.dump({"version": 4, "shards": {str(s): t for s, t in r3.items()}}, fh)
     assert sink.latest_version() == 3
     assert _rows(sink.visible()) == _rows(fold_changelog(cl))
 
