@@ -275,7 +275,9 @@ def q_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy. At 100 TB the sampler is a fused scan filter — the only
     full-corpus cost is the scan itself."""
     d = table(spark, sf_dir, "documents")
-    rate = 100 + (F.substring("source", 4, 10).cast("bigint") * 97) % 800
+    # unbounded suffix, matching the oracle's substr(source, 4): a
+    # length-capped substring would silently diverge past 10 digits
+    rate = 100 + (F.expr("substring(source, 4)").cast("bigint") * 97) % 800
     sample_bucket = F.pmod(F.col("doc_id") * F.lit(SAMPLE_MULT), F.lit(2**32)) % F.lit(1000)
     return (
         d.select("source", rate.alias("target_permille"), sample_bucket.alias("b"))
@@ -327,8 +329,19 @@ def q_llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = d.where(F.size("w") >= 2).select(
         "doc_id",
         F.size("w").cast("bigint").alias("n_words"),
+        # mode-of-array as the max adjacent-run length over the SORTED
+        # words: O(len log len) per row, vs the O(distinct × len) of
+        # transform(distinct, x -> size(filter(...))) — on a 100k-word
+        # document that quadratic form is ~10^9 comparisons in one
+        # task, the one way a map-only filter can still die at scale
         F.expr(
-            "array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x))))"
+            "aggregate(array_sort(w),"
+            " named_struct('prev', cast(null as string), 'run', 0, 'best', 0),"
+            " (acc, x) -> named_struct("
+            "   'prev', x,"
+            "   'run', IF(x <=> acc.prev, acc.run + 1, 1),"
+            "   'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, 1))),"
+            " acc -> acc.best)"
         )
         .cast("bigint")
         .alias("top_word_n"),

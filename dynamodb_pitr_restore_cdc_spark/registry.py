@@ -167,6 +167,45 @@ _REVERIFY_R04: frozenset[str] = frozenset(
     }
 )
 
+# Queries with a green row in CORRECTNESS_r04.json (the 17 round-4
+# additions, the 6 _REVERIFY_R04 regression re-checks, and 27 rotated
+# re-verifications — all clean).
+_DRIVER_VERIFIED_R04: frozenset[str] = frozenset(
+    {
+        "q_agg_approx_distinct", "q_agg_cube", "q_agg_distinct",
+        "q_agg_groupby", "q_agg_gsets", "q_agg_having", "q_agg_hll_merge",
+        "q_agg_rollup", "q_cdc_attrvalue_roundtrip", "q_cdc_batch_count",
+        "q_cdc_change_deltas", "q_cdc_changefeed", "q_cdc_classify",
+        "q_cdc_dedup_content", "q_cdc_dlq_split", "q_cdc_envelope_roundtrip",
+        "q_cdc_incremental_agg", "q_cdc_latest_per_key",
+        "q_cdc_restore_asof_ts", "q_cdc_restore_report",
+        "q_cdc_schema_evolution", "q_cdc_snapshot_rebuild",
+        "q_cdc_time_travel", "q_join_anti", "q_join_asof",
+        "q_join_broadcast", "q_join_cross_limited", "q_join_full",
+        "q_join_inner", "q_join_left", "q_join_semi", "q_join_theta_range",
+        "q_llm_decontaminate", "q_llm_doc_chunking", "q_llm_domain_cap",
+        "q_llm_domain_mix", "q_llm_embed_quantize", "q_llm_rarity_score",
+        "q_llm_repetition_filter", "q_pivot_status", "q_scan_orc_source",
+        "q_stream_complete_mode", "q_stream_dedup", "q_stream_interval_join",
+        "q_stream_stateful_sessions", "q_stream_static_join",
+        "q_stream_tumbling", "q_stream_versioned_sink",
+        "q_tpch_q14_promo_effect", "q_tpch_q6_forecast_revenue",
+    }
+)
+
+# Queries whose implementation materially changed in round 5 (CAS
+# commit protocol + sharded manifests in the versioned sink; the
+# repetition filter's run-length top-word rewrite; domain_mix's
+# unbounded source suffix): surfaced for driver RE-verification first,
+# because the local parity suite is otherwise their only guard.
+_REVERIFY_R05: frozenset[str] = frozenset(
+    {
+        "q_cdc_time_travel", "q_stream_versioned_sink", "q_cdc_changefeed",
+        "q_cdc_incremental_agg", "q_llm_repetition_filter",
+        "q_llm_domain_mix",
+    }
+)
+
 
 def all_queries() -> dict[str, QuerySpec]:
     """Import all operator modules (side-effect: registration) and return the registry.
@@ -175,9 +214,12 @@ def all_queries() -> dict[str, QuerySpec]:
     only a ~50-entry window, so ordering IS the coverage policy):
 
     1. queries with no driver row in any round (never checked);
-    2. queries that FAILED their last driver check or were
-       re-implemented this round (``_REVERIFY_R04``);
-    3. everything else, in registration order.
+    2. queries re-implemented this round (``_REVERIFY_R05``) — the
+       local parity suite is otherwise their only guard;
+    3. everything else by ASCENDING last-verified round (oldest
+       evidence first, registration order within a round) — a rotation
+       that drains staleness: no row's driver evidence can age more
+       than ceil(registry/window) rounds.
 
     Trade-off, documented per round-2 advice: queries past the window
     are NOT re-checked by the driver, so a regression there would only
@@ -216,10 +258,22 @@ def all_queries() -> dict[str, QuerySpec]:
         versioned_sink,
     )
 
-    verified = _DRIVER_VERIFIED_R01 | _DRIVER_VERIFIED_R02 | _DRIVER_VERIFIED_R03
-    fresh = {n: s for n, s in _REGISTRY.items() if n not in verified}
-    recheck = {n: s for n, s in _REGISTRY.items() if n in _REVERIFY_R04 and n not in fresh}
-    seen = {
-        n: s for n, s in _REGISTRY.items() if n in verified and n not in recheck
-    }
-    return {**fresh, **recheck, **seen}
+    rounds = (
+        _DRIVER_VERIFIED_R01,
+        _DRIVER_VERIFIED_R02,
+        _DRIVER_VERIFIED_R03,
+        _DRIVER_VERIFIED_R04,
+    )
+
+    def last_checked(n: str) -> int:
+        return max((i for i, s in enumerate(rounds, start=1) if n in s), default=0)
+
+    order = list(_REGISTRY)
+    fresh = [n for n in order if last_checked(n) == 0 and n not in _REVERIFY_R05]
+    recheck = [n for n in order if n in _REVERIFY_R05]
+    head = set(fresh) | set(recheck)
+    rest = sorted(
+        (n for n in order if n not in head),
+        key=lambda n: (last_checked(n), order.index(n)),
+    )
+    return {n: _REGISTRY[n] for n in (*fresh, *recheck, *rest)}

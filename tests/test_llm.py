@@ -207,3 +207,53 @@ def test_embed_neardup_cell_restriction_is_the_only_loss(spark, sf_dir):
     # K changes WHICH cells exist, so the recalled SETS may differ —
     # but both must obey the same contract (asserted above); they are
     # not required to nest (k=12 centroids don't refine k=4's)
+
+
+def test_repetition_topword_correct_and_subquadratic(spark):
+    """The run-length-over-sorted top-word count must (a) equal the
+    brute-force mode count on adversarial docs and (b) scale
+    linearithmically with document LENGTH — a 4× longer all-distinct
+    doc must cost far less than the 16× a quadratic form would."""
+    import time
+
+    topword = (
+        "aggregate(array_sort(w),"
+        " named_struct('prev', cast(null as string), 'run', 0, 'best', 0),"
+        " (acc, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', IF(x <=> acc.prev, acc.run + 1, 1),"
+        "   'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, 1))),"
+        " acc -> acc.best)"
+    )
+
+    # correctness on hand-built docs incl. runs at both ends + singleton
+    docs = [
+        ("a b c a a", 3),
+        ("c a b a", 2),
+        ("x x x", 3),
+        ("solo", 1),
+        ("b a b a b", 3),
+        ("z z y y y z", 3),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in docs], ["text"]).select(
+        F.split("text", " ").alias("w")
+    )
+    got = [r[0] for r in df.select(F.expr(topword)).collect()]
+    assert got == [want for _, want in docs]
+
+    def timed(n_words):
+        # all-distinct words: the worst case for the old
+        # O(distinct × len) expression, linearithmic for this one
+        doc = " ".join(f"w{i}" for i in range(n_words))
+        d = spark.createDataFrame([(doc,)], ["text"]).select(
+            F.split("text", " ").alias("w")
+        )
+        d.select(F.expr(topword)).collect()  # warm
+        t0 = time.perf_counter()
+        for _ in range(3):
+            assert d.select(F.expr(topword)).collect()[0][0] == 1
+        return time.perf_counter() - t0
+
+    t_small, t_big = timed(30_000), timed(120_000)
+    # quadratic would be ~16x; allow generous noise headroom
+    assert t_big / max(t_small, 1e-6) < 10, (t_small, t_big)
