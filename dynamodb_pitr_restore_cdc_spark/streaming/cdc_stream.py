@@ -42,12 +42,43 @@ CHANGELOG_STREAM_SCHEMA = T.StructType(
 )
 
 
+def parse_changelog_records(raw: DataFrame) -> DataFrame:
+    """Decode broker records into the typed changelog stream.
+
+    ``raw`` is any (streaming or static) DataFrame with the Kafka
+    source's record shape — at minimum a ``value`` column (binary or
+    string) holding the JSON stream-record body the reference emits
+    per record (cdc-to-sqs/main.py:33 json.dumps). Broker metadata
+    columns (key/topic/partition/offset/timestamp) pass through the
+    cast untouched and are dropped by the projection. A record whose
+    body fails to parse comes out as an all-NULL row, which
+    ``split_dlq`` then routes to the dead-letter stream — malformed
+    payloads are data, not exceptions (A2/A7).
+
+    Kept separate from the source construction so this — the only
+    Kafka-branch logic that can be wrong — runs in CI against a fake
+    raw stream even with no broker in the environment."""
+    parsed = raw.select(
+        F.from_json(
+            F.col("value").cast("string"),
+            T.StructType(
+                [
+                    T.StructField(f.name, f.dataType)
+                    for f in CHANGELOG_STREAM_SCHEMA.fields
+                ]
+            ),
+        ).alias("r")
+    )
+    return parsed.select([F.col(f"r.{f.name}") for f in CHANGELOG_STREAM_SCHEMA.fields])
+
+
 def read_changelog_stream(
     spark: SparkSession,
     src: str,
     source: str = "files",
     max_files_per_trigger: int = 1,
     starting_offsets: str = "latest",
+    raw_stream_factory=None,
 ) -> DataFrame:
     """Changelog stream source, config-switchable.
 
@@ -55,13 +86,16 @@ def read_changelog_stream(
       decomposition pinned by maxFilesPerTrigger.
     - ``kafka`` (production shape): `src` is "bootstrap_servers/topic";
       the record value is the JSON stream-record body (the reference's
-      per-record json.dumps, cdc-to-sqs/main.py:33), parsed with the
-      typed envelope schema — same downstream plan either way.
+      per-record json.dumps, cdc-to-sqs/main.py:33), parsed by
+      ``parse_changelog_records`` — same downstream plan either way.
       startingOffsets="latest" mirrors StartingPosition.LATEST
       (cdk-stack.ts:98). Requires the spark-sql-kafka package on the
       classpath; absent (as in this container) the plan raises at
       start, which tests treat as the documented stub boundary.
-    """
+      ``raw_stream_factory(spark) -> DataFrame`` swaps the broker
+      source for a fake with the same record shape, so the parsing/
+      DLQ-routing contract is CI-covered without a broker
+      (tests/test_streaming.py)."""
     if source == "files":
         return (
             spark.readStream.schema(CHANGELOG_STREAM_SCHEMA)
@@ -69,6 +103,8 @@ def read_changelog_stream(
             .parquet(src)
         )
     if source == "kafka":
+        if raw_stream_factory is not None:
+            return parse_changelog_records(raw_stream_factory(spark))
         servers, _, topic = src.partition("/")
         raw = (
             spark.readStream.format("kafka")
@@ -77,18 +113,7 @@ def read_changelog_stream(
             .option("startingOffsets", starting_offsets)
             .load()
         )
-        parsed = raw.select(
-            F.from_json(
-                F.col("value").cast("string"),
-                T.StructType(
-                    [
-                        T.StructField(f.name, f.dataType)
-                        for f in CHANGELOG_STREAM_SCHEMA.fields
-                    ]
-                ),
-            ).alias("r")
-        )
-        return parsed.select([F.col(f"r.{f.name}") for f in CHANGELOG_STREAM_SCHEMA.fields])
+        return parse_changelog_records(raw)
     raise ValueError(f"unknown changelog source: {source!r} (expected 'files' or 'kafka')")
 
 

@@ -102,12 +102,57 @@ def bench(tag: str, cl) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_wide(cl) -> None:
+    """Manifest sharding at 10^4 buckets: a narrow commit must write
+    O(touched shards) manifest files/bytes, not one global map, and
+    time travel must stay correct at that width."""
+    cl = cl.localCheckpoint(eager=True)
+    max_seq = cl.agg(F.max("seq_no")).first()[0]
+    # the narrow batch is a ~20-key CDC trickle — the realistic
+    # micro-batch shape whose metadata cost sharding bounds; hash
+    # bucketing spreads a LARGE batch over every shard by design
+    c1, c2 = max_seq // 2, max_seq - 20
+
+    work = os.path.join(tempfile.gettempdir(), f"sinkwide-{uuid.uuid4().hex[:8]}")
+    sink = VersionedCdcSink(cl.sparkSession, work, n_buckets=10_000, shard_size=64)
+    try:
+        t0 = time.perf_counter()
+        sink.init(fold_changelog(cl.where(F.col("seq_no") <= c1)))
+        t_init = time.perf_counter() - t0
+        sink.apply_batch(cl.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2)))
+        narrow = cl.where(F.col("seq_no") > c2).localCheckpoint(eager=True)
+        t_commit = timed(lambda: sink.apply_batch(narrow))
+
+        v = sink.latest_version()
+        r_prev, r_last = sink._root(v - 1), sink._root(v)
+        changed = {s for s in set(r_prev) | set(r_last) if r_prev.get(s) != r_last.get(s)}
+        changed_bytes = sum(
+            os.path.getsize(sink._shard_path(r_last[s])) for s in changed if s in r_last
+        )
+        total_bytes = sum(
+            os.path.getsize(sink._shard_path(t)) for t in set(r_last.values())
+        )
+        # correctness at width: latest == full fold (both-ways anti-join)
+        got, want = sink.visible(), fold_changelog(cl)
+        assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+        print(
+            f"wide n_buckets={sink.n_buckets} shard_size={sink.shard_size}: init={t_init:.1f}s "
+            f"narrow_commit={t_commit:.3f}s shards_total={len(r_last)} "
+            f"shards_rewritten={len(changed)} "
+            f"manifest_bytes_touched={changed_bytes} of {total_bytes} "
+            f"({100 * changed_bytes / total_bytes:.1f}%) timetravel=ok"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark("sink-scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
     cl1 = changelog(spark, SF_DIR).select("seq_no", "op", "key", "payload_value")
     bench("sf0.1", cl1)
     bench(f"sf0.1 x{REPLICAS}", replicate(cl1, REPLICAS))
+    bench_wide(cl1)
 
 
 if __name__ == "__main__":

@@ -257,3 +257,23 @@ def test_repetition_topword_correct_and_subquadratic(spark):
     t_small, t_big = timed(30_000), timed(120_000)
     # quadratic would be ~16x; allow generous noise headroom
     assert t_big / max(t_small, 1e-6) < 10, (t_small, t_big)
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    """Decontamination's pre-prune contract: every inserted key passes
+    (no false negatives — pruning must never lose a real hit) and the
+    false-positive rate at design load stays far under the point where
+    pruning stops paying."""
+    from dynamodb_pitr_restore_cdc_spark.llm.curation import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    members = spark.range(20_000).selectExpr("concat('in-', id) AS gram")
+    bf = F.broadcast(bloom_build(members))
+    kept = members.join(bf).where(bloom_might_contain("gram")).count()
+    assert kept == 20_000
+
+    outsiders = spark.range(20_000).selectExpr("concat('out-', id) AS gram")
+    fp = outsiders.join(bf).where(bloom_might_contain("gram")).count()
+    assert fp / 20_000 < 0.02, fp

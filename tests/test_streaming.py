@@ -63,3 +63,103 @@ def test_dlq_split_routes_malformed(spark):
     ok, dlq = split_dlq(df)
     assert ok.count() == 1 and dlq.count() == 3
     assert [r.content_hash for r in ok.collect()] == ["h1"]
+
+
+def test_kafka_branch_parses_broker_records_without_a_broker(spark, tmp_path):
+    """A1 production-shape contract: drive read_changelog_stream's
+    Kafka branch through the raw_stream_factory seam with a fake
+    carrying the broker record shape (binary value + metadata cols).
+    The JSON bodies must round-trip into the typed changelog schema,
+    and a malformed body must surface as an all-NULL row that
+    split_dlq routes to the dead-letter stream — so the only
+    Kafka-branch logic that can be wrong executes in CI even though
+    no broker exists in this environment."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from dynamodb_pitr_restore_cdc_spark.streaming.cdc_stream import (
+        CHANGELOG_STREAM_SCHEMA,
+        read_changelog_stream,
+    )
+
+    records = [
+        {"seq_no": 1, "op": "INSERT", "key": 11, "ts": "2024-01-01T00:00:01.000Z",
+         "payload_value": 1.5, "payload_props": '{"a":1}', "content_hash": "h1"},
+        {"seq_no": 2, "op": "MODIFY", "key": 11, "ts": "2024-01-01T00:00:02.000Z",
+         "payload_value": 2.5, "payload_props": '{"a":2}', "content_hash": "h2"},
+        {"seq_no": 3, "op": "REMOVE", "key": 12, "ts": "2024-01-01T00:00:03.000Z",
+         "payload_value": None, "payload_props": None, "content_hash": "h3"},
+    ]
+    bodies = [json.dumps(r).encode() for r in records] + [b"{not json"]
+
+    raw_schema = T.StructType(
+        [
+            T.StructField("key", T.BinaryType()),
+            T.StructField("value", T.BinaryType()),
+            T.StructField("topic", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("timestamp", T.TimestampType()),
+        ]
+    )
+    src = str(tmp_path / "broker")
+    spark.createDataFrame(
+        [(str(i).encode(), v, "changelog", 0, i, None) for i, v in enumerate(bodies)],
+        schema=raw_schema,
+    ).write.parquet(src)
+
+    def fake_broker(sess):
+        return sess.readStream.schema(raw_schema).parquet(src)
+
+    stream = read_changelog_stream(
+        spark, "broker:9092/changelog", source="kafka", raw_stream_factory=fake_broker
+    )
+    assert stream.isStreaming
+    assert stream.schema == CHANGELOG_STREAM_SCHEMA
+    ok, dlq = split_dlq(stream)
+
+    got = {}
+
+    def sink(batch_df, epoch_id):
+        got.setdefault("ok", []).extend(batch_df.collect())
+
+    bad = {}
+
+    def dead(batch_df, epoch_id):
+        bad.setdefault("dlq", []).extend(batch_df.collect())
+
+    for df, fn, name in ((ok, sink, "ok"), (dlq, dead, "dlq")):
+        q = (
+            df.writeStream.foreachBatch(fn)
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    rows = sorted(got["ok"], key=lambda r: r.seq_no)
+    assert [(r.seq_no, r.op, r.key, r.payload_value, r.payload_props, r.content_hash)
+            for r in rows] == [
+        (1, "INSERT", 11, 1.5, '{"a":1}', "h1"),
+        (2, "MODIFY", 11, 2.5, '{"a":2}', "h2"),
+        (3, "REMOVE", 12, None, None, "h3"),
+    ]
+    assert [r.ts.isoformat()[:19] for r in rows] == [
+        "2024-01-01T00:00:01", "2024-01-01T00:00:02", "2024-01-01T00:00:03"
+    ]
+    assert len(bad["dlq"]) == 1 and bad["dlq"][0].seq_no is None
+
+
+def test_kafka_branch_without_factory_is_the_documented_stub(spark):
+    # no broker package on this classpath: constructing the real Kafka
+    # source must fail fast (the documented stub boundary), not return
+    # a half-usable plan
+    import pytest as _pytest
+
+    from dynamodb_pitr_restore_cdc_spark.streaming.cdc_stream import (
+        read_changelog_stream,
+    )
+
+    with _pytest.raises(Exception):
+        read_changelog_stream(spark, "broker:9092/changelog", source="kafka")
