@@ -238,6 +238,7 @@ def all_queries() -> dict[str, QuerySpec]:
         timeseries,
         windows,
         workloads,
+        workloads2,
     )
     from .functions import maps, scalar, scalar2  # noqa: F401
     from .llm import (  # noqa: F401

@@ -287,3 +287,63 @@ def test_chunking_and_quantize_are_map_only(plans):
         p = plans(q)
         assert "Exchange" not in p, q
         assert "EvalPython" not in p, q
+
+
+def test_tpch_suite_completion_plans(plans):
+    # the 16 round-5 TPC-H shapes: no accidental cartesian products
+    # (the deliberate one-row broadcast crossJoins in Q11/Q15/Q22 plan
+    # as BroadcastNestedLoopJoin over a single row, never
+    # CartesianProduct), and dims broadcast wherever a dim is joined
+    for q in (
+        "q_tpch_q2_min_cost_supplier", "q_tpch_q4_order_priority",
+        "q_tpch_q7_volume_shipping", "q_tpch_q8_market_share",
+        "q_tpch_q9_product_profit", "q_tpch_q12_ship_priority_classes",
+        "q_tpch_q16_supplier_variety", "q_tpch_q17_small_qty_revenue",
+        "q_tpch_q19_disjunctive_revenue", "q_tpch_q20_part_promotion",
+        "q_tpch_q21_waiting_supplier",
+    ):
+        p = plans(q)
+        assert "CartesianProduct" not in p, q
+        assert has_broadcast_join(p), q
+
+
+def test_q1_is_pushed_partial_agg(plans):
+    # Q1: the date filter reaches the scan, the scan is pruned to the
+    # 7 needed columns, and all 6 aggregates partial-aggregate
+    # map-side (the shuffle carries <=6 rows per task)
+    p = plans("q_tpch_q1_pricing_summary")
+    assert "l_shipdate" in pushed_filters(p, "lineitem")
+    assert "l_orderkey" not in scan_read_schema(p, "lineitem")
+    assert "partial_sum" in p and "partial_count" in p
+
+
+def test_q4_plans_semi_join_with_residual(plans):
+    # Q4's EXISTS stays a semi join (never inner+distinct) and the
+    # non-equi lateness predicate rides as the join residual
+    p = plans("q_tpch_q4_order_priority")
+    assert "LeftSemi" in p
+    assert "o_orderdate" in pushed_filters(p, "orders")
+
+
+def test_q19_factors_the_disjunction_to_both_scans(plans):
+    # the OR-of-ANDs must decompose: quantity bands push to the
+    # lineitem scan, brand/size bands push to the part scan, and the
+    # full disjunction survives as the join residual
+    p = plans("q_tpch_q19_disjunctive_revenue")
+    assert "l_quantity" in pushed_filters(p, "lineitem")
+    # hint must be the file name: bare "part" is a substring of
+    # "parquet" and would match the lineitem chunk
+    assert "p_brand" in pushed_filters(p, "part.parquet")
+
+
+def test_q21_is_one_aggregation_not_two_subquery_joins(plans):
+    # the EXISTS/NOT-EXISTS pair is computed by a single groupBy over
+    # the joined fact (countDistinct x2 + max), then a broadcast
+    # supplier attach and a TakeOrderedAndProject top-20 — the fact is
+    # scanned once, not three times
+    p = plans("q_tpch_q21_waiting_supplier")
+    # 3 scans (lineitem, orders, supplier), each named twice in the
+    # formatted output (tree node + detail section)
+    assert p.count("Scan parquet") <= 6
+    assert "TakeOrderedAndProject" in p
+    assert has_broadcast_join(p)
