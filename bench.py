@@ -48,6 +48,8 @@ HEADLINE = [
     "q_cdc_time_travel",
     "q_cdc_changefeed",
     "q_llm_decontaminate",
+    "q_tpch_q1_pricing_summary",
+    "q_tpch_q21_waiting_supplier",
 ]
 
 

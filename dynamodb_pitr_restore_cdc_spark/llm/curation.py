@@ -14,6 +14,8 @@ documents never reassigns an existing document's split.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -256,6 +258,33 @@ FROM test_docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
 """,
 )
 def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontaminate(spark, sf_dir, use_bloom=None)
+
+
+# The bloom build is a FIXED cost (explode k positions over the train
+# vocabulary, or-reduce to one broadcast map row) that only pays once
+# the probe-side exchange it prunes is large: measured at sf0.1 the
+# bloom ADDS ~4 s against a sub-second join (SCALE.md records the
+# crossover), so auto mode engages it by corpus bytes — a zero-job,
+# deterministic proxy for probe-side volume. Both paths are
+# bit-identical by construction (no false negatives; the exact join
+# removes false positives) and CI asserts that equality.
+BLOOM_AUTO_MIN_BYTES = 256 << 20
+
+
+def _corpus_bytes(sf_dir: str, name: str = "documents.parquet") -> int:
+    p = os.path.join(sf_dir, name)
+    if os.path.isfile(p):
+        return os.path.getsize(p)
+    total = 0
+    for dp, _, fs in os.walk(p):
+        total += sum(os.path.getsize(os.path.join(dp, f)) for f in fs)
+    return total
+
+
+def decontaminate(
+    spark: SparkSession, sf_dir: str, use_bloom: bool | None = None
+) -> DataFrame:
     """Benchmark decontamination: flag held-out (test-split) documents
     that share any word 5-gram with the training split — the standard
     n-gram-overlap leak check run before every LLM training job. The
@@ -274,6 +303,9 @@ def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed map-side, so test grams that cannot match never enter the
     exchange — at 100 TB that removes the overwhelmingly-clean test
     corpus from the shuffle (measured reduction in SCALE.md). The
+    bloom engages in auto mode only above ``BLOOM_AUTO_MIN_BYTES`` of
+    corpus — below the crossover its fixed build cost exceeds the
+    join it prunes (measured at sf0.1, SCALE.md). The
     bloom has no false negatives and the exact equijoin removes its
     false positives, so results are bit-identical with or without it.
     The train vocabulary is referenced twice (bloom build + join
@@ -292,15 +324,18 @@ def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gram"),
     )
     bucket = split_bucket(F.col("doc_id"))
-    train_grams = tracked_persist(
-        grams.where(bucket < TRAIN_PERMILLE).select("gram").distinct()
-    )
-    test_grams = (
-        grams.where(bucket >= VALID_PERMILLE)
-        .join(F.broadcast(bloom_build(train_grams)))
-        .where(bloom_might_contain("gram"))
-        .drop("bf")
-    )
+    train_grams = grams.where(bucket < TRAIN_PERMILLE).select("gram").distinct()
+    test_grams = grams.where(bucket >= VALID_PERMILLE)
+    if use_bloom is None:
+        use_bloom = _corpus_bytes(sf_dir) >= BLOOM_AUTO_MIN_BYTES
+    if use_bloom:
+        # vocabulary referenced twice (bloom build + join build)
+        train_grams = tracked_persist(train_grams)
+        test_grams = (
+            test_grams.join(F.broadcast(bloom_build(train_grams)))
+            .where(bloom_might_contain("gram"))
+            .drop("bf")
+        )
     hits = (
         test_grams.join(train_grams, "gram")
         .groupBy("doc_id")

@@ -247,7 +247,9 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup,
         kmeans,
         multimodal,
+        pq,
         retrieval,
+        scrub,
         similarity,
         textstats,
     )

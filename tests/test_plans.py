@@ -347,3 +347,20 @@ def test_q21_is_one_aggregation_not_two_subquery_joins(plans):
     assert p.count("Scan parquet") <= 6
     assert "TakeOrderedAndProject" in p
     assert has_broadcast_join(p)
+
+
+def test_paragraph_dedup_is_two_shuffles_no_python(plans):
+    # explode -> window-min on block -> regroup by doc: exactly the
+    # block shuffle + the reassembly shuffle (+AQE output exchanges),
+    # no self-join (the corpus is exploded once), no Python
+    p = plans("q_llm_paragraph_dedup")
+    assert "EvalPython" not in p
+    assert p.count("Scan parquet") <= 2  # one scan, named twice (tree + detail)
+
+
+def test_pii_redact_is_map_only(plans):
+    # inject + count + redact fuse into the scan projection: no
+    # shuffle, no Python, at any corpus size
+    p = plans("q_llm_pii_redact")
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
