@@ -258,6 +258,9 @@ FROM test_docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
 """,
 )
 def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry: `decontaminate` in auto-bloom mode (the
+    pre-prune engages above BLOOM_AUTO_MIN_BYTES of corpus; full
+    semantics + scale analysis on `decontaminate` below)."""
     return decontaminate(spark, sf_dir, use_bloom=None)
 
 

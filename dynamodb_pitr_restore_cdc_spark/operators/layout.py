@@ -1,0 +1,206 @@
+"""Physical data layout operators: partition pruning and bucketed
+co-located joins — the two LAYOUT levers that matter most at 100 TB.
+
+Partition pruning is directory-level data skipping: a table written
+as .../o_year=1997/... lets a year predicate skip whole directories
+before any I/O (PartitionFilters in the scan node — distinct from
+row-group PushedFilters, which still opens the file). A 100 TB fact
+partitioned by day serves a one-month query from <1% of its files.
+
+Bucketing is pre-shuffled layout: two tables hash-bucketed into the
+same number of buckets on their join key sort-merge-join WITHOUT
+either side shuffling — the exchange that usually dominates a
+fact-to-fact join disappears because the write already placed
+matching keys in matching files. The reference's analog is DynamoDB's
+own hash-partitioning by item key (SURVEY.md §1.1); here it becomes
+the engine's co-located join story.
+
+Both queries materialize their layout into a session-scoped temp
+location, prove the plan property (pinned in tests/test_plans.py),
+and clean up — the layout cost is the one-time write, the benefit is
+every subsequent query, which is exactly the 100 TB trade."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import cents
+from ..registry import register, tracked_persist
+from ..sources import table
+
+
+@register(
+    "q_scan_partitioned_source",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       round(o_totalprice, 2) AS total_price
+FROM orders
+WHERE strftime(o_orderdate, '%Y') = '1997'
+""",
+)
+def q_scan_partitioned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan: orders re-laid-out as
+    .../o_year=YYYY/part-*.parquet, then read with a partition-key
+    predicate. The plan's scan node must show the year in
+    PartitionFilters (directory skipping) rather than only
+    PushedFilters (file-internal skipping) — tests/test_plans.py pins
+    this. At 100 TB with daily partitions this is the difference
+    between listing 30 directories and opening 10^6 files. The
+    partition column round-trips as a string (Spark infers partition
+    values; strings stay strings under
+    partitionColumnTypeInference)."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_cdc_engine_sink",
+        f"orders_part-{uuid.uuid4().hex[:8]}",
+    )
+    (
+        table(spark, sf_dir, "orders")
+        .withColumn("o_year", F.date_format("o_orderdate", "yyyy"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(out)
+    )
+    result = tracked_persist(
+        spark.read.parquet(out)
+        .where(F.col("o_year") == "1997")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+    )
+    result.count()  # materialize before removing the backing dir
+    shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+def partitioned_scan_plan(spark: SparkSession, sf_dir: str):
+    """(plan-audit helper) Build the partitioned layout and return the
+    pruned-scan DataFrame WITHOUT materializing/cleanup, so tests can
+    assert PartitionFilters on the analyzed plan. Caller removes the
+    returned path."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_cdc_engine_sink",
+        f"orders_part_plan-{uuid.uuid4().hex[:8]}",
+    )
+    (
+        table(spark, sf_dir, "orders")
+        .withColumn("o_year", F.date_format("o_orderdate", "yyyy"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(out)
+    )
+    df = (
+        spark.read.parquet(out)
+        .where(F.col("o_year") == "1997")
+        .select("o_orderkey", "o_custkey")
+    )
+    return df, out
+
+
+N_BUCKETS = 8
+
+
+def bucketed_join(spark: SparkSession, sf_dir: str):
+    """(shared core + plan-audit helper) Write orders and lineitem
+    bucketed+sorted on the order key into N_BUCKETS matching buckets,
+    and return (joined DataFrame, cleanup closure). With broadcast
+    disabled the join plans as a sort-merge join over the bucketed
+    scans with NO Exchange on either side — both shuffles are paid at
+    write time, once, instead of per query.
+
+    The bucketed layout lives in the session catalog (bucket metadata
+    is catalog state, not parquet metadata), backed by an external
+    path under tmp; the closure drops both tables and the files."""
+    tag = uuid.uuid4().hex[:8]
+    root = os.path.join(tempfile.gettempdir(), "spark_cdc_engine_sink", f"bkt-{tag}")
+    o_name, l_name = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
+    (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .write.bucketBy(N_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", os.path.join(root, "orders"))
+        .saveAsTable(o_name)
+    )
+    (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+        .write.bucketBy(N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", os.path.join(root, "lineitem"))
+        .saveAsTable(l_name)
+    )
+    o = spark.table(o_name)
+    li = spark.table(l_name)
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+
+    def cleanup():
+        spark.sql(f"DROP TABLE IF EXISTS {o_name}")
+        spark.sql(f"DROP TABLE IF EXISTS {l_name}")
+        shutil.rmtree(root, ignore_errors=True)
+
+    return joined, cleanup
+
+
+@register(
+    "q_join_bucketed_colocated",
+    oracle="""
+SELECT o.o_orderstatus,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
+       CAST(sum(l.l_quantity) AS BIGINT) AS total_qty,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+ORDER BY o.o_orderstatus
+""",
+)
+def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-to-fact join via matching bucketed layouts:
+    orders and lineitem both bucketed into 8 buckets on the order key,
+    joined as a sort-merge join with ZERO Exchange below the join
+    (pinned in tests/test_plans.py) — bucket i of one side only ever
+    meets bucket i of the other. Broadcast is disabled for the build
+    (restored in a finally) so the plan proves the bucketed path, not
+    the small-fixture shortcut. At 100 TB this is THE recurring-join
+    optimization: the per-query shuffle of the two largest tables is
+    replaced by a one-time bucketed write, and the sortBy makes the
+    merge phase streaming (no per-task sort)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined, cleanup = bucketed_join(spark, sf_dir)
+        result = (
+            joined.groupBy("o_orderstatus")
+            .agg(
+                (
+                    F.sum(
+                        cents("l_extendedprice") * (100 - cents("l_discount"))
+                    )
+                    / 10000.0
+                ).alias("revenue"),
+                F.sum("l_quantity").cast("bigint").alias("total_qty"),
+                F.count("*").alias("n_lines"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        # localCheckpoint, not persist: DROP TABLE in cleanup()
+        # invalidates cached plans that still REFERENCE the catalog
+        # tables, so a persisted plan would silently recompute against
+        # deleted files; the checkpoint severs that lineage first.
+        result = result.localCheckpoint(eager=True)
+        cleanup()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return result

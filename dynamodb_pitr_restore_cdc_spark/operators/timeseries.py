@@ -88,3 +88,61 @@ def q_ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce("value_c", F.lit(0)) / 100.0).alias("hour_value"),
         (F.last("value_c", ignorenulls=True).over(w) / 100.0).alias("ffill_value"),
     )
+
+
+@register(
+    "q_ts_ohlc_bars",
+    oracle="""
+WITH r AS (
+    SELECT user_id, date_trunc('hour', ts) AS h, value,
+           row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY ts, event_id) AS rn_a,
+           row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM events
+)
+SELECT user_id,
+       epoch_us(h) AS hour_us,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*) AS n_events
+FROM r
+GROUP BY user_id, h
+""",
+)
+def q_ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC downsampling bars per user — the standard time-series
+    compaction (metrics rollup / candlestick) shape. Open/close are
+    argmin/argmax by (ts, event_id) computed as min/max over a struct —
+    a partial-aggregatable single pass, no window, no second scan
+    (event_id is unique, so the struct comparison never reaches the
+    value field: the tie-break is total). High/low/count ride the same
+    aggregate. Values pass through UNTOUCHED doubles (no arithmetic),
+    so both engines emit bit-identical floats. 100 TB: one shuffle at
+    (user, hour) grain with map-side partial bars — the shuffled volume
+    is the BAR count, not the event count; the oracle's window
+    formulation is the plan this one deliberately avoids."""
+    e = table(spark, sf_dir, "events")
+    first_s = F.min(F.struct("ts", "event_id", "value"))
+    last_s = F.max(F.struct("ts", "event_id", "value"))
+    return (
+        e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            first_s.getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            last_s.getField("value").alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("h").alias("hour_us"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )

@@ -203,6 +203,9 @@ _REVERIFY_R05: frozenset[str] = frozenset(
         "q_cdc_time_travel", "q_stream_versioned_sink", "q_cdc_changefeed",
         "q_cdc_incremental_agg", "q_llm_repetition_filter",
         "q_llm_domain_mix",
+        # round-5 mid-round re-implementation: the bloom pre-prune is
+        # now gated by corpus bytes (llm/curation.py)
+        "q_llm_decontaminate",
     }
 )
 
@@ -231,6 +234,7 @@ def all_queries() -> dict[str, QuerySpec]:
         cdc,
         envelope,
         joins,
+        layout,
         reshape,
         scans,
         setops,

@@ -364,3 +364,50 @@ def test_pii_redact_is_map_only(plans):
     p = plans("q_llm_pii_redact")
     assert "Exchange" not in p
     assert "EvalPython" not in p
+
+
+def test_partitioned_scan_prunes_directories(spark, sf_dir):
+    # the year predicate must appear as a PARTITION filter (directory
+    # skipping), not merely a pushed row-group filter
+    import shutil
+    from dynamodb_pitr_restore_cdc_spark.operators.layout import (
+        partitioned_scan_plan,
+    )
+
+    df, out = partitioned_scan_plan(spark, sf_dir)
+    try:
+        p = plan_string(df)
+        assert "PartitionFilters" in p
+        seg = p.split("PartitionFilters", 1)[1].splitlines()[0]
+        assert "o_year" in seg, seg
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    # matching bucketed layouts: the sort-merge join consumes both
+    # bucketed scans directly — zero Exchange anywhere below the join
+    from dynamodb_pitr_restore_cdc_spark.operators.layout import bucketed_join
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined, cleanup = bucketed_join(spark, sf_dir)
+        try:
+            p = plan_string(joined)
+            assert "SortMergeJoin" in p
+            assert "Exchange" not in p, p[:1500]
+            assert "Bucketed: true" in p
+        finally:
+            cleanup()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_ohlc_is_single_pass_partial_agg(plans):
+    # OHLC bars must be ONE aggregation pass (partial + final), never
+    # the window/row_number formulation the oracle uses
+    p = plans("q_ts_ohlc_bars")
+    assert "Window" not in p
+    assert p.count("HashAggregate") + p.count("SortAggregate") >= 2
+    assert p.count("Scan parquet") <= 2  # one scan (tree + detail)
