@@ -50,6 +50,8 @@ HEADLINE = [
     "q_llm_decontaminate",
     "q_tpch_q1_pricing_summary",
     "q_tpch_q21_waiting_supplier",
+    "q_llm_ann_pq",
+    "q_llm_paragraph_dedup",
 ]
 
 

@@ -114,63 +114,66 @@ def pq_codebooks(sub: DataFrame, iters: int = PQ_ITERS) -> DataFrame:
     return centroids
 
 
-def _pq_oracle_ctes() -> str:
+def _pq_oracle_ctes(prefix: str = "") -> str:
     """DuckDB CTE chain mirroring the PQ trainer + encoder + ADC: the
     per-subspace Lloyd unroll is kmeans.lloyd_oracle_ctes with the
-    subspace id m threaded through every key."""
+    subspace id m threaded through every key. ``prefix`` renames every
+    CTE so the chain composes with other Lloyd unrolls (the IVF prefix
+    also defines c0/a1/asg1/... — see q_llm_ann_ivfadc)."""
+    P = prefix
     parts = [
         (
-            "q AS (SELECT vec_id, list_transform(embedding, "
+            f"{P}q AS (SELECT vec_id, list_transform(embedding, "
             f"x -> CAST(floor(x::DOUBLE * {QUANT} + 0.5) AS BIGINT)) AS qv FROM embeddings)"
         ),
         (
-            f"sub AS (SELECT vec_id, CAST(t.m AS BIGINT) AS m, "
+            f"{P}sub AS (SELECT vec_id, CAST(t.m AS BIGINT) AS m, "
             f"qv[(t.m*{SUB_DIM}+1):(t.m*{SUB_DIM}+{SUB_DIM})] AS sv "
-            f"FROM q, UNNEST(range({M_SUBSPACES})) AS t(m))"
+            f"FROM {P}q, UNNEST(range({M_SUBSPACES})) AS t(m))"
         ),
         (
-            f"c0 AS (SELECT m, vec_id AS cid, sv AS cv FROM sub "
+            f"{P}c0 AS (SELECT m, vec_id AS cid, sv AS cv FROM {P}sub "
             f"WHERE vec_id BETWEEN 1 AND {PQ_K})"
         ),
     ]
     for i in range(1, PQ_ITERS + 1):
         parts += [
             (
-                f"a{i} AS (SELECT s.vec_id, s.m, c.cid, row_number() OVER "
+                f"{P}a{i} AS (SELECT s.vec_id, s.m, c.cid, row_number() OVER "
                 f"(PARTITION BY s.vec_id, s.m ORDER BY {_D2_SQL}, c.cid) AS rn "
-                f"FROM sub s JOIN c{i - 1} c ON s.m = c.m)"
+                f"FROM {P}sub s JOIN {P}c{i - 1} c ON s.m = c.m)"
             ),
-            f"asg{i} AS (SELECT vec_id, m, cid FROM a{i} WHERE rn = 1)",
+            f"{P}asg{i} AS (SELECT vec_id, m, cid FROM {P}a{i} WHERE rn = 1)",
             (
-                f"dims{i} AS (SELECT g.m, g.cid, p.pos, s.sv[p.pos] AS val "
-                f"FROM asg{i} g JOIN sub s ON s.vec_id = g.vec_id AND s.m = g.m "
+                f"{P}dims{i} AS (SELECT g.m, g.cid, p.pos, s.sv[p.pos] AS val "
+                f"FROM {P}asg{i} g JOIN {P}sub s ON s.vec_id = g.vec_id AND s.m = g.m "
                 f"CROSS JOIN (SELECT unnest(range(1, {SUB_DIM + 1})) AS pos) p)"
             ),
             (
-                f"mm{i} AS (SELECT m, cid, pos, CAST(sum(val) // count(*) AS BIGINT) "
-                f"AS mean_val FROM dims{i} GROUP BY m, cid, pos)"
+                f"{P}mm{i} AS (SELECT m, cid, pos, CAST(sum(val) // count(*) AS BIGINT) "
+                f"AS mean_val FROM {P}dims{i} GROUP BY m, cid, pos)"
             ),
             (
-                f"c{i} AS (SELECT m, cid, list(mean_val ORDER BY pos) AS cv "
-                f"FROM mm{i} GROUP BY m, cid)"
+                f"{P}c{i} AS (SELECT m, cid, list(mean_val ORDER BY pos) AS cv "
+                f"FROM {P}mm{i} GROUP BY m, cid)"
             ),
         ]
-    cfin = f"c{PQ_ITERS}"
+    cfin = f"{P}c{PQ_ITERS}"
     parts += [
         (
-            f"enc_rank AS (SELECT s.vec_id, s.m, c.cid, row_number() OVER "
+            f"{P}enc_rank AS (SELECT s.vec_id, s.m, c.cid, row_number() OVER "
             f"(PARTITION BY s.vec_id, s.m ORDER BY {_D2_SQL}, c.cid) AS rn "
-            f"FROM sub s JOIN {cfin} c ON s.m = c.m)"
+            f"FROM {P}sub s JOIN {cfin} c ON s.m = c.m)"
         ),
-        "enc AS (SELECT vec_id, m, cid FROM enc_rank WHERE rn = 1)",
+        f"{P}enc AS (SELECT vec_id, m, cid FROM {P}enc_rank WHERE rn = 1)",
         (
-            f"dt AS (SELECT c.m, c.cid, {_D2_SQL} AS d FROM {cfin} c "
-            f"JOIN (SELECT m, sv FROM sub WHERE vec_id = {PROBE_VEC_ID}) s "
+            f"{P}dt AS (SELECT c.m, c.cid, {_D2_SQL} AS d FROM {cfin} c "
+            f"JOIN (SELECT m, sv FROM {P}sub WHERE vec_id = {PROBE_VEC_ID}) s "
             f"ON s.m = c.m)"
         ),
         (
-            f"approx AS (SELECT e.vec_id, CAST(sum(dt.d) AS BIGINT) AS approx_d2 "
-            f"FROM enc e JOIN dt ON e.m = dt.m AND e.cid = dt.cid "
+            f"{P}approx AS (SELECT e.vec_id, CAST(sum(dt.d) AS BIGINT) AS approx_d2 "
+            f"FROM {P}enc e JOIN {P}dt dt ON e.m = dt.m AND e.cid = dt.cid "
             f"WHERE e.vec_id <> {PROBE_VEC_ID} GROUP BY e.vec_id)"
         ),
     ]
@@ -216,6 +219,82 @@ def q_llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         codes.where(F.col("vec_id") != PROBE_VEC_ID)
+        .join(F.broadcast(dtable), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("d").alias("approx_d2"))
+        .orderBy("approx_d2", "vec_id")
+        .limit(PQ_TOP_K)
+    )
+
+
+def _ivfadc_oracle() -> str:
+    """IVF cell pruning composed with PQ ADC scoring: the IVF chain
+    (kmeans.lloyd_oracle_ctes via similarity._ivf_oracle_prefix —
+    defines rank_final/asg on FULL vectors) and the PQ chain (prefixed
+    pq_, on subvectors) coexist in one WITH; candidates = vectors in
+    the probe's nprobe nearest cells, scored by their ADC distance."""
+    from .similarity import IVF_PROBE_CELLS, _ivf_oracle_prefix
+
+    return f"""
+WITH {_ivf_oracle_prefix()},
+{_pq_oracle_ctes(prefix="pq_")},
+probe_cells AS (SELECT cid FROM rank_final
+                WHERE vec_id = {PROBE_VEC_ID} AND rn <= {IVF_PROBE_CELLS}),
+cand AS (SELECT vec_id FROM asg
+         WHERE cid IN (SELECT cid FROM probe_cells)
+           AND vec_id <> {PROBE_VEC_ID})
+SELECT x.vec_id, x.approx_d2
+FROM pq_approx x JOIN cand USING (vec_id)
+ORDER BY approx_d2, vec_id
+LIMIT {PQ_TOP_K}
+"""
+
+
+@register("q_llm_ann_ivfadc", oracle=_ivfadc_oracle())
+def q_llm_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the production ANN layout: IVF cells prune WHICH
+    vectors a probe touches (nprobe nearest of K = ceil(sqrt(n))
+    cells, k-means-trained coarse quantizer from llm/similarity.py),
+    then PQ codes decide how CHEAPLY each touched vector is scored
+    (ADC table lookups over the 64x-compressed codes). At 100 TB the
+    two compose multiplicatively: a probe reads nprobe/K of the
+    corpus at ~4 bytes per vector — versus every full float vector
+    for brute force. Classic IVFADC encodes cell RESIDUALS; this
+    registers the flat-code variant (codes trained corpus-wide),
+    which keeps the encoder cell-independent — the same trade
+    OPQ-less IVF-Flat/PQ indexes make. Both stages are exact-integer,
+    so the composed pipeline stays bit-reproducible and fully
+    oracled (trainer included, both chains unrolled in one WITH)."""
+    from .kmeans import assignment_ranking
+    from .similarity import IVF_PROBE_CELLS, _cell_members, trained_quantizer
+
+    # stage 1: IVF — the probe's nprobe nearest cells, then the cell
+    # members (served from the materialized per-corpus index)
+    vectors, cents = trained_quantizer(spark, sf_dir)
+    probe_cells = (
+        assignment_ranking(vectors.where(F.col("vec_id") == PROBE_VEC_ID), cents)
+        .where(F.col("rn") <= IVF_PROBE_CELLS)
+        .select("cid")
+    )
+    cand_ids = (
+        _cell_members(spark, sf_dir)
+        .join(F.broadcast(probe_cells), "cid", "left_semi")
+        .where(F.col("vec_id") != PROBE_VEC_ID)
+        .select("vec_id")
+    )
+    # stage 2: ADC over the surviving candidates only
+    sub = _subvectors(spark, sf_dir)
+    sub = sub.localCheckpoint(eager=True)  # trainer + encode + probe branches
+    books = pq_codebooks(sub)
+    codes = _pq_assign(sub, books).select("vec_id", "m", "cid")
+    probe = sub.where(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("m").alias("pm"), F.col("sv").alias("psv")
+    )
+    dtable = books.join(F.broadcast(probe), books.m == F.col("pm")).select(
+        "m", "cid", _int_sq_dist(F.col("psv"), F.col("cv")).alias("d")
+    )
+    return (
+        codes.join(cand_ids, "vec_id", "left_semi")
         .join(F.broadcast(dtable), ["m", "cid"])
         .groupBy("vec_id")
         .agg(F.sum("d").alias("approx_d2"))

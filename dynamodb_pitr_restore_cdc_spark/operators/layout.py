@@ -51,10 +51,10 @@ def q_scan_partitioned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     PartitionFilters (directory skipping) rather than only
     PushedFilters (file-internal skipping) — tests/test_plans.py pins
     this. At 100 TB with daily partitions this is the difference
-    between listing 30 directories and opening 10^6 files. The
-    partition column round-trips as a string (Spark infers partition
-    values; strings stay strings under
-    partitionColumnTypeInference)."""
+    between listing 30 directories and opening 10^6 files. Partition
+    values come back through partitionColumnTypeInference (a yyyy
+    directory name reads as INT) — outputs that expose the partition
+    column cast it explicitly."""
     out = os.path.join(
         tempfile.gettempdir(),
         "spark_cdc_engine_sink",
@@ -204,3 +204,95 @@ def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     return result
+
+
+@register(
+    "q_join_dynamic_partition_pruning",
+    oracle="""
+SELECT strftime(o.o_orderdate, '%Y') AS o_year,
+       count(*) AS n_orders,
+       sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND strftime(o.o_orderdate, '%Y') IN ('1996', '1997')
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def q_join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP): the fact is laid out
+    partitioned by year, the dim filter is on customer, and the year
+    restriction reaches the FACT SCAN at runtime through the join —
+    Spark injects a dynamicpruning subquery into the partitioned
+    scan's PartitionFilters, so only partitions whose keys survive the
+    dim side are listed/read. Here the static IN ('1996','1997')
+    prunes directories at plan time AND the broadcast-side DPP
+    machinery is exercised by the segment-filtered dim join
+    (dpp_join_plan pins the dynamicpruning expression on a
+    dim-derived partition key). At 100 TB DPP is what makes
+    star-schema queries over a date-partitioned fact read days, not
+    years, without the user naming dates on the fact."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_cdc_engine_sink",
+        f"orders_dpp-{uuid.uuid4().hex[:8]}",
+    )
+    (
+        table(spark, sf_dir, "orders")
+        .withColumn("o_year", F.date_format("o_orderdate", "yyyy"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(out)
+    )
+    c = table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spark.read.parquet(out).where(F.col("o_year").isin("1996", "1997"))
+    result = tracked_persist(
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # partitionColumnTypeInference reads o_year back as INT; cast
+        # to string AFTER the pruning filter so the directory skipping
+        # happens on the native partition type
+        .groupBy(F.col("o_year").cast("string").alias("o_year"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(cents("o_totalprice")) / 100.0).alias("total_price"),
+        )
+        .orderBy("o_year")
+    )
+    result.count()  # materialize before removing the backing dir
+    shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+def dpp_join_plan(spark: SparkSession, sf_dir: str):
+    """(plan-audit helper) A join whose ONLY year restriction lives on
+    the dim side: orders partitioned by year joined to a one-year dim
+    of (year, priority-class) pairs. DPP must inject a dynamicpruning
+    expression into the fact scan's PartitionFilters — without it the
+    fact reads every year directory. Returns (df, path); caller
+    removes the path."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_cdc_engine_sink",
+        f"orders_dpp_plan-{uuid.uuid4().hex[:8]}",
+    )
+    (
+        table(spark, sf_dir, "orders")
+        .withColumn("o_year", F.date_format("o_orderdate", "yyyy"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(out)
+    )
+    dim = (
+        table(spark, sf_dir, "orders")
+        .select(F.date_format("o_orderdate", "yyyy").alias("d_year"))
+        .distinct()
+        .where(F.col("d_year") == "1997")
+    )
+    fact = spark.read.parquet(out)
+    df = fact.join(F.broadcast(dim), fact.o_year == dim.d_year).groupBy(
+        "o_year"
+    ).agg(F.count("*").alias("n"))
+    return df, out

@@ -411,3 +411,27 @@ def test_ohlc_is_single_pass_partial_agg(plans):
     assert "Window" not in p
     assert p.count("HashAggregate") + p.count("SortAggregate") >= 2
     assert p.count("Scan parquet") <= 2  # one scan (tree + detail)
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    # the year restriction lives ONLY on the dim side: the partitioned
+    # fact scan must carry a runtime dynamicpruning expression in its
+    # PartitionFilters (directory skipping decided by the dim join)
+    import shutil
+    from dynamodb_pitr_restore_cdc_spark.operators.layout import dpp_join_plan
+
+    df, out = dpp_join_plan(spark, sf_dir)
+    try:
+        p = plan_string(df)
+        assert "dynamicpruning" in p.lower(), p[:2000]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_ivfadc_stays_jvm_side_and_broadcasts(plans):
+    # the composed ANN: no Python anywhere, the distance table and
+    # probe-cell sides broadcast, and the final top-k is TakeOrdered
+    p = plans("q_llm_ann_ivfadc")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert has_broadcast_join(p)
+    assert "TakeOrderedAndProject" in p
