@@ -195,3 +195,109 @@ def q_llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         redacted.alias("redacted"),
         F.length(redacted).cast("bigint").alias("redacted_len"),
     )
+
+
+@register(
+    "q_stream_paragraph_dedup",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), b AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS block_idx,
+         array_to_string(w[(i*{BLOCK_WORDS}+1):(i*{BLOCK_WORDS}+{BLOCK_WORDS})], ' ') AS block
+  FROM d, UNNEST(range(CAST(ceil(len(w) / {BLOCK_WORDS}.0) AS BIGINT))) AS t(i)
+), firsts AS (
+  SELECT block, min(doc_id) AS first_doc FROM b GROUP BY block
+)
+SELECT b.doc_id,
+       count(*) AS n_blocks,
+       CAST(sum(CASE WHEN f.first_doc < b.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_blocks
+FROM b JOIN firsts f ON b.block = f.block
+GROUP BY b.doc_id
+""",
+)
+def q_stream_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming paragraph dedup against the static block index — the
+    ingestion twin of q_llm_paragraph_dedup (the shape
+    q_stream_near_dedup gives doc-level minhash, at paragraph grain
+    and exact): documents arrive in micro-batches (3 pinned
+    doc_id-range splits); each arriving doc's 10-word blocks are
+    joined against the corpus block->first-owner index (min doc_id
+    per distinct block, built once and persisted), and the query
+    emits how many of the doc's blocks already belong to an EARLIER
+    document. Every doc arrives exactly once, so appended per-batch
+    outputs union to the batch answer — which is what the oracle
+    computes directly. At 100 TB the index is the block vocabulary
+    keyed by block (in production: xxhash64(block), 8-byte keys), and
+    each micro-batch joins only its own blocks against it."""
+    from ..streaming.stream_queries import _fresh_dir, _write_split_files
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    block_expr = F.posexplode(
+        F.expr(
+            f"transform(sequence(0, int(ceil(size(split(text, ' ')) / {BLOCK_WORDS}.0)) - 1),"
+            f" i -> array_join(slice(split(text, ' '), i * {BLOCK_WORDS} + 1, {BLOCK_WORDS}), ' '))"
+        )
+    ).alias("block_idx", "block")
+    # corpus block -> first owning doc (the static index; referenced by
+    # every micro-batch, so persisted once)
+    from ..registry import tracked_persist
+
+    first_owner = tracked_persist(
+        docs.select("doc_id", block_expr)
+        .groupBy("block")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    first_owner.count()
+
+    row = docs.agg(
+        F.expr("percentile(doc_id, 0.3333)").alias("p1"),
+        F.expr("percentile(doc_id, 0.6667)").alias("p2"),
+    ).first()
+    d = F.col("doc_id")
+    src, out, ck = (
+        _fresh_dir("spd-src"),
+        _fresh_dir("spd-out"),
+        _fresh_dir("spd-ck"),
+    )
+    _write_split_files(
+        docs, [d < row.p1, (d >= row.p1) & (d < row.p2), d >= row.p2], src
+    )
+
+    def dedup_batch(batch: DataFrame, epoch_id: int) -> None:
+        blocks = batch.select("doc_id", block_expr)
+        (
+            blocks.join(first_owner, "block")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_blocks"),
+                F.sum((F.col("first_doc") < F.col("doc_id")).cast("bigint")).alias(
+                    "n_dup_blocks"
+                ),
+            )
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    import shutil
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = tracked_persist(
+        spark.read.schema("doc_id long, n_blocks long, n_dup_blocks long").parquet(
+            out
+        )
+    )
+    result.count()  # materialize before removing the backing dirs
+    for p in (src, out, ck):
+        shutil.rmtree(p, ignore_errors=True)
+    return result
