@@ -109,20 +109,31 @@ def partitioned_scan_plan(spark: SparkSession, sf_dir: str):
 
 N_BUCKETS = 8
 
+# Bucketed layout is a per-(session, corpus) ARTIFACT, same discipline
+# as the LSH band index and the IVF inverted lists (llm/dedup.
+# band_buckets, llm/similarity._cell_members): the bucketed write is a
+# one-time indexing job and every subsequent co-located join reads it.
+# Catalog entries die with the session; the backing files are swept at
+# exit.
+_BUCKETED_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+_BUCKETED_ROOT = os.path.join(tempfile.gettempdir(), "spark_cdc_engine_bkt")
 
-def bucketed_join(spark: SparkSession, sf_dir: str):
-    """(shared core + plan-audit helper) Write orders and lineitem
-    bucketed+sorted on the order key into N_BUCKETS matching buckets,
-    and return (joined DataFrame, cleanup closure). With broadcast
-    disabled the join plans as a sort-merge join over the bucketed
-    scans with NO Exchange on either side — both shuffles are paid at
-    write time, once, instead of per query.
+import atexit
 
-    The bucketed layout lives in the session catalog (bucket metadata
-    is catalog state, not parquet metadata), backed by an external
-    path under tmp; the closure drops both tables and the files."""
+atexit.register(shutil.rmtree, _BUCKETED_ROOT, ignore_errors=True)
+
+
+def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """(orders, lineitem) catalog table names, both bucketed+sorted on
+    the order key into N_BUCKETS matching buckets — built once per
+    (session, corpus) and reused (bucket metadata is catalog state,
+    not parquet metadata, so the cache key includes the session)."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    entry = _BUCKETED_CACHE.get(key)
+    if entry is not None and spark.catalog.tableExists(entry[0]):
+        return entry
     tag = uuid.uuid4().hex[:8]
-    root = os.path.join(tempfile.gettempdir(), "spark_cdc_engine_sink", f"bkt-{tag}")
+    root = os.path.join(_BUCKETED_ROOT, f"bkt-{tag}")
     o_name, l_name = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
     (
         table(spark, sf_dir, "orders")
@@ -140,16 +151,19 @@ def bucketed_join(spark: SparkSession, sf_dir: str):
         .option("path", os.path.join(root, "lineitem"))
         .saveAsTable(l_name)
     )
+    _BUCKETED_CACHE[key] = (o_name, l_name)
+    return o_name, l_name
+
+
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shared core + plan-audit helper) The co-located join over the
+    cached bucketed layout. With broadcast disabled it plans as a
+    sort-merge join over the bucketed scans with NO Exchange on either
+    side — both shuffles were paid once at layout-build time."""
+    o_name, l_name = bucketed_tables(spark, sf_dir)
     o = spark.table(o_name)
     li = spark.table(l_name)
-    joined = li.join(o, li.l_orderkey == o.o_orderkey)
-
-    def cleanup():
-        spark.sql(f"DROP TABLE IF EXISTS {o_name}")
-        spark.sql(f"DROP TABLE IF EXISTS {l_name}")
-        shutil.rmtree(root, ignore_errors=True)
-
-    return joined, cleanup
+    return li.join(o, li.l_orderkey == o.o_orderkey)
 
 
 @register(
@@ -175,12 +189,13 @@ def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     (restored in a finally) so the plan proves the bucketed path, not
     the small-fixture shortcut. At 100 TB this is THE recurring-join
     optimization: the per-query shuffle of the two largest tables is
-    replaced by a one-time bucketed write, and the sortBy makes the
-    merge phase streaming (no per-task sort)."""
+    replaced by a one-time bucketed write (cached per session+corpus —
+    repeat queries reuse the layout, the artifact pattern), and the
+    sortBy makes the merge phase streaming (no per-task sort)."""
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        joined, cleanup = bucketed_join(spark, sf_dir)
+        joined = bucketed_join(spark, sf_dir)
         result = (
             joined.groupBy("o_orderstatus")
             .agg(
@@ -195,12 +210,11 @@ def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("o_orderstatus")
         )
-        # localCheckpoint, not persist: DROP TABLE in cleanup()
-        # invalidates cached plans that still REFERENCE the catalog
-        # tables, so a persisted plan would silently recompute against
-        # deleted files; the checkpoint severs that lineage first.
+        # localCheckpoint, not persist: the result must stay readable
+        # even if the session's cached layout tables are later dropped
+        # or swept (dropping a catalog table invalidates cached plans
+        # that reference it); the checkpoint severs that lineage.
         result = result.localCheckpoint(eager=True)
-        cleanup()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     return result

@@ -392,16 +392,18 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        joined, cleanup = bucketed_join(spark, sf_dir)
-        try:
-            p = plan_string(joined)
-            assert "SortMergeJoin" in p
-            assert "Exchange" not in p, p[:1500]
-            assert "Bucketed: true" in p
-        finally:
-            cleanup()
+        joined = bucketed_join(spark, sf_dir)
+        p = plan_string(joined)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, p[:1500]
+        assert "Bucketed: true" in p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # artifact reuse: a second call must serve the SAME catalog tables
+    from dynamodb_pitr_restore_cdc_spark.operators.layout import bucketed_tables
+
+    assert bucketed_tables(spark, sf_dir) == bucketed_tables(spark, sf_dir)
 
 
 def test_ohlc_is_single_pass_partial_agg(plans):
