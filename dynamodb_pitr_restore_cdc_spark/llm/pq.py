@@ -53,10 +53,9 @@ def _int_sq_dist(a, b):
     )
 
 
-def _subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, m, sv): the corpus exploded to subspace grain —
-    map-only (slice + posexplode fused into the scan projection)."""
-    q = _quantized(spark, sf_dir)
+def subvectors_of(q: DataFrame) -> DataFrame:
+    """(vec_id, m, sv) from any (vec_id, qv) frame — map-only (slice +
+    posexplode fused into whatever produced qv)."""
     return q.select(
         "vec_id",
         F.posexplode(
@@ -66,6 +65,11 @@ def _subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("m", "sv"),
     )
+
+
+def _subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, sv): the corpus exploded to subspace grain."""
+    return subvectors_of(_quantized(spark, sf_dir))
 
 
 def _pq_assign(sub: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -114,16 +118,20 @@ def pq_codebooks(sub: DataFrame, iters: int = PQ_ITERS) -> DataFrame:
     return centroids
 
 
-def _pq_oracle_ctes(prefix: str = "") -> str:
+def _pq_oracle_ctes(prefix: str = "", qv_cte: str | None = None) -> str:
     """DuckDB CTE chain mirroring the PQ trainer + encoder + ADC: the
     per-subspace Lloyd unroll is kmeans.lloyd_oracle_ctes with the
     subspace id m threaded through every key. ``prefix`` renames every
     CTE so the chain composes with other Lloyd unrolls (the IVF prefix
-    also defines c0/a1/asg1/... — see q_llm_ann_ivfadc)."""
+    also defines c0/a1/asg1/... — see q_llm_ann_ivfadc). ``qv_cte``
+    swaps the quantization source: instead of quantizing embeddings,
+    read (vec_id, qv) from an earlier CTE — the residual-PQ hook."""
     P = prefix
     parts = [
         (
-            f"{P}q AS (SELECT vec_id, list_transform(embedding, "
+            f"{P}q AS (SELECT vec_id, qv FROM {qv_cte})"
+            if qv_cte
+            else f"{P}q AS (SELECT vec_id, list_transform(embedding, "
             f"x -> CAST(floor(x::DOUBLE * {QUANT} + 0.5) AS BIGINT)) AS qv FROM embeddings)"
         ),
         (
@@ -296,6 +304,153 @@ def q_llm_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         codes.join(cand_ids, "vec_id", "left_semi")
         .join(F.broadcast(dtable), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("d").alias("approx_d2"))
+        .orderBy("approx_d2", "vec_id")
+        .limit(PQ_TOP_K)
+    )
+
+
+def _ivfpq_residual_oracle() -> str:
+    """Classic IVFADC with cell-RESIDUAL codebooks: PQ trains on
+    (vector - assigned cell centroid), and a probe builds one distance
+    table PER PROBED CELL from its residual against that cell. The
+    oracle chains: IVF Lloyd unroll (defines q/asg/c{n}/rank_final) ->
+    residual CTE rq -> PQ chain re-rooted at rq (qv_cte hook) ->
+    per-cell probe residual tables -> candidate scoring."""
+    from .similarity import IVF_PROBE_CELLS, IVF_TRAIN_ITERS, _ivf_oracle_prefix
+
+    cfin = f"c{IVF_TRAIN_ITERS}"
+    pq_books = f"pq_c{PQ_ITERS}"
+    d2 = (
+        "list_sum(list_transform(list_zip(ps.sv, cb.cv), "
+        "z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    )
+    return f"""
+WITH {_ivf_oracle_prefix()},
+rq AS (
+  SELECT q.vec_id,
+         list_transform(list_zip(q.qv, c.cv), z -> z[1] - z[2]) AS qv
+  FROM q JOIN asg USING (vec_id) JOIN {cfin} c ON asg.cid = c.cid
+),
+{_pq_oracle_ctes(prefix="pq_", qv_cte="rq")},
+probe_cells AS (SELECT cid FROM rank_final
+                WHERE vec_id = {PROBE_VEC_ID} AND rn <= {IVF_PROBE_CELLS}),
+pres AS (
+  SELECT c.cid AS pcell,
+         list_transform(list_zip(pq0.qv, c.cv), z -> z[1] - z[2]) AS rv
+  FROM (SELECT qv FROM q WHERE vec_id = {PROBE_VEC_ID}) pq0, {cfin} c
+  WHERE c.cid IN (SELECT cid FROM probe_cells)
+),
+psub AS (
+  SELECT pcell, CAST(t.m AS BIGINT) AS m,
+         rv[(t.m*{SUB_DIM}+1):(t.m*{SUB_DIM}+{SUB_DIM})] AS sv
+  FROM pres, UNNEST(range({M_SUBSPACES})) AS t(m)
+),
+dtc AS (
+  SELECT ps.pcell, cb.m, cb.cid AS code, {d2} AS d
+  FROM psub ps JOIN {pq_books} cb ON cb.m = ps.m
+),
+cand AS (
+  SELECT vec_id, cid AS cell FROM asg
+  WHERE cid IN (SELECT cid FROM probe_cells) AND vec_id <> {PROBE_VEC_ID}
+)
+SELECT e.vec_id, CAST(sum(dtc.d) AS BIGINT) AS approx_d2
+FROM pq_enc e
+JOIN cand ON e.vec_id = cand.vec_id
+JOIN dtc ON dtc.pcell = cand.cell AND dtc.m = e.m AND dtc.code = e.cid
+GROUP BY e.vec_id
+ORDER BY approx_d2, e.vec_id
+LIMIT {PQ_TOP_K}
+"""
+
+
+@register("q_llm_ann_ivfpq_residual", oracle=_ivfpq_residual_oracle())
+def q_llm_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic IVFADC (cell-residual codebooks): PQ codes quantize the
+    RESIDUAL vector - assigned-centroid, not the raw vector, so the
+    codebook spends its 4x16 codewords on within-cell variation — the
+    quantization-error upgrade over q_llm_ann_ivfadc's flat codes. A
+    probe computes ONE distance table PER PROBED CELL (its residual
+    against that cell's centroid vs every codeword: nprobe x M x K
+    rows, still broadcast-sized and corpus-independent) and candidates
+    score by lookups against their own cell's table. 100 TB: identical
+    layout economics to flat IVFADC — ~4 bytes/vector scanned,
+    codebooks O(M*K) — with strictly better recall per bit; the cost
+    is that codes must be re-encoded if a vector changes cells.
+    Exact-integer residuals (differences of quantized BIGINTs) keep
+    the whole thing bit-reproducible and fully oracled: the DuckDB
+    twin chains the IVF Lloyd unroll, re-roots the PQ chain at the
+    residual CTE, and reproduces every code and score."""
+    from .kmeans import _assign, assignment_ranking
+    from .similarity import IVF_PROBE_CELLS, trained_quantizer
+
+    vectors, cents = trained_quantizer(spark, sf_dir)
+    assigned = _assign(vectors, cents)  # (vec_id, qv, cid)
+    cents2 = cents.select(F.col("cid").alias("ccid"), F.col("cv").alias("ccv"))
+    residuals = (
+        assigned.join(F.broadcast(cents2), assigned.cid == F.col("ccid"))
+        .select(
+            "vec_id",
+            F.col("cid").alias("cell"),
+            F.zip_with("qv", "ccv", lambda x, y: x - y).alias("qv"),
+        )
+        .localCheckpoint(eager=True)  # trainer + encode + candidate branches
+    )
+    rsub = subvectors_of(residuals.select("vec_id", "qv")).localCheckpoint(
+        eager=True
+    )
+    books = pq_codebooks(rsub)
+    codes = _pq_assign(rsub, books).select(
+        "vec_id", "m", F.col("cid").alias("code")
+    )
+    probe_cells = (
+        assignment_ranking(vectors.where(F.col("vec_id") == PROBE_VEC_ID), cents)
+        .where(F.col("rn") <= IVF_PROBE_CELLS)
+        .select("cid")
+    )
+    probe_qv = vectors.where(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("qv").alias("pqv")
+    )
+    pres = (
+        cents.join(F.broadcast(probe_cells), "cid", "left_semi")
+        .crossJoin(F.broadcast(probe_qv))
+        .select(
+            F.col("cid").alias("pcell"),
+            F.zip_with("pqv", "cv", lambda x, y: x - y).alias("rv"),
+        )
+    )
+    psub = pres.select(
+        "pcell",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {M_SUBSPACES - 1}),"
+                f" i -> slice(rv, i * {SUB_DIM} + 1, {SUB_DIM}))"
+            )
+        ).alias("m", "sv"),
+    )
+    books2 = books.select(
+        F.col("m").alias("bm"), F.col("cid").alias("dcode"), "cv"
+    )
+    dtc = psub.join(F.broadcast(books2), psub.m == F.col("bm")).select(
+        "pcell",
+        F.col("bm").alias("dm"),
+        "dcode",
+        _int_sq_dist(F.col("sv"), F.col("cv")).alias("d"),
+    )
+    cand = (
+        residuals.select("vec_id", "cell")
+        .join(F.broadcast(probe_cells), residuals.cell == F.col("cid"), "left_semi")
+        .where(F.col("vec_id") != PROBE_VEC_ID)
+    )
+    return (
+        codes.join(cand, "vec_id")
+        .join(
+            F.broadcast(dtc),
+            (F.col("cell") == F.col("pcell"))
+            & (F.col("m") == F.col("dm"))
+            & (F.col("code") == F.col("dcode")),
+        )
         .groupBy("vec_id")
         .agg(F.sum("d").alias("approx_d2"))
         .orderBy("approx_d2", "vec_id")

@@ -127,7 +127,23 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_stream_sliding", oracle=None)  # rows-only: overlapping windows aren't 1 SQL group-by
+@register(
+    "q_stream_sliding",
+    # oracled since round 5: overlapping windows ARE one SQL group-by
+    # after an explode — each event belongs to exactly the 4
+    # epoch-aligned 15-minute starts s with s <= ts < s + 1h, which is
+    # precisely Spark's Expand x4 made explicit
+    oracle="""
+WITH ev AS (SELECT epoch_us(ts) AS us FROM events),
+x AS (SELECT us,
+             (us // 900000000) * 900000000 - k * 900000000 AS ws
+      FROM ev, UNNEST(range(4)) AS t(k))
+SELECT ws AS window_start_us, count(*) AS n_events
+FROM x
+WHERE us >= ws AND us < ws + 3600000000
+GROUP BY ws
+""",
+)
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour window sliding every 15 minutes — each event lands in 4
     windows (Expand ×4 before the shuffle)."""

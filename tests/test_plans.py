@@ -437,3 +437,12 @@ def test_ivfadc_stays_jvm_side_and_broadcasts(plans):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert has_broadcast_join(p)
     assert "TakeOrderedAndProject" in p
+
+
+def test_ivfpq_residual_stays_jvm_side(plans):
+    # residual IVFADC: still zero Python, broadcast dtable/cells,
+    # TakeOrdered top-k
+    p = plans("q_llm_ann_ivfpq_residual")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert has_broadcast_join(p)
+    assert "TakeOrderedAndProject" in p
