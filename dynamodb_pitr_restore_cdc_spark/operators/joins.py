@@ -247,3 +247,38 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("asof_val", 2).alias("last_signup_value"),
         )
     )
+
+
+@register(
+    "q_join_shuffle_hash_hint",
+    oracle="""
+SELECT o.o_orderpriority,
+       count(*) AS n_lines,
+       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def q_join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy control: the same fact-to-fact join forced onto a
+    SHUFFLED HASH join via hint (plan-pinned in tests/test_plans.py).
+    Spark's default for two large sides is sort-merge; when one side
+    fits per-partition memory after partitioning, a shuffled hash
+    join skips BOTH sort phases — at 100 TB that's the right call for
+    a large-but-hashable dimension (too big to broadcast, small
+    enough per partition). The engine exposes all three strategies:
+    broadcast (q_join_broadcast), sort-merge (the bucketed/colocated
+    default), and shuffled hash (this hint)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").hint("shuffle_hash")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -446,3 +446,10 @@ def test_ivfpq_residual_stays_jvm_side(plans):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert has_broadcast_join(p)
     assert "TakeOrderedAndProject" in p
+
+
+def test_shuffle_hash_hint_is_honored(plans):
+    # the hint must survive planning: a ShuffledHashJoin node, not
+    # SortMergeJoin, and no sort below the join
+    p = plans("q_join_shuffle_hash_hint")
+    assert "ShuffledHashJoin" in p
