@@ -617,3 +617,57 @@ def q_cdc_restore_asof_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()  # driver scalars: orchestration, not data
     cutoff_us = row.lo + ((row.hi - row.lo) * 2) // 3
     return fold_changelog(cl.where(F.unix_micros("ts") <= F.lit(cutoff_us)))
+
+
+# Sentinel for an open (current) SCD2 version: BIGINT max, so interval
+# predicates (valid_from <= s < valid_to) need no NULL handling and the
+# column stays non-nullable in both engines.
+OPEN_VALID_TO = 9223372036854775807
+
+
+@register(
+    "q_cdc_scd2_history",
+    oracle=with_changelog(f""", versioned AS (
+  SELECT key, op, seq_no,
+         coalesce(lead(seq_no) OVER (PARTITION BY key ORDER BY seq_no),
+                  {OPEN_VALID_TO}) AS valid_to_seq,
+         payload_value
+  FROM changelog)
+SELECT key,
+       seq_no AS valid_from_seq,
+       valid_to_seq,
+       payload_value
+FROM versioned
+WHERE op <> 'REMOVE'
+"""),
+)
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2: the changelog folded into a
+    VERSION HISTORY table — one row per key version with a validity
+    interval [valid_from_seq, valid_to_seq). Each INSERT/MODIFY opens
+    a version; the next event on the key (including a REMOVE) closes
+    it; an open current version carries the OPEN_VALID_TO sentinel.
+    This is the third representation of the reference's table-state
+    semantics, beside point-state (q_cdc_snapshot_rebuild /
+    lambda-backfill/main.py:31-46 upserts) and per-commit versions
+    (streaming/versioned_sink.py): state AS OF any seq s is the
+    interval predicate valid_from <= s < valid_to — a plain filter,
+    no fold, which is what a warehouse dimension table wants for
+    repeated historical joins. One window shuffle on key; the REMOVE
+    filter must run AFTER the lead (a REMOVE closes its
+    predecessor's interval but emits no version)."""
+    cl = changelog(spark, sf_dir)
+    w = W.partitionBy("key").orderBy("seq_no")
+    return (
+        cl.withColumn(
+            "valid_to_seq",
+            F.coalesce(F.lead("seq_no").over(w), F.lit(OPEN_VALID_TO)),
+        )
+        .where(F.col("op") != "REMOVE")
+        .select(
+            "key",
+            F.col("seq_no").alias("valid_from_seq"),
+            "valid_to_seq",
+            "payload_value",
+        )
+    )

@@ -113,3 +113,35 @@ def test_fold_changelog_matches_merge(spark):
     folded = fold_changelog(_batch(spark, ops))
     merged = cdc_merge(_snapshot(spark, []), _batch(spark, ops))
     assert _result(folded) == _result(merged) == {1: (3, 1.5), 3: (5, 3.0)}
+
+
+def test_scd2_interval_state_equals_prefix_fold(spark, sf_dir):
+    """Cross-representation equivalence: filtering the SCD2 history by
+    the interval predicate valid_from <= s < valid_to must reproduce
+    the state a changelog-prefix fold gives at the same cutoff —
+    version intervals and latest-per-key folds are two encodings of
+    one table-state semantics."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from dynamodb_pitr_restore_cdc_spark.operators.cdc import changelog
+    from dynamodb_pitr_restore_cdc_spark.registry import all_queries
+
+    cl = changelog(spark, sf_dir)
+    cutoff = cl.agg(F.expr("percentile(seq_no, 0.5)")).first()[0]
+    hist = all_queries()["q_cdc_scd2_history"].builder(spark, sf_dir)
+    via_interval = sorted(
+        (r.key, r.payload_value)
+        for r in hist.where(
+            (F.col("valid_from_seq") <= cutoff) & (F.col("valid_to_seq") > cutoff)
+        ).collect()
+    )
+    w = W.partitionBy("key").orderBy(F.col("seq_no").desc())
+    via_fold = sorted(
+        (r.key, r.payload_value)
+        for r in cl.where(F.col("seq_no") <= cutoff)
+        .withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "REMOVE"))
+        .collect()
+    )
+    assert via_interval == via_fold and len(via_interval) > 0
