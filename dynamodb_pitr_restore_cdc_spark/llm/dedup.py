@@ -278,7 +278,15 @@ def q_llm_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose candidate set is O(pairs sharing a shingle); at corpus scale
     MinHash-LSH (q_llm_near_dedup) replaces it — same answer on the
     planted pairs, O(n·bands) candidates."""
-    d = table(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("t"))
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        # fan-out rebalance: the corpus arrives as ~1 input split; the
+        # shingle explode AND the persisted store it feeds would run
+        # (and cache) on one core/partition without this cheap
+        # compact-row exchange
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     sh = (
         d.where(F.size("t") >= SHINGLE_K)
         .select(
