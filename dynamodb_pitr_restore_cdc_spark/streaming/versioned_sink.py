@@ -65,6 +65,7 @@ import fcntl
 import json
 import os
 import shutil
+import threading
 import uuid
 from contextlib import contextmanager
 
@@ -81,6 +82,22 @@ class CommitConflictError(RuntimeError):
     """Raised when a commit loses the pointer CAS more than
     ``max_commit_retries`` times — the optimistic protocol's bounded
     give-up, after which the caller owns backoff/abort policy."""
+
+
+class PointerStoreUnavailableError(RuntimeError):
+    """A pointer-store call failed and the conditional put was
+    DEFINITELY NOT applied (connection refused, 503 before the write).
+    Safe to retry the same CAS verbatim; the sink does so a bounded
+    number of times before surfacing this error."""
+
+
+class CommitStateUnknownError(RuntimeError):
+    """The conditional put's OUTCOME IS UNKNOWN — the request may have
+    been applied server-side while the response was lost (timeout,
+    connection reset after send). The object-store failure mode Iceberg
+    models as CommitStateUnknownException: the sink must resolve it by
+    re-reading the pointer, never by blindly retrying (a blind retry of
+    a CAS that already won would spuriously 'lose' to itself)."""
 
 
 class LocalPointerStore:
@@ -123,8 +140,78 @@ class LocalPointerStore:
             os.close(fd)
 
 
+class InMemoryConditionalPointerStore:
+    """Object-store-shaped pointer: a strongly-consistent read plus a
+    conditional put on the exact current value — the semantics of an S3
+    ``If-Match`` put, a DynamoDB conditional write, or a catalog CAS —
+    with INJECTABLE FAULTS so the commit protocol's failure paths can
+    be raced in tests without a real object store behind them.
+
+    ``inject(mode, before=...)`` queues one fault for the NEXT
+    ``put_if`` call:
+
+    - ``"spurious-loss"``   — return False without touching the value
+      (e.g. a proxy replayed a stale 412): the caller must re-read and
+      discover nothing changed.
+    - ``"unavailable"``     — raise ``PointerStoreUnavailableError``;
+      the value is NOT modified (request never reached the store).
+    - ``"unknown-applied"`` — APPLY the swap (if the condition holds),
+      then raise ``CommitStateUnknownError``: the response was lost
+      after the server acted. The hardest object-store failure mode.
+    - ``"unknown-lost"``    — raise ``CommitStateUnknownError`` without
+      applying: same client-side symptom, opposite server-side truth.
+
+    The optional ``before`` hook runs after the value swap (if any) and
+    before the exception — the seam for interleaving a RIVAL writer's
+    full commit inside the ambiguity window, which is exactly the race
+    that buries an ambiguous winner behind a successor's version.
+    """
+
+    def __init__(self):
+        self._value: str | None = None
+        self._mu = threading.Lock()
+        self._faults: list[tuple[str, object]] = []
+        self.attempts = 0
+        self.losses = 0
+        self.faults_fired = 0
+
+    def inject(self, mode: str, before=None) -> None:
+        self._faults.append((mode, before))
+
+    def read(self) -> str | None:
+        with self._mu:
+            return self._value
+
+    def put_if(self, expected: str | None, new: str) -> bool:
+        self.attempts += 1
+        mode, hook = self._faults.pop(0) if self._faults else (None, None)
+        if mode is not None:
+            self.faults_fired += 1
+        if mode == "spurious-loss":
+            self.losses += 1
+            return False
+        if mode == "unavailable":
+            raise PointerStoreUnavailableError("injected: store unreachable")
+        with self._mu:
+            applied = self._value == expected and mode != "unknown-lost"
+            if applied:
+                self._value = new
+        if mode in ("unknown-applied", "unknown-lost"):
+            if hook is not None:
+                hook()
+            raise CommitStateUnknownError("injected: response lost in flight")
+        if not applied:
+            self.losses += 1
+        return applied
+
+
 class VersionedCdcSink:
     """Bucket-partitioned CDC merge target with commit-level time travel."""
+
+    # bounded same-CAS retries when the store is transiently down
+    # (definitely-not-applied failures only; unknown outcomes are
+    # resolved by read, never blind-retried)
+    _MAX_STORE_RETRIES = 3
 
     def __init__(
         self,
@@ -181,8 +268,15 @@ class VersionedCdcSink:
     def _root(self, version: int) -> dict[int, str]:
         """Root manifest of a commit: {shard id -> shard token}.
 
-        Falls back to the pointer's staged root for the tiny crash
-        window between winning the CAS and publishing v<N>.json."""
+        Falls back to the pointer's staged root for the crash window
+        between winning the CAS and publishing v<N>.json — and ROLLS
+        FORWARD: the staged root is re-published under its version name
+        right here, so any reader/writer that observes a committed-but-
+        unpublished root completes the winner's publication for it.
+        This is what keeps an AMBIGUOUSLY-committed version resolvable
+        even after a successor commits on top of it (the successor's
+        read lands in this fallback and publishes v<N>.json before its
+        own CAS; see ``_cas``'s buried-winner resolution)."""
         try:
             with open(self._root_path(version)) as fh:
                 raw = json.load(fh)
@@ -193,6 +287,10 @@ class VersionedCdcSink:
                 if os.path.exists(staged):
                     with open(staged) as fh:
                         raw = json.load(fh)
+                    tmp = self._root_path(version) + ".tmp"
+                    with open(tmp, "w") as fh:
+                        json.dump(raw, fh)
+                    os.replace(tmp, self._root_path(version))  # roll-forward
                     return {int(s): t for s, t in raw["shards"].items()}
             raise FileNotFoundError(
                 f"no manifest for version {version} under {self.path}: "
@@ -241,24 +339,83 @@ class VersionedCdcSink:
             staged.append(spath)
             shards[sid] = tok
         root_token = self._new_token()
+        root_doc = {
+            "version": new_version,
+            "shards": {str(s): t for s, t in shards.items()},
+        }
         rpath = self._staged_root_path(root_token)
         with open(rpath, "w") as fh:
-            json.dump(
-                {"version": new_version, "shards": {str(s): t for s, t in shards.items()}},
-                fh,
-            )
+            json.dump(root_doc, fh)
         if self._pre_commit_hook is not None:
             self._pre_commit_hook()
-        if self.pointer.put_if(expected_raw, f"{new_version}:{root_token}"):
+        try:
+            won = self._cas(
+                expected_raw, f"{new_version}:{root_token}", new_version, root_doc
+            )
+        except PointerStoreUnavailableError:
+            # definitely never applied: the attempt leaves no litter
+            os.remove(rpath)
+            for spath in staged:
+                os.remove(spath)
+            raise
+        # CommitStateUnknownError never escapes _cas (every unknown is
+        # resolved by a strong read); if a resolution READ itself dies,
+        # the staged files stay — the pointer decides their fate at the
+        # next sweep_orphans (live if we won, debris if we lost).
+        if won:
             # publish the root under its version name for time-travel
             # readers; latest-readers resolve via the pointer token, so
-            # a crash before this replace loses nothing
+            # a crash before this replace loses nothing. A buried
+            # ambiguous win may find it already roll-forward-published
+            # (identical content) — the replace is then a no-op rewrite.
             os.replace(rpath, self._root_path(new_version))
             return True
         os.remove(rpath)
         for spath in staged:
             os.remove(spath)
         return False
+
+    def _cas(
+        self,
+        expected: str | None,
+        new_raw: str,
+        new_version: int,
+        root_doc: dict,
+    ) -> bool:
+        """One conditional pointer swap, tolerant of the object-store
+        failure modes (the ``PointerStore`` contract):
+
+        - ``PointerStoreUnavailableError`` — the put was definitely not
+          applied: retry the same CAS up to ``_MAX_STORE_RETRIES``
+          times, then surface (infrastructure down ≠ CAS loss).
+        - ``CommitStateUnknownError`` — resolve by strong read, never
+          blind-retry: pointer == our value ⇒ we won; pointer == the
+          value we expected ⇒ the put provably never applied, retry;
+          pointer == anything else ⇒ a successor already committed on
+          top of version N, so v<N>.json EXISTS (the successor's read
+          roll-forward-published it, `_root`) — we won iff its content
+          is the root we staged (tokens are fresh uuids: content
+          equality ⟺ identity).
+        """
+        unavailable = 0
+        while True:
+            try:
+                return self.pointer.put_if(expected, new_raw)
+            except PointerStoreUnavailableError:
+                unavailable += 1
+                if unavailable > self._MAX_STORE_RETRIES:
+                    raise
+            except CommitStateUnknownError:
+                raw = self.pointer.read()
+                if raw == new_raw:
+                    return True
+                if raw == expected:
+                    continue
+                try:
+                    with open(self._root_path(new_version)) as fh:
+                        return json.load(fh) == root_doc
+                except FileNotFoundError:
+                    return False
 
     def _bucket_dir(self, token: str, bucket: int) -> str:
         return os.path.join(self.path, "data", token, f"bucket={bucket}")
@@ -368,8 +525,18 @@ class VersionedCdcSink:
                 written = self._write_buckets(merged, data_token, key)
                 merged_tokens = {b: data_token for b in written}
             maps, inherited = self._shard_maps_for(touched, merged_tokens, cur_root)
-            if self._try_commit(cur_version + 1, maps, inherited, expected_raw=raw):
-                return
+            try:
+                if self._try_commit(cur_version + 1, maps, inherited, expected_raw=raw):
+                    return
+            except PointerStoreUnavailableError:
+                # store down, put never applied: withdraw this attempt's
+                # data before surfacing (callers own backoff-and-retry;
+                # the merge is idempotent so a later retry is safe)
+                if data_token is not None:
+                    shutil.rmtree(
+                        os.path.join(self.path, "data", data_token), ignore_errors=True
+                    )
+                raise
         if data_token is not None:
             shutil.rmtree(os.path.join(self.path, "data", data_token), ignore_errors=True)
         raise CommitConflictError(
