@@ -231,6 +231,7 @@ def all_queries() -> dict[str, QuerySpec]:
     """
     from .operators import (  # noqa: F401
         aggregates,
+        behavior,
         cdc,
         envelope,
         joins,
