@@ -118,3 +118,84 @@ def q_llm_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("lang", "bigram", "n", F.col("rn").cast("bigint").alias("rn"))
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+# One byte-identical per-term scoring expression for both engines
+# (columns: tf, df, dl, n_docs, total_dl — all exact integers). The
+# term score is quantized to integer micro-points BEFORE the per-doc
+# sum: integer partial sums are order-independent, so the result is
+# stable under any shuffle schedule — a float sum of per-term scores
+# would be last-ulp sensitive to merge order.
+_BM25_TERM = (
+    "floor((ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)"
+    " * (tf * CAST(2.2 AS DOUBLE))"
+    " / (tf + CAST(1.2 AS DOUBLE) * (1.0 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / (total_dl / n_docs))))"
+    " * 1e6 + 0.5)"
+)
+
+
+@register(
+    "q_llm_bm25_search",
+    oracle=f"""
+WITH dl AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+), stats AS (
+    SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl
+), tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), tf AS (
+    SELECT doc_id, w, count(*) AS tf FROM tok
+    WHERE w IN {tuple(QUERY_TERMS)}
+    GROUP BY doc_id, w
+), df AS (
+    SELECT w, count(*) AS df FROM tf GROUP BY w
+), scored AS (
+    SELECT tf.doc_id,
+           CAST(sum(CAST({_BM25_TERM} AS BIGINT)) AS BIGINT) AS score_u
+    FROM tf JOIN df USING (w) JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, score_u / 1000000.0 AS score
+FROM scored ORDER BY score_u DESC, doc_id LIMIT {TOP_K_DOCS}
+""",
+)
+def q_llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranking (k1=1.2, b=0.75) for the fixed query-term set:
+    TF-IDF's production-grade successor, adding term-frequency
+    saturation and document-length normalization. tf / df / dl /
+    corpus stats are all exact integers feeding the byte-identical
+    float expression in both engines (_BM25_TERM), per-term scores are
+    integer-quantized before the order-independent per-doc sum, and
+    top-k is TakeOrdered on the integer score. Scale: the df and
+    corpus-stats frames are term-count- and 1-row-sized (broadcast);
+    dl is a map-side projection joined on doc_id — one shuffle; the
+    documents scan is shared by tok/dl branches at fixture scale and
+    worth a persist when the corpus is hot."""
+    d = table(spark, sf_dir, "documents")
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = (
+        tok.where(F.col("w").isin(*QUERY_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr(_BM25_TERM)).alias("score_u"))
+    )
+    return (
+        scored.orderBy(F.col("score_u").desc(), "doc_id")
+        .limit(TOP_K_DOCS)
+        .select("doc_id", (F.col("score_u") / 1000000.0).alias("score"))
+    )

@@ -229,3 +229,93 @@ def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+# Shared derived-moment expressions for q_agg_stats_moments: the SAME
+# strings are compiled by Catalyst and DuckDB, so every float op runs
+# in the identical order on identical exact-integer inputs — IEEE-754
+# determinism instead of per-engine aggregate implementations (Spark
+# `skewness` and DuckDB `skewness` don't even agree on population vs
+# sample). Quantization is floor(x*Q + 0.5), never round() (see
+# llm/kmeans.quantize_expr: HALF_UP vs banker's near ties).
+_MOM_RATIOS = {
+    "r1": "s1 / n", "r2": "s2 / n", "r3": "s3 / n", "r4": "s4 / n",
+}
+_MOM_CENTRAL = {
+    "m2": "r2 - r1*r1",
+    "m3": "r3 - 3*r1*r2 + 2*r1*r1*r1",
+    "m4": "r4 - 4*r1*r3 + 6*r1*r1*r2 - 3*r1*r1*r1*r1",
+}
+_MOM_OUT = {
+    "mean_qty": "floor(r1 * 1e6 + 0.5) / 1e6",
+    "var_qty": "floor(m2 * 1e6 + 0.5) / 1e6",
+    "skew_qty": "floor((m3 / (m2 * sqrt(m2))) * 1e6 + 0.5) / 1e6",
+    "kurt_qty": "floor((m4 / (m2 * m2) - 3.0) * 1e6 + 0.5) / 1e6",
+    "corr_qty_disc": (
+        "floor(((n*qd - s1*d1) / (sqrt(n*s2 - s1*s1) * sqrt(n*d2 - d1*d1)))"
+        " * 1e6 + 0.5) / 1e6"
+    ),
+}
+
+
+@register(
+    "q_agg_stats_moments",
+    oracle=f"""
+WITH t AS (
+    SELECT l_returnflag,
+           CAST(l_quantity AS BIGINT) AS q,
+           CAST(round(l_discount * 100) AS BIGINT) AS d
+    FROM lineitem
+), g AS (
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(q) AS BIGINT) AS s1,
+           CAST(sum(q*q) AS BIGINT) AS s2,
+           CAST(sum(q*q*q) AS BIGINT) AS s3,
+           CAST(sum(q*q*q*q) AS BIGINT) AS s4,
+           CAST(sum(d) AS BIGINT) AS d1,
+           CAST(sum(d*d) AS BIGINT) AS d2,
+           CAST(sum(q*d) AS BIGINT) AS qd
+    FROM t GROUP BY l_returnflag
+), r AS (
+    SELECT *, {", ".join(f"{e} AS {k}" for k, e in _MOM_RATIOS.items())} FROM g
+), m AS (
+    SELECT *, {", ".join(f"{e} AS {k}" for k, e in _MOM_CENTRAL.items())} FROM r
+)
+SELECT l_returnflag, n,
+       {", ".join(f"{e} AS {k}" for k, e in _MOM_OUT.items())}
+FROM m
+""",
+)
+def q_agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape statistics per return flag: mean, population
+    variance, skewness, excess kurtosis of quantity, and the
+    quantity↔discount Pearson correlation — all derived from ONE
+    hash-aggregate of exact integer power sums (q ≤ 50, so Σq⁴ fits
+    BIGINT up to ~10⁹-row groups; beyond that swap the sums to
+    DECIMAL(38,0)). The partial sums are order-independent integers —
+    bit-identical under any AQE schedule — and the float derivation is
+    the byte-identical expression text in both engines (module-level
+    _MOM_* strings), so even the irrational outputs hash-match. The
+    built-in `skewness`/`kurtosis`/`corr` aggregates are the
+    non-reproducible path this query deliberately avoids: engines
+    disagree on sample-vs-population and merge order."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
+    )
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.expr("q*q")).alias("s2"),
+        F.sum(F.expr("q*q*q")).alias("s3"),
+        F.sum(F.expr("q*q*q*q")).alias("s4"),
+        F.sum("d").alias("d1"),
+        F.sum(F.expr("d*d")).alias("d2"),
+        F.sum(F.expr("q*d")).alias("qd"),
+    )
+    r = g.selectExpr("*", *[f"{e} AS {k}" for k, e in _MOM_RATIOS.items()])
+    m = r.selectExpr("*", *[f"{e} AS {k}" for k, e in _MOM_CENTRAL.items()])
+    return m.selectExpr(
+        "l_returnflag", "n", *[f"{e} AS {k}" for k, e in _MOM_OUT.items()]
+    )

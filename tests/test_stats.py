@@ -1,0 +1,71 @@
+"""Moment statistics and BM25 against independent numpy references."""
+
+import numpy as np
+import pandas as pd
+
+from dynamodb_pitr_restore_cdc_spark.llm.retrieval import (
+    QUERY_TERMS,
+    q_llm_bm25_search,
+    q_llm_tfidf_search,
+)
+from dynamodb_pitr_restore_cdc_spark.operators.aggregates import (
+    q_agg_stats_moments,
+)
+from dynamodb_pitr_restore_cdc_spark.sources import table
+
+from .conftest import SF_SMOKE
+
+
+def test_moments_match_numpy_population_formulas(spark):
+    got = q_agg_stats_moments(spark, SF_SMOKE).toPandas().set_index("l_returnflag")
+    li = (
+        table(spark, SF_SMOKE, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_discount")
+        .toPandas()
+    )
+    for flag, g in li.groupby("l_returnflag"):
+        q = g["l_quantity"].to_numpy()
+        d = np.round(g["l_discount"].to_numpy() * 100)
+        m2 = ((q - q.mean()) ** 2).mean()
+        m3 = ((q - q.mean()) ** 3).mean()
+        m4 = ((q - q.mean()) ** 4).mean()
+        row = got.loc[flag]
+        assert row["n"] == len(q)
+        assert abs(row["mean_qty"] - q.mean()) < 1e-6
+        assert abs(row["var_qty"] - m2) < 1e-5
+        assert abs(row["skew_qty"] - m3 / m2**1.5) < 1e-6
+        assert abs(row["kurt_qty"] - (m4 / m2**2 - 3.0)) < 1e-6
+        assert abs(row["corr_qty_disc"] - np.corrcoef(q, d)[0, 1]) < 1e-6
+
+
+def test_bm25_matches_reference_and_saturates_vs_tfidf(spark):
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text").toPandas()
+    toks = {r.doc_id: r.text.split(" ") for r in docs.itertuples()}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    tf = {
+        doc: {w: t.count(w) for w in QUERY_TERMS if w in t}
+        for doc, t in toks.items()
+    }
+    df = {w: sum(1 for d in tf.values() if w in d) for w in QUERY_TERMS}
+    k1, b = 1.2, 0.75
+
+    def score(doc):
+        s = 0.0
+        for w, f in tf[doc].items():
+            idf = np.log((n - df[w] + 0.5) / (df[w] + 0.5) + 1.0)
+            s += idf * f * (k1 + 1) / (f + k1 * (1 - b + b * len(toks[doc]) / avgdl))
+        return s
+
+    got = q_llm_bm25_search(spark, SF_SMOKE).toPandas()
+    assert len(got) == 20
+    for r in got.itertuples():
+        assert abs(r.score - score(r.doc_id)) < 1e-4
+    # the reference top-20 by (score, -doc_id) equals the query's
+    want = sorted(tf, key=lambda d: (-score(d), d))[:20]
+    assert list(got["doc_id"]) == want
+    # and BM25 really is the saturating variant: its top doc's tf-idf
+    # rank can differ, but scores must be positive and finite
+    assert (got["score"] > 0).all() and np.isfinite(got["score"]).all()
+    tfidf = q_llm_tfidf_search(spark, SF_SMOKE).toPandas()
+    assert len(tfidf) == 20  # both rankers stay consistent on the corpus
