@@ -115,7 +115,7 @@ N_BUCKETS = 8
 # one-time indexing job and every subsequent co-located join reads it.
 # Catalog entries die with the session; the backing files are swept at
 # exit.
-_BUCKETED_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+_BUCKETED_CACHE: dict[tuple[str, str, str], tuple[str, str]] = {}
 _BUCKETED_ROOT = os.path.join(tempfile.gettempdir(), "spark_cdc_engine_bkt")
 
 import atexit
@@ -123,36 +123,60 @@ import atexit
 atexit.register(shutil.rmtree, _BUCKETED_ROOT, ignore_errors=True)
 
 
-def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """(orders, lineitem) catalog table names, both bucketed+sorted on
-    the order key into N_BUCKETS matching buckets — built once per
-    (session, corpus) and reused (bucket metadata is catalog state,
-    not parquet metadata, so the cache key includes the session)."""
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+# The bucketed CATALOG: each spec is one co-located pair — (table,
+# projected columns, bucket/sort key) × 2. A real deployment carries
+# many such pairs (every recurring fact-to-fact or fact-to-big-dim
+# join key earns its own layout); the catalog here holds the two
+# join keys the workload repeats most.
+_BUCKET_SPECS: dict[str, tuple[tuple[str, list[str], str], ...]] = {
+    "orderkey": (
+        ("orders", ["o_orderkey", "o_custkey", "o_orderstatus"], "o_orderkey"),
+        ("lineitem", ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"], "l_orderkey"),
+    ),
+    "custkey": (
+        ("customer", ["c_custkey", "c_mktsegment", "c_acctbal"], "c_custkey"),
+        ("orders", ["o_orderkey", "o_custkey", "o_totalprice"], "o_custkey"),
+    ),
+}
+
+
+def bucketed_pair(
+    spark: SparkSession, sf_dir: str, spec: str = "orderkey"
+) -> tuple[str, str]:
+    """Catalog table names for one co-located pair, both bucketed+sorted
+    on the spec's join key into N_BUCKETS matching buckets — built once
+    per (session, corpus, spec) and reused (bucket metadata is catalog
+    state, not parquet metadata, so the cache key includes the
+    session). The same base table may appear under several specs with
+    different bucket keys — e.g. orders by o_orderkey for the lineitem
+    join and by o_custkey for the customer join — because a bucketed
+    layout serves exactly one equi-join key."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), spec)
     entry = _BUCKETED_CACHE.get(key)
     if entry is not None and spark.catalog.tableExists(entry[0]):
         return entry
     tag = uuid.uuid4().hex[:8]
-    root = os.path.join(_BUCKETED_ROOT, f"bkt-{tag}")
-    o_name, l_name = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
-    (
-        table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_orderstatus")
-        .write.bucketBy(N_BUCKETS, "o_orderkey")
-        .sortBy("o_orderkey")
-        .option("path", os.path.join(root, "orders"))
-        .saveAsTable(o_name)
-    )
-    (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
-        .write.bucketBy(N_BUCKETS, "l_orderkey")
-        .sortBy("l_orderkey")
-        .option("path", os.path.join(root, "lineitem"))
-        .saveAsTable(l_name)
-    )
-    _BUCKETED_CACHE[key] = (o_name, l_name)
-    return o_name, l_name
+    root = os.path.join(_BUCKETED_ROOT, f"bkt-{spec}-{tag}")
+    names = []
+    for tbl, cols, bkey in _BUCKET_SPECS[spec]:
+        name = f"{tbl}_bkt_{spec}_{tag}"
+        (
+            table(spark, sf_dir, tbl)
+            .select(*cols)
+            .write.bucketBy(N_BUCKETS, bkey)
+            .sortBy(bkey)
+            .option("path", os.path.join(root, tbl))
+            .saveAsTable(name)
+        )
+        names.append(name)
+    _BUCKETED_CACHE[key] = tuple(names)
+    return _BUCKETED_CACHE[key]
+
+
+def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """(orders, lineitem) bucketed on the order key — the original
+    catalog entry, kept as the `orderkey` spec."""
+    return bucketed_pair(spark, sf_dir, "orderkey")
 
 
 def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,6 +238,62 @@ def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         # even if the session's cached layout tables are later dropped
         # or swept (dropping a catalog table invalidates cached plans
         # that reference it); the checkpoint severs that lineage.
+        result = result.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return result
+
+
+def bucketed_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shared core + plan-audit helper) The custkey-spec co-located
+    join: customer ⋈ orders on the customer key, both sides bucketed —
+    with broadcast disabled it must plan as a sort-merge join with no
+    Exchange below, same contract as bucketed_join but on the second
+    catalog key."""
+    c_name, o_name = bucketed_pair(spark, sf_dir, "custkey")
+    c = spark.table(c_name)
+    o = spark.table(o_name)
+    return c.join(o, c.c_custkey == o.o_custkey)
+
+
+@register(
+    "q_join_bucketed_dim",
+    oracle="""
+SELECT c.c_mktsegment,
+       count(*) AS n_orders,
+       sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+)
+def q_join_bucketed_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second co-located join key in the bucketed catalog: customer and
+    orders both bucketed on the CUSTOMER key — the same physical trick
+    as q_join_bucketed_colocated but proving the catalog carries
+    multiple keys per workload, including the same base table (orders)
+    laid out twice under different bucket keys. A bucketed layout
+    serves exactly one equi-join key, so a 100 TB workload's layout
+    catalog is per-(table, key), chosen by join frequency; the revenue
+    rollup rides the join's existing bucket partitioning for its
+    map-side partials. Broadcast is disabled during the build so the
+    plan proves the bucketed path (customer would otherwise broadcast
+    at fixture scale)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_dim_join(spark, sf_dir)
+        result = (
+            joined.groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_orders"),
+                (F.sum(cents("o_totalprice")) / 100.0).alias("total_price"),
+            )
+            .orderBy("c_mktsegment")
+        )
+        # sever lineage from the session catalog tables (see
+        # q_join_bucketed_colocated on DROP-vs-cached-plan)
         result = result.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

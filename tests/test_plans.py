@@ -406,6 +406,30 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert bucketed_tables(spark, sf_dir) == bucketed_tables(spark, sf_dir)
 
 
+def test_bucketed_dim_join_has_no_exchange(spark, sf_dir):
+    # second catalog key (custkey): the customer ⋈ orders co-located
+    # join must also consume bucketed scans with zero Exchange, and its
+    # layout must be a DIFFERENT catalog entry than the orderkey spec
+    from dynamodb_pitr_restore_cdc_spark.operators.layout import (
+        bucketed_dim_join,
+        bucketed_pair,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_string(bucketed_dim_join(spark, sf_dir))
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, p[:1500]
+        assert "Bucketed: true" in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    assert set(bucketed_pair(spark, sf_dir, "custkey")).isdisjoint(
+        bucketed_pair(spark, sf_dir, "orderkey")
+    )
+
+
 def test_ohlc_is_single_pass_partial_agg(plans):
     # OHLC bars must be ONE aggregation pass (partial + final), never
     # the window/row_number formulation the oracle uses
