@@ -604,3 +604,60 @@ def q_llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_chunk_words"),
     )
+
+
+# Per-token negative log-likelihood under the corpus unigram model,
+# quantized to integer micro-nats BEFORE the per-doc sum (exact
+# integer partials => order-independent; the BM25 pattern,
+# llm/retrieval._BM25_TERM). Byte-identical in both engines: wc and
+# total are exact integers, int/int division is IEEE double in both.
+_NLL_TERM = "floor((- ln(wc / total)) * 1e6 + 0.5)"
+
+
+@register(
+    "q_llm_unigram_logprob",
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+t AS (SELECT count(*) AS total FROM w),
+c AS (
+    SELECT doc_id, count(*) OVER (PARTITION BY word) AS wc FROM w),
+s AS (
+    SELECT doc_id,
+           count(*) AS n_words,
+           CAST(sum(CAST({_NLL_TERM} AS BIGINT)) AS BIGINT) AS nll_u
+    FROM c CROSS JOIN t GROUP BY doc_id)
+SELECT doc_id, n_words, (nll_u / n_words) / 1e6 AS avg_nll
+FROM s
+""",
+)
+def q_llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: each document's average per-token
+    negative log-likelihood under the corpus's own unigram
+    distribution — the classic cheap perplexity filter (high avg-NLL =
+    OOV-heavy/noisy, very low = boilerplate). q_llm_rarity_score is
+    the counts-only sibling; this one IS the log-prob version, made
+    engine-stable by deriving every float from exact integers through
+    the byte-identical _NLL_TERM expression and summing in integer
+    micro-nats (order-independent partials — a float sum would be
+    merge-order sensitive). Same physical shape as rarity: one
+    explode, count window on word (AQE skew-split absorbs stopword
+    heavy-hitters), re-shuffle on doc_id; the corpus token total rides
+    in as a driver scalar (corpus metadata at 100 TB)."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    total = w.count()  # driver scalar: corpus token count (metadata)
+    c = w.select(
+        "doc_id",
+        F.count("*").over(W.partitionBy("word")).alias("wc"),
+        F.lit(total).alias("total"),
+    )
+    s = c.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.expr(_NLL_TERM)).alias("nll_u"),
+    )
+    return s.select(
+        "doc_id",
+        "n_words",
+        (F.expr("nll_u / n_words") / F.lit(1e6)).alias("avg_nll"),
+    )

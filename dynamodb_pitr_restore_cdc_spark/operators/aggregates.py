@@ -319,3 +319,39 @@ def q_agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.selectExpr(
         "l_returnflag", "n", *[f"{e} AS {k}" for k, e in _MOM_OUT.items()]
     )
+
+
+HIST_BIN_CENTS = 25_000 * 100  # $25,000-wide equi-width bins
+
+
+@register(
+    "q_agg_histogram",
+    oracle=f"""
+WITH t AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders
+)
+SELECT CAST(pc // {HIST_BIN_CENTS} AS BIGINT) * 25000 AS bin_lo,
+       count(*) AS n_orders,
+       CAST(sum(pc) AS BIGINT) / 100.0 AS sum_price
+FROM t GROUP BY 1
+""",
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals ($25k bins): binning is
+    integer floor-division on cents (engine-exact bucket edges — a
+    float width_bucket would disagree near boundaries), then a plain
+    hash aggregate: map-side partials shrink the shuffle to one row
+    per (partition × bin), the profile-building primitive every
+    numeric-column statistics pass uses at 100 TB."""
+    o = table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("pc")
+    )
+    return (
+        o.groupBy(
+            (F.expr(f"pc div {HIST_BIN_CENTS}") * 25000).alias("bin_lo")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum("pc") / 100.0).alias("sum_price"),
+        )
+    )

@@ -326,3 +326,69 @@ def q_ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("value_interp"),
     )
+
+
+# z-score derivation over exact integer cent sums — byte-identical
+# text in both engines (same discipline as aggregates._MOM_OUT); the
+# threshold compares the QUANTIZED score, so the anomaly predicate is
+# engine-identical even at boundaries.
+_Z_EXPR = (
+    "floor(((v - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)))"
+    " * 1e6 + 0.5) / 1e6"
+)
+Z_THRESHOLD = 2.5
+
+
+@register(
+    "q_ts_anomaly_zscore",
+    oracle=f"""
+WITH v AS (
+    SELECT event_id, user_id, ts,
+           CAST(round(value * 100) AS BIGINT) AS v
+    FROM events
+), s AS (
+    SELECT *,
+           count(*) OVER (PARTITION BY user_id) AS n,
+           CAST(sum(v)   OVER (PARTITION BY user_id) AS BIGINT) AS s1,
+           CAST(sum(v*v) OVER (PARTITION BY user_id) AS BIGINT) AS s2
+    FROM v
+), z AS (
+    SELECT event_id, user_id, ts, v, {_Z_EXPR} AS zscore FROM s
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, v / 100.0 AS value,
+       zscore
+FROM z WHERE abs(zscore) > {Z_THRESHOLD}
+""",
+)
+def q_ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user outlier detection: flag events whose value deviates
+    more than 2.5 population standard deviations from that user's
+    mean. Mean/σ derive from exact integer cent sums via one window
+    pass over the user partition (single shuffle, no groupBy+join
+    double scan), the z-score is the byte-identical float expression
+    in both engines quantized to 1e-6, and the threshold compares the
+    QUANTIZED value so the flag itself is engine-deterministic. The
+    anomaly stream is the input to curation drops or alerting — at
+    100 TB this is a map+window pass whose output is a tiny fraction
+    of the input (write wins over re-scan)."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    wu = W.partitionBy("user_id")
+    s = e.select(
+        "*",
+        F.count("*").over(wu).alias("n"),
+        F.sum("v").over(wu).alias("s1"),
+        F.sum(F.expr("v*v")).over(wu).alias("s2"),
+    )
+    z = s.withColumn("zscore", F.expr(_Z_EXPR))
+    return z.where(F.abs(F.col("zscore")) > Z_THRESHOLD).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.col("v") / 100.0).alias("value"),
+        "zscore",
+    )

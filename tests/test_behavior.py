@@ -141,3 +141,25 @@ def test_interpolation_midpoint_is_arithmetic_mean(spark):
     assert list(out["observed"]) == [True, False, True]
     # (1000 + 1101) cents / 2 = 1050.5 -> round-half-up 1051 -> 10.51
     assert abs(out.loc[1, "value_interp"] - 10.51) < 1e-12
+
+
+def test_anomaly_zscore_flags_match_per_user_stats(spark):
+    from dynamodb_pitr_restore_cdc_spark.operators.behavior import (
+        Z_THRESHOLD,
+        q_ts_anomaly_zscore,
+    )
+
+    got = q_ts_anomaly_zscore(spark, SF_SMOKE).toPandas()
+    assert (got["zscore"].abs() > Z_THRESHOLD).all()
+    ev = table(spark, SF_SMOKE, "events").select("event_id", "user_id", "value").toPandas()
+    ev["v"] = (ev["value"] * 100).round()
+    flagged = set(got["event_id"])
+    import numpy as np
+
+    recomputed = set()
+    for _, g in ev.groupby("user_id"):
+        v = g["v"].to_numpy()
+        z = (v - v.mean()) / v.std(ddof=0)  # population sigma
+        recomputed |= set(g["event_id"].to_numpy()[np.abs(z) > Z_THRESHOLD + 1e-9])
+    # quantization can flip exact-boundary rows only; none here
+    assert flagged == recomputed

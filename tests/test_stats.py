@@ -69,3 +69,35 @@ def test_bm25_matches_reference_and_saturates_vs_tfidf(spark):
     assert (got["score"] > 0).all() and np.isfinite(got["score"]).all()
     tfidf = q_llm_tfidf_search(spark, SF_SMOKE).toPandas()
     assert len(tfidf) == 20  # both rankers stay consistent on the corpus
+
+
+def test_unigram_logprob_matches_numpy_reference(spark):
+    from dynamodb_pitr_restore_cdc_spark.llm.curation import q_llm_unigram_logprob
+
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "text").toPandas()
+    toks = {r.doc_id: r.text.split(" ") for r in docs.itertuples()}
+    from collections import Counter
+
+    freq = Counter(w for t in toks.values() for w in t)
+    total = sum(freq.values())
+    got = q_llm_unigram_logprob(spark, SF_SMOKE).toPandas().set_index("doc_id")
+    assert len(got) == len(toks)
+    for doc_id in list(toks)[:50]:
+        t = toks[doc_id]
+        want = sum(-np.log(freq[w] / total) for w in t) / len(t)
+        row = got.loc[doc_id]
+        assert row["n_words"] == len(t)
+        assert abs(row["avg_nll"] - want) < 1e-4
+    # every NLL is positive and bounded by the rarest word's cost
+    assert (got["avg_nll"] > 0).all()
+    assert (got["avg_nll"] <= -np.log(1 / total) + 1e-9).all()
+
+
+def test_histogram_partitions_all_orders(spark):
+    from dynamodb_pitr_restore_cdc_spark.operators.aggregates import q_agg_histogram
+
+    h = q_agg_histogram(spark, SF_SMOKE).toPandas()
+    o = table(spark, SF_SMOKE, "orders").toPandas()
+    assert int(h["n_orders"].sum()) == len(o)
+    assert (h["bin_lo"] % 25000 == 0).all()
+    assert abs(h["sum_price"].sum() - round(o["o_totalprice"], 2).sum()) < 1.0
