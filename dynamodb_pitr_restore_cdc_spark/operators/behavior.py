@@ -292,6 +292,13 @@ def q_ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(h) div 3600000000").alias("hx"),
         "value_c",
     )
+    # Both context directions use RUNNING (unboundedPreceding →
+    # currentRow) frames: Spark's UnboundedFollowing frame re-scans
+    # from each row to the partition end — O(rows²) per partition,
+    # measured 19 s vs 0.9 s for the sibling gap-fill at sf0.1 — while
+    # the running frame is incremental O(rows). "Next observed" is
+    # therefore the running last-non-null over the REVERSED ordering,
+    # which is the same value by symmetry.
     w_prev = (
         W.partitionBy("user_id")
         .orderBy("hx")
@@ -299,8 +306,8 @@ def q_ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_next = (
         W.partitionBy("user_id")
-        .orderBy("hx")
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
+        .orderBy(F.desc("hx"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     known_x = F.when(F.col("value_c").isNotNull(), F.col("hx"))
     ctx = joined.select(
@@ -310,8 +317,8 @@ def q_ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_c",
         F.last("value_c", ignorenulls=True).over(w_prev).alias("prev_c"),
         F.last(known_x, ignorenulls=True).over(w_prev).alias("prev_x"),
-        F.first("value_c", ignorenulls=True).over(w_next).alias("next_c"),
-        F.first(known_x, ignorenulls=True).over(w_next).alias("next_x"),
+        F.last("value_c", ignorenulls=True).over(w_next).alias("next_c"),
+        F.last(known_x, ignorenulls=True).over(w_next).alias("next_x"),
     )
     lerp_c = F.expr(
         "(2 * (prev_c * (next_x - hx) + next_c * (hx - prev_x))"
