@@ -253,3 +253,145 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     final.count()
     return final
+
+
+# ---------------------------------------------------------------------------
+# Prequential anomaly detection: the streaming twin of
+# operators/behavior.q_ts_anomaly_zscore. Each event is judged against
+# the statistics of STRICTLY EARLIER events of the same user (the
+# state BEFORE the update), so the online operator has an exact batch
+# rewrite: a running window frame ending at 1 PRECEDING — which is the
+# oracle. The z derivation reuses behavior._Z_EXPR's shape in Python
+# floats (IEEE doubles, same ops, same order), quantized floor(z*1e6+
+# 0.5)/1e6 before the threshold, so stream and oracle agree bitwise.
+# ---------------------------------------------------------------------------
+
+ANOMALY_MIN_PRIOR = 30  # events required before a user's model fires
+ANOMALY_THRESHOLD = 2.5
+ANOMALY_OUTPUT_SCHEMA = (
+    "event_id long, user_id long, ts_us long, value double, zscore double"
+)
+ANOMALY_STATE_SCHEMA = "n long, s1 long, s2 long"
+
+
+def prequential_zscore(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Score each event against the user's PRIOR running mean/σ (exact
+    integer cent sums in state), then fold it in. Events are processed
+    in (ts, event_id) order within the batch; batches arrive in pinned
+    time-split order, so the prequential order is total."""
+    import math
+
+    n, s1, s2 = state.get if state.exists else (0, 0, 0)
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )  # stable: total prequential order
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        for eid, t, v in zip(pdf["event_id"], ts_us, pdf["v"]):
+            eid, t, v = int(eid), int(t), int(v)
+            if n >= ANOMALY_MIN_PRIOR and n * s2 - s1 * s1 > 0:
+                z = (v - s1 / n) / math.sqrt(s2 / n - (s1 / n) * (s1 / n))
+                zq = math.floor(z * 1e6 + 0.5) / 1e6
+                if abs(zq) > ANOMALY_THRESHOLD:
+                    out.append((eid, key[0], t, v / 100.0, zq))
+            n, s1, s2 = n + 1, s1 + v, s2 + v * v
+    state.update((n, s1, s2))
+    yield pd.DataFrame(
+        out, columns=["event_id", "user_id", "ts_us", "value", "zscore"]
+    )
+
+
+@register(
+    "q_stream_anomaly",
+    oracle=f"""
+WITH v AS (
+    SELECT event_id, user_id, ts,
+           CAST(round(value * 100) AS BIGINT) AS v
+    FROM events
+), s AS (
+    SELECT *,
+           count(v) OVER w AS n,
+           CAST(sum(v)   OVER w AS BIGINT) AS s1,
+           CAST(sum(v*v) OVER w AS BIGINT) AS s2
+    FROM v
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), z AS (
+    SELECT event_id, user_id, ts, v,
+           floor(((v - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)))
+                 * 1e6 + 0.5) / 1e6 AS zscore
+    FROM s WHERE n >= {ANOMALY_MIN_PRIOR} AND n * s2 - s1 * s1 > 0
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, v / 100.0 AS value,
+       zscore
+FROM z WHERE abs(zscore) > {ANOMALY_THRESHOLD}
+""",
+)
+def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online anomaly detection over a real 3-batch stream: per-user
+    running (n, Σv, Σv²) in explicit state; each event is z-scored
+    against the PRE-update statistics (prequential evaluation — the
+    model never sees the point it judges) and flagged beyond 2.5σ
+    once the user has ANOMALY_MIN_PRIOR prior events. Because scoring uses
+    strictly-earlier events only, the exact batch rewrite is a running
+    window ending at 1 PRECEDING — the oracle — proving the custom
+    stateful operator against declarative SQL semantics. State is 3
+    BIGINTs per live user (constant size, no timeout needed for a
+    bounded key space; production adds eviction for churning keys)."""
+    from ..sources import table as _table
+
+    ev = _table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    src, ck = _fresh_dir("an-src"), _fresh_dir("an-ck")
+    tsu = F.unix_micros("ts")
+    row = ev.agg(
+        F.expr("percentile(unix_micros(ts), 0.3333)").alias("p1"),
+        F.expr("percentile(unix_micros(ts), 0.6667)").alias("p2"),
+    ).first()
+    _write_split_files(
+        ev, [tsu <= row.p1, (tsu > row.p1) & (tsu <= row.p2), tsu > row.p2], src
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, v long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    flagged = stream.groupBy("user_id").applyInPandasWithState(
+        prequential_zscore,
+        ANOMALY_OUTPUT_SCHEMA,
+        ANOMALY_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    name = f"an_out_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        q = (
+            flagged.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    import shutil
+
+    result = tracked_persist(spark.table(name))
+    result.count()
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    return result

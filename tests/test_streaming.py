@@ -163,3 +163,28 @@ def test_kafka_branch_without_factory_is_the_documented_stub(spark):
 
     with _pytest.raises(Exception):
         read_changelog_stream(spark, "broker:9092/changelog", source="kafka")
+
+
+def test_stream_anomaly_is_deterministic_and_prequential(spark, sf_dir):
+    """Two full replays must emit identical flag sets (pinned splits +
+    ordered prequential fold), and no event may be flagged before its
+    user has ANOMALY_MIN_PRIOR earlier events."""
+    from dynamodb_pitr_restore_cdc_spark.sources import table as _table
+    from dynamodb_pitr_restore_cdc_spark.streaming.stateful import (
+        ANOMALY_MIN_PRIOR,
+        q_stream_anomaly,
+    )
+
+    a = sorted(map(tuple, q_stream_anomaly(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q_stream_anomaly(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
+    ev = (
+        _table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    ev["rank"] = ev.groupby("user_id").cumcount()
+    rank = ev.set_index("event_id")["rank"]
+    for row in a:
+        assert rank[row[0]] >= ANOMALY_MIN_PRIOR
