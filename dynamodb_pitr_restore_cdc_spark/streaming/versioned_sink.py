@@ -571,6 +571,42 @@ class VersionedCdcSink:
     def visible(self, version: int | None = None) -> DataFrame:
         return visible(self.snapshot(version))
 
+    def lookup(self, key_value, version: int | None = None, key: str = "key") -> DataFrame:
+        """Point lookup — the engine's GetItem: resolve the key's bucket
+        with the SAME hash the writer used, load only that bucket's
+        shard entry from the manifest, and read exactly one bucket
+        directory. Cost is O(1) manifest shards + one bucket of data
+        regardless of table size — the reference's per-item access
+        pattern (DynamoDB GetItem) reproduced via manifest-level
+        pruning instead of a key-value store. An absent key still reads
+        its (single) bucket; a bloom filter per bucket file is the
+        upgrade that skips even that."""
+        v = self.latest_version() if version is None else version
+        if self._schema is None:
+            # fresh handle on an existing table: recover the schema from
+            # the manifest's parquet footers so the key hash below uses
+            # the WRITER's column type, not the literal's python type
+            self._schema = self._read_buckets(self._manifest(v)).schema
+        lit = F.lit(key_value)
+        if self._schema is not None and key in self._schema.fieldNames():
+            # hash EXACTLY as the writer did: Spark's hash() is
+            # type-sensitive (hash(5 AS INT) != hash(5 AS BIGINT))
+            lit = lit.cast(self._schema[key].dataType)
+        b = (
+            self.spark.range(1)
+            .select(F.pmod(F.hash(lit), F.lit(self.n_buckets)).alias("b"))
+            .first()
+            .b
+        )  # driver scalar: bucket id via the engine's own hash function
+        m = self._manifest(v, buckets=[b])
+        if b not in m:
+            if self._schema is None:
+                raise ValueError("empty sink with no remembered schema")
+            snap = self.spark.createDataFrame([], schema=self._schema)
+        else:
+            snap = self._read_buckets({b: m[b]})
+        return visible(snap).where(F.col(key) == key_value)
+
     @contextmanager
     def pinned(self, version: int | None = None):
         """Pin a version for the duration of a read: ``expire_versions``
@@ -983,3 +1019,39 @@ def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_keys") > 0)
     )
     return merged
+
+
+@register(
+    "q_cdc_point_lookup",
+    oracle=with_changelog(
+        """
+SELECT key, seq_no AS last_seq, payload_value
+FROM (
+    SELECT key, seq_no, op, payload_value,
+           row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
+    FROM changelog
+    WHERE key IN (SELECT min(key) FROM changelog)
+       OR key IN (SELECT max(key) FROM changelog)
+) WHERE rn = 1 AND op <> 'REMOVE'
+"""
+    ),
+)
+def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetItem over the versioned table: point lookups for the lowest
+    and highest changelog keys (plus a guaranteed-absent key, which
+    must come back empty after reading only its one bucket). Each
+    lookup hashes the key to its bucket, loads one manifest shard, and
+    lists exactly one bucket directory — O(1) in table size, the
+    reference's per-item DynamoDB access pattern
+    (`lambda-restore/main.py` item-level restore identity) served by
+    manifest pruning. Oracle: the changelog fold restricted to those
+    keys."""
+    sink, _, _ = shared_sink(spark, sf_dir)
+    cl = changelog(spark, sf_dir)
+    row = cl.agg(F.min("key").alias("lo"), F.max("key").alias("hi")).first()
+    out = (
+        sink.lookup(int(row.lo))
+        .unionByName(sink.lookup(int(row.hi)))
+        .unionByName(sink.lookup(-1))  # absent key: empty, still 1-bucket read
+    )
+    return out.select("key", "last_seq", "payload_value")

@@ -230,3 +230,45 @@ def test_streaming_commits_resume_from_checkpoint(spark, tmp_path):
     # and the commit two batches back is still the run-1 state
     want_v2 = _rows(fold_changelog(cl.where(F.col("seq_no") <= q2)))
     assert _rows(sink.visible(version=2)) == want_v2
+
+
+def test_point_lookup_reads_exactly_one_bucket(spark, tmp_path):
+    """lookup() must resolve through the manifest to ONE bucket
+    directory (inputFiles all share a single bucket path), return the
+    fold-of-changelog row for present keys, and empty for absent keys
+    without widening the read."""
+    from dynamodb_pitr_restore_cdc_spark.operators.cdc import (
+        changelog,
+        fold_changelog,
+    )
+    from .conftest import SF_SMOKE
+
+    cl = changelog(spark, SF_SMOKE).select("seq_no", "op", "key", "payload_value")
+    sink = VersionedCdcSink(spark, str(tmp_path / "sink"), n_buckets=8)
+    max_seq = cl.agg(F.max("seq_no")).first()[0]
+    sink.init(fold_changelog(cl.where(F.col("seq_no") <= max_seq // 2)))
+    sink.apply_batch(cl.where(F.col("seq_no") > max_seq // 2))
+
+    want = {r.key: r for r in fold_changelog(cl).collect()}
+    probe = sorted(want)[0]
+    df = sink.lookup(int(probe))
+    files = df.inputFiles()
+    assert files, "lookup plan lists no files"
+    buckets = {f.rsplit("/bucket=", 1)[1].split("/")[0] for f in files}
+    tokens = {f.split("/data/")[1].split("/")[0] for f in files}
+    assert len(buckets) == 1  # one bucket dir only
+    assert len(tokens) == 1  # and from ONE commit's rewrite of it
+    got = df.collect()
+    assert len(got) == 1 and got[0].key == probe
+    assert got[0].payload_value == want[probe].payload_value
+
+    # absent key: empty result, still a single-bucket read
+    miss = sink.lookup(-1)
+    assert miss.count() == 0
+    assert len({f.rsplit("/bucket=", 1)[1].split("/")[0] for f in miss.inputFiles()}) <= 1
+
+    # fresh handle with no remembered schema must hash with the
+    # writer's column type (schema recovered from parquet footers)
+    fresh = VersionedCdcSink(spark, sink.path, n_buckets=8)
+    got2 = fresh.lookup(int(probe)).collect()
+    assert len(got2) == 1 and got2[0].payload_value == want[probe].payload_value
