@@ -390,3 +390,112 @@ def dpp_join_plan(spark: SparkSession, sf_dir: str):
         "o_year"
     ).agg(F.count("*").alias("n"))
     return df, out
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering: multi-dimensional data skipping
+# ---------------------------------------------------------------------------
+
+Z_BITS = 21  # per-dimension bits; 2x21 = 42-bit Morton code fits BIGINT
+
+
+def zvalue_expr(xcol: str, ycol: str, bits: int = Z_BITS):
+    """Morton interleave of two non-negative integer columns (or SQL
+    expressions) — pure JVM expression (aggregate over a bit-index
+    sequence), no Python. Rows sorted by this value cluster in BOTH
+    dimensions at once: any file of a z-sorted layout covers a bounded
+    square-ish region of (x, y)-space, so min/max footer stats prune
+    files for predicates on EITHER column — a single-column sort only
+    ever prunes its own column. Callers must feed dimensions of
+    comparable bit width (see zorder_layout's normalization)."""
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> "
+        f"acc | (((CAST({xcol} AS BIGINT) >> i) & 1) << (2 * i))"
+        f"    | (((CAST({ycol} AS BIGINT) >> i) & 1) << (2 * i + 1)))"
+    )
+
+
+_ZORDER_CACHE: dict[tuple[str, str], str] = {}
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
+    """Write lineitem z-ordered on (l_partkey, l_suppkey) into a
+    session-cached temp layout: range-partition on the Morton code
+    (n_files contiguous z-ranges), sort within partitions, one parquet
+    file per range. This is the engine's OPTIMIZE ZORDER — a one-time
+    clustering write that every later multi-dimension selective scan
+    repays via footer-stats skipping."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    hit = _ZORDER_CACHE.get(key)
+    if hit is not None and os.path.isdir(hit):
+        return hit
+    out = os.path.join(_BUCKETED_ROOT, f"zorder-{uuid.uuid4().hex[:8]}")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    # NORMALIZE each dimension onto the same bit scale before
+    # interleaving: with raw values, a dimension whose domain is much
+    # smaller (suppkey ~ partkey/20 here) contributes only low Morton
+    # bits and the order degenerates to a single-column sort — measured
+    # exactly that before this scaling. Proportional scaling by the
+    # column max is the poor-man's range-id mapping (Delta's OPTIMIZE
+    # ZORDER uses per-column range partition ids for the same reason);
+    # at 100 TB use approx quantiles instead so skewed domains spread.
+    row = li.agg(
+        F.max("l_partkey").alias("pk"), F.max("l_suppkey").alias("sk")
+    ).first()  # driver scalars: per-dimension domain maxima
+    bits = 16
+    sx = f"((CAST(l_partkey AS BIGINT) * {1 << bits}) div {int(row.pk) + 1})"
+    sy = f"((CAST(l_suppkey AS BIGINT) * {1 << bits}) div {int(row.sk) + 1})"
+    (
+        li.withColumn("zv", zvalue_expr(sx, sy, bits=bits))
+        .repartitionByRange(n_files, "zv")
+        .sortWithinPartitions("zv")
+        .drop("zv")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    _ZORDER_CACHE[key] = out
+    return out
+
+
+@register(
+    "q_scan_zorder_box",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price
+FROM lineitem
+WHERE l_partkey BETWEEN (SELECT max(l_partkey) FROM lineitem) // 4
+                    AND (SELECT max(l_partkey) FROM lineitem) // 2
+  AND l_suppkey BETWEEN (SELECT max(l_suppkey) FROM lineitem) // 4
+                    AND (SELECT max(l_suppkey) FROM lineitem) // 2
+""",
+)
+def q_scan_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional box query over the z-ordered layout: both range
+    predicates push down to the clustered parquet files, where Morton
+    clustering makes min/max footer stats selective in BOTH dimensions
+    (a linear sort serves only its own column — measured in
+    tests/test_zorder.py: the off-sort dimension prunes nothing
+    there). At 100 TB this is the difference between a full scan and
+    reading ~sqrt-fraction of files for every secondary-dimension
+    predicate, without any index structure. The oracle runs the same
+    box on the unclustered table — clustering must never change
+    results, only I/O."""
+    zpath = zorder_layout(spark, sf_dir)
+    li = table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.max("l_partkey").alias("pk"), F.max("l_suppkey").alias("sk")
+    ).first()  # driver scalars: box bounds (orchestration)
+    z = spark.read.parquet(zpath).where(
+        (F.col("l_partkey") >= row.pk // 4)
+        & (F.col("l_partkey") <= row.pk // 2)
+        & (F.col("l_suppkey") >= row.sk // 4)
+        & (F.col("l_suppkey") <= row.sk // 2)
+    )
+    return z.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        (F.sum(cents("l_extendedprice")) / 100.0).alias("sum_price"),
+    )
