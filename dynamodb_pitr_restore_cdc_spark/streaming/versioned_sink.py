@@ -441,11 +441,71 @@ class VersionedCdcSink:
             .partitionBy("bucket")
             .parquet(out)
         )
-        return [
+        written = [
             int(d.split("=")[1])
             for d in os.listdir(out)
             if d.startswith("bucket=")
         ]
+        if written:  # an empty write leaves no schema to read back
+            self._write_blooms(out, key)
+        return written
+
+    BLOOM_BITS = 8192  # per-bucket filter width; size ~n_keys*10 at scale
+    BLOOM_HASHES = 4
+
+    def _bloom_positions(self, key_col) -> F.Column:
+        """The k bit positions of a key — xxhash64 with k seeds, JVM-side
+        and type-sensitive exactly like the bucket hash."""
+        return F.array(
+            *[
+                F.pmod(F.xxhash64(key_col, F.lit(i)), F.lit(self.BLOOM_BITS))
+                for i in range(self.BLOOM_HASHES)
+            ]
+        )
+
+    def _write_blooms(self, token_dir: str, key: str) -> None:
+        """Per-bucket bloom sidecar (data/<token>/bloom.json): the set
+        bits of every key's k positions, built by reading back ONLY the
+        key column of the just-written files (column-pruned — re-using
+        the pre-write DataFrame would re-run the whole merge, no
+        cross-branch CSE). Lives inside the token dir, so it shares the
+        data's immutability and commit atomicity. Negative lookups test
+        the filter and skip the bucket read entirely — the reference's
+        GetItem-on-absent-key costs one hash probe, ours costs one tiny
+        JSON + k bit tests instead of a parquet scan."""
+        back = self.spark.read.parquet(token_dir).select(
+            "bucket", F.explode(self._bloom_positions(F.col(key))).alias("p")
+        )
+        rows = (
+            back.groupBy("bucket")
+            .agg(F.collect_set("p").alias("ps"))
+            .collect()
+        )  # bounded: n_buckets × ≤BLOOM_BITS positions (control plane)
+        blooms = {}
+        for r in rows:
+            bits = bytearray(self.BLOOM_BITS // 8)
+            for p in r.ps:
+                bits[p // 8] |= 1 << (p % 8)
+            blooms[str(r.bucket)] = bits.hex()
+        with open(os.path.join(token_dir, "bloom.json"), "w") as fh:
+            json.dump({"m": self.BLOOM_BITS, "k": self.BLOOM_HASHES, "buckets": blooms}, fh)
+
+    def _bloom_might_contain(self, token: str, bucket: int, positions) -> bool:
+        """False only when the sidecar PROVES the key absent; missing or
+        foreign-format sidecars (older commits) fall through to True."""
+        bpath = os.path.join(self.path, "data", token, "bloom.json")
+        try:
+            with open(bpath) as fh:
+                doc = json.load(fh)
+        except FileNotFoundError:
+            return True
+        if doc.get("m") != self.BLOOM_BITS or doc.get("k") != self.BLOOM_HASHES:
+            return True
+        hexbits = doc["buckets"].get(str(bucket))
+        if hexbits is None:
+            return True
+        bits = bytes.fromhex(hexbits)
+        return all(bits[p // 8] & (1 << (p % 8)) for p in positions)
 
     def _shard_maps_for(
         self, touched: list[int], merged_tokens: dict[int, str], cur_root: dict[int, str]
@@ -578,9 +638,11 @@ class VersionedCdcSink:
         directory. Cost is O(1) manifest shards + one bucket of data
         regardless of table size — the reference's per-item access
         pattern (DynamoDB GetItem) reproduced via manifest-level
-        pruning instead of a key-value store. An absent key still reads
-        its (single) bucket; a bloom filter per bucket file is the
-        upgrade that skips even that."""
+        pruning instead of a key-value store. Absent keys are usually
+        answered WITHOUT any data read: each commit writes a per-bucket
+        bloom sidecar, and a clear filter bit proves absence (false
+        positives only ever cost the one-bucket read they would have
+        paid anyway)."""
         v = self.latest_version() if version is None else version
         if self._schema is None:
             # fresh handle on an existing table: recover the schema from
@@ -592,14 +654,20 @@ class VersionedCdcSink:
             # hash EXACTLY as the writer did: Spark's hash() is
             # type-sensitive (hash(5 AS INT) != hash(5 AS BIGINT))
             lit = lit.cast(self._schema[key].dataType)
-        b = (
+        probe = (
             self.spark.range(1)
-            .select(F.pmod(F.hash(lit), F.lit(self.n_buckets)).alias("b"))
+            .select(
+                F.pmod(F.hash(lit), F.lit(self.n_buckets)).alias("b"),
+                self._bloom_positions(lit).alias("ps"),
+            )
             .first()
-            .b
-        )  # driver scalar: bucket id via the engine's own hash function
+        )  # driver scalars: bucket id + bloom bits via the engine's own hashes
+        b = probe.b
         m = self._manifest(v, buckets=[b])
-        if b not in m:
+        if b not in m or not self._bloom_might_contain(m[b], b, probe.ps):
+            # manifest says the bucket never existed, or its bloom
+            # sidecar PROVES the key absent: answer without touching a
+            # single data file
             if self._schema is None:
                 raise ValueError("empty sink with no remembered schema")
             snap = self.spark.createDataFrame([], schema=self._schema)

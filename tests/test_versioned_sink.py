@@ -262,13 +262,39 @@ def test_point_lookup_reads_exactly_one_bucket(spark, tmp_path):
     assert len(got) == 1 and got[0].key == probe
     assert got[0].payload_value == want[probe].payload_value
 
-    # absent key: empty result, still a single-bucket read
+    # absent key: the bloom sidecar proves absence -- empty result
+    # with ZERO data files read
     miss = sink.lookup(-1)
     assert miss.count() == 0
-    assert len({f.rsplit("/bucket=", 1)[1].split("/")[0] for f in miss.inputFiles()}) <= 1
+    assert miss.inputFiles() == []
 
     # fresh handle with no remembered schema must hash with the
     # writer's column type (schema recovered from parquet footers)
     fresh = VersionedCdcSink(spark, sink.path, n_buckets=8)
     got2 = fresh.lookup(int(probe)).collect()
     assert len(got2) == 1 and got2[0].payload_value == want[probe].payload_value
+
+
+def test_bloom_sidecars_never_false_negative_and_usually_skip(spark, tmp_path):
+    """Every live key must pass its bucket's bloom (no false negatives,
+    ever); a sweep of absent keys must mostly short-circuit to a
+    zero-file read (false positives allowed, bounded)."""
+    from dynamodb_pitr_restore_cdc_spark.operators.cdc import (
+        changelog,
+        fold_changelog,
+    )
+    from .conftest import SF_SMOKE
+
+    cl = changelog(spark, SF_SMOKE).select("seq_no", "op", "key", "payload_value")
+    sink = VersionedCdcSink(spark, str(tmp_path / "sink"), n_buckets=8)
+    max_seq = cl.agg(F.max("seq_no")).first()[0]
+    sink.init(fold_changelog(cl.where(F.col("seq_no") <= max_seq // 2)))
+    sink.apply_batch(cl.where(F.col("seq_no") > max_seq // 2))
+
+    live = [int(r.key) for r in fold_changelog(cl).select("key").collect()]
+    for k in live[:20]:
+        assert len(sink.lookup(k).collect()) == 1  # bloom never hides a key
+    absent_reads = sum(
+        1 for k in range(100000, 100020) if sink.lookup(k).inputFiles()
+    )
+    assert absent_reads <= 2  # ≤10% false-positive bucket reads on this sweep
