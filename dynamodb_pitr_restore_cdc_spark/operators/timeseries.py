@@ -146,3 +146,86 @@ def q_ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Truncated EWMA: deterministic exponential smoothing
+# ---------------------------------------------------------------------------
+
+EWMA_LAGS = 20  # truncation horizon; (3/4)^20 ~ 0.3% residual mass
+
+
+def _ewma_sql_terms() -> tuple[str, str]:
+    """(numerator, denominator) expression text shared by both engines.
+
+    α = 1/4 ⇒ weight_j ∝ (3/4)^j; the common α factor cancels in the
+    normalized ratio. Each term embeds the EXACT integer pair (3^j,
+    4^j) as literals, multiplies the integer cent value first (exact
+    BIGINT), and quantizes to integer micro-units with floor(x + 0.5)
+    BEFORE the sum — so the only inexact steps are per-term IEEE ops
+    on identical inputs, and the cross-term sum is exact integer
+    arithmetic in any order. Rows older than the series start
+    contribute zero weight (NULL lag ⇒ excluded from both sums)."""
+    nums, dens = [], []
+    for j in range(EWMA_LAGS + 1):
+        p3, p4 = 3**j, 4**j
+        nums.append(f"coalesce(floor((lag{j} * {p3}) * 1e6 / {p4} + 0.5), 0)")
+        dens.append(
+            f"(CASE WHEN lag{j} IS NULL THEN 0"
+            f" ELSE floor(1e6 * {p3} / {p4} + 0.5) END)"
+        )
+    return " + ".join(nums), " + ".join(dens)
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_sql_terms()
+
+
+@register(
+    "q_ts_ewma",
+    oracle=f"""
+WITH hourly AS (
+    SELECT user_id, date_trunc('hour', ts) AS h,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM events GROUP BY 1, 2
+), lagged AS (
+    SELECT user_id, h, value_c,
+           {", ".join(f"lag(value_c, {j}) OVER (PARTITION BY user_id ORDER BY h) AS lag{j}" for j in range(EWMA_LAGS + 1))}
+    FROM hourly
+)
+SELECT user_id, epoch_us(h) AS hour_us,
+       value_c / 100.0 AS hour_value,
+       (({_EWMA_NUM}) / ({_EWMA_DEN})) / 100.0 AS ewma_value
+FROM lagged
+""",
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α=0.25) of each user's
+    hourly value, truncated at 20 lags (<0.4% lost mass): the standard
+    metrics-smoothing operator, made bit-reproducible. The recursive
+    definition is a float fold whose result depends on evaluation
+    order — useless for cross-engine (or even cross-run, under
+    retries) determinism — so this uses the closed truncated form:
+    exact integer weights 3^j/4^j as literals, integer cents
+    multiplied exactly, each term quantized to micro-units BEFORE an
+    exact integer sum, normalized by the weight mass actually present
+    (series heads reweight instead of biasing to zero). One shuffle on
+    user; the 21 lag columns share a single window sort. 100 TB: this
+    is the template for ANY decayed aggregate (decayed counts,
+    half-life scores) — truncate, exactify, quantize-then-sum."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_c"))
+    w = W.partitionBy("user_id").orderBy("h")
+    lagged = hourly.select(
+        "user_id",
+        "h",
+        "value_c",
+        *[F.lag("value_c", j).over(w).alias(f"lag{j}") for j in range(EWMA_LAGS + 1)],
+    )
+    return lagged.select(
+        "user_id",
+        F.unix_micros("h").alias("hour_us"),
+        (F.col("value_c") / 100.0).alias("hour_value"),
+        (F.expr(f"(({_EWMA_NUM}) / ({_EWMA_DEN}))") / 100.0).alias("ewma_value"),
+    )

@@ -163,3 +163,27 @@ def test_anomaly_zscore_flags_match_per_user_stats(spark):
         recomputed |= set(g["event_id"].to_numpy()[np.abs(z) > Z_THRESHOLD + 1e-9])
     # quantization can flip exact-boundary rows only; none here
     assert flagged == recomputed
+
+
+def test_ewma_matches_truncated_reference(spark):
+    import numpy as np
+    from dynamodb_pitr_restore_cdc_spark.operators.timeseries import (
+        EWMA_LAGS,
+        q_ts_ewma,
+    )
+
+    got = (
+        q_ts_ewma(spark, SF_SMOKE)
+        .toPandas()
+        .sort_values(["user_id", "hour_us"])
+    )
+    w = np.array([0.75**j for j in range(EWMA_LAGS + 1)])
+    for uid, g in list(got.groupby("user_id"))[:10]:
+        v = g["hour_value"].to_numpy()
+        e = g["ewma_value"].to_numpy()
+        assert abs(e[0] - v[0]) < 1e-9  # series head: only lag0 mass
+        for t in range(len(v)):
+            k = min(t, EWMA_LAGS)
+            vals = v[t - k : t + 1][::-1]
+            want = (vals * w[: k + 1]).sum() / w[: k + 1].sum()
+            assert abs(e[t] - want) < 1e-4, (uid, t, e[t], want)
