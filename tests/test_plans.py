@@ -477,3 +477,67 @@ def test_shuffle_hash_hint_is_honored(plans):
     # SortMergeJoin, and no sort below the join
     p = plans("q_join_shuffle_hash_hint")
     assert "ShuffledHashJoin" in p
+
+
+def _n_hash_exchanges(p: str) -> int:
+    # formatted plans put the partitioning on an Arguments line, one
+    # per Exchange node
+    return p.count("Arguments: hashpartitioning")
+
+
+def _n_nodes(p: str, node: str) -> int:
+    import re
+
+    return len(re.findall(rf"\(\d+\) {node}\W", p))
+
+
+def test_behavior_queries_stay_jvm_side_single_shuffle(plans):
+    # sessionize: window passes + rollup all on ONE user partitioning
+    p = plans("q_ts_sessionize")
+    assert "EvalPython" not in p
+    assert _n_hash_exchanges(p) == 1
+    # anomaly: same single-shuffle window shape
+    p = plans("q_ts_anomaly_zscore")
+    assert "EvalPython" not in p
+    assert _n_hash_exchanges(p) == 1
+
+
+def test_funnel_has_no_count_distinct_expand(plans):
+    # per-user collapse rides the window partitioning: no Expand node,
+    # one hash shuffle (plus the single-partition global fold)
+    p = plans("q_ts_funnel")
+    assert "Expand" not in p
+    assert _n_hash_exchanges(p) == 1
+
+
+def test_moments_is_one_aggregate_pass(plans):
+    # all five statistics derive from ONE partial+final hash aggregate
+    # over ONE scan
+    p = plans("q_agg_stats_moments")
+    assert "Window" not in p and "Expand" not in p
+    assert _n_hash_exchanges(p) == 1
+    assert p.count("Location: InMemoryFileIndex") == 1
+
+
+def test_bm25_broadcasts_small_sides(plans):
+    # df (term-count rows) and corpus stats must broadcast, never shuffle
+    p = plans("q_llm_bm25_search")
+    assert _n_nodes(p, "BroadcastExchange") >= 2
+    assert "TakeOrderedAndProject" in p  # top-k, not global sort
+
+
+def test_ewma_lags_share_one_window_sort(plans):
+    # 21 lag columns must compile into a single Window node over one
+    # (user) exchange — not 21 sorts
+    p = plans("q_ts_ewma")
+    assert "EvalPython" not in p
+    assert _n_nodes(p, "Window") == 1
+    assert _n_hash_exchanges(p) <= 2  # hourly agg + window
+
+
+def test_zorder_box_pushes_both_range_predicates(plans):
+    from dynamodb_pitr_restore_cdc_spark.plans.explain import pushed_filters
+
+    p = plans("q_scan_zorder_box")
+    f = pushed_filters(p, "zorder")
+    assert "l_partkey" in f and "l_suppkey" in f
