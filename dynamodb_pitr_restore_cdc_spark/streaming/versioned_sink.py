@@ -77,6 +77,71 @@ from ..operators.cdc import cdc_merge_tombstone, visible
 N_BUCKETS_DEFAULT = 32
 SHARD_SIZE_DEFAULT = 1024  # buckets per manifest shard file
 
+_M32 = 0xFFFFFFFF
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _murmur3_hash_long(value: int, seed: int = 42) -> int:
+    """Spark's `hash()` for a LongType column, computed driver-side:
+    Murmur3 x86_32 over the two 32-bit halves (low first), seed 42 —
+    the public algorithm Spark's Murmur3_x86_32.hashLong implements.
+    Returns the SIGNED int32 Spark returns; pinned against F.hash in
+    tests so a Spark-side change can never silently diverge."""
+
+    def rotl32(x, r):
+        return ((x << r) | (x >> (32 - r))) & _M32
+
+    def mix_k1(k1):
+        k1 = (k1 * 0xCC9E2D51) & _M32
+        k1 = rotl32(k1, 15)
+        return (k1 * 0x1B873593) & _M32
+
+    def mix_h1(h1, k1):
+        h1 ^= k1
+        h1 = rotl32(h1, 13)
+        return (h1 * 5 + 0xE6546B64) & _M32
+
+    v = value & _M64
+    h1 = seed & _M32
+    h1 = mix_h1(h1, mix_k1(v & _M32))
+    h1 = mix_h1(h1, mix_k1((v >> 32) & _M32))
+    h1 ^= 8
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _M32
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _xxhash64_long(value: int, seed: int) -> int:
+    """Spark's `xxhash64()` for a LongType column, driver-side: the
+    public XXH64 single-long path. Returns Spark's signed int64;
+    pinned against F.xxhash64 in tests."""
+    P1, P2, P3, P4, P5 = (
+        0x9E3779B185EBCA87,
+        0xC2B2AE3D27D4EB4F,
+        0x165667B19E3779F9,
+        0x85EBCA77C2B2AE63,
+        0x27D4EB2F165667C5,
+    )
+
+    def rotl64(x, r):
+        return ((x << r) | (x >> (64 - r))) & _M64
+
+    h = (seed + P5 + 8) & _M64
+    k1 = (value & _M64) * P2 & _M64
+    k1 = rotl64(k1, 31)
+    k1 = (k1 * P1) & _M64
+    h ^= k1
+    h = (rotl64(h, 27) * P1 + P4) & _M64
+    h ^= h >> 33
+    h = (h * P2) & _M64
+    h ^= h >> 29
+    h = (h * P3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
 
 class CommitConflictError(RuntimeError):
     """Raised when a commit loses the pointer CAS more than
@@ -453,12 +518,20 @@ class VersionedCdcSink:
     BLOOM_BITS = 8192  # per-bucket filter width; size ~n_keys*10 at scale
     BLOOM_HASHES = 4
 
+    _BLOOM_ALGO = "xxh64-chain-long"  # chained 8-byte path, seed 42
+
     def _bloom_positions(self, key_col) -> F.Column:
-        """The k bit positions of a key — xxhash64 with k seeds, JVM-side
-        and type-sensitive exactly like the bucket hash."""
+        """The k bit positions of a key: xxhash64 chained with a BIGINT
+        variant column (the 8-byte path on both inputs, so the
+        driver-side python twin in `lookup` reproduces it exactly —
+        an INT literal would silently switch Spark to the 4-byte
+        path)."""
         return F.array(
             *[
-                F.pmod(F.xxhash64(key_col, F.lit(i)), F.lit(self.BLOOM_BITS))
+                F.pmod(
+                    F.xxhash64(key_col, F.lit(i).cast("bigint")),
+                    F.lit(self.BLOOM_BITS),
+                )
                 for i in range(self.BLOOM_HASHES)
             ]
         )
@@ -488,7 +561,15 @@ class VersionedCdcSink:
                 bits[p // 8] |= 1 << (p % 8)
             blooms[str(r.bucket)] = bits.hex()
         with open(os.path.join(token_dir, "bloom.json"), "w") as fh:
-            json.dump({"m": self.BLOOM_BITS, "k": self.BLOOM_HASHES, "buckets": blooms}, fh)
+            json.dump(
+                {
+                    "m": self.BLOOM_BITS,
+                    "k": self.BLOOM_HASHES,
+                    "algo": self._BLOOM_ALGO,
+                    "buckets": blooms,
+                },
+                fh,
+            )
 
     def _bloom_might_contain(self, token: str, bucket: int, positions) -> bool:
         """False only when the sidecar PROVES the key absent; missing or
@@ -499,7 +580,11 @@ class VersionedCdcSink:
                 doc = json.load(fh)
         except FileNotFoundError:
             return True
-        if doc.get("m") != self.BLOOM_BITS or doc.get("k") != self.BLOOM_HASHES:
+        if (
+            doc.get("m") != self.BLOOM_BITS
+            or doc.get("k") != self.BLOOM_HASHES
+            or doc.get("algo") != self._BLOOM_ALGO
+        ):
             return True
         hexbits = doc["buckets"].get(str(bucket))
         if hexbits is None:
@@ -607,6 +692,23 @@ class VersionedCdcSink:
 
     # -- reads ----------------------------------------------------------
 
+    def _empty_snapshot(self) -> DataFrame:
+        """A zero-row frame in the remembered schema. Built as typed
+        null casts behind WHERE FALSE so Catalyst folds it to an empty
+        LocalRelation — actions cost ZERO Spark jobs. The obvious
+        `createDataFrame([], schema)` is RDD-backed with
+        defaultParallelism empty partitions: ~0.27 s of task overhead
+        per action, which would dominate a bloom MISS — the very case
+        meant to be near-free (measured via scripts/lookup_bench.py).
+        """
+        if self._schema is None:
+            raise ValueError("empty sink with no remembered schema")
+        cols = [
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in self._schema.fields
+        ]
+        return self.spark.range(1).select(*cols).where(F.lit(False))
+
     def _read_buckets(self, manifest: dict[int, str], only=None) -> DataFrame:
         paths = [
             self._bucket_dir(t, b)
@@ -614,9 +716,7 @@ class VersionedCdcSink:
             if only is None or b in only
         ]
         if not paths:
-            if self._schema is None:
-                raise ValueError("empty sink with no remembered schema")
-            return self.spark.createDataFrame([], schema=self._schema)
+            return self._empty_snapshot()
         # manifest-level pruning: ONLY the named bucket dirs are listed —
         # the bucket id is derivable from key, so no partition column is
         # needed on the way back in
@@ -643,34 +743,51 @@ class VersionedCdcSink:
         bloom sidecar, and a clear filter bit proves absence (false
         positives only ever cost the one-bucket read they would have
         paid anyway)."""
+        from pyspark.sql.types import LongType
+
         v = self.latest_version() if version is None else version
         if self._schema is None:
             # fresh handle on an existing table: recover the schema from
             # the manifest's parquet footers so the key hash below uses
             # the WRITER's column type, not the literal's python type
             self._schema = self._read_buckets(self._manifest(v)).schema
-        lit = F.lit(key_value)
-        if self._schema is not None and key in self._schema.fieldNames():
-            # hash EXACTLY as the writer did: Spark's hash() is
-            # type-sensitive (hash(5 AS INT) != hash(5 AS BIGINT))
-            lit = lit.cast(self._schema[key].dataType)
-        probe = (
-            self.spark.range(1)
-            .select(
-                F.pmod(F.hash(lit), F.lit(self.n_buckets)).alias("b"),
-                self._bloom_positions(lit).alias("ps"),
+        key_type = (
+            self._schema[key].dataType
+            if self._schema is not None and key in self._schema.fieldNames()
+            else None
+        )
+        if isinstance(key_type, LongType) and isinstance(key_value, int):
+            # hot path: hash DRIVER-SIDE with the python twins of
+            # Spark's murmur3/xxhash64 long paths (pinned equal in CI) —
+            # a lookup, and especially a bloom MISS, must not cost a
+            # Spark job just to learn its bucket
+            b = _murmur3_hash_long(key_value) % self.n_buckets
+            seed = _xxhash64_long(key_value, 42)
+            ps = [
+                _xxhash64_long(i, seed) % self.BLOOM_BITS
+                for i in range(self.BLOOM_HASHES)
+            ]
+        else:
+            # general path (non-long keys): one tiny Spark job computes
+            # bucket + bloom positions with the writer's exact hashes
+            lit = F.lit(key_value)
+            if key_type is not None:
+                lit = lit.cast(key_type)
+            probe = (
+                self.spark.range(1)
+                .select(
+                    F.pmod(F.hash(lit), F.lit(self.n_buckets)).alias("b"),
+                    self._bloom_positions(lit).alias("ps"),
+                )
+                .first()
             )
-            .first()
-        )  # driver scalars: bucket id + bloom bits via the engine's own hashes
-        b = probe.b
+            b, ps = probe.b, probe.ps
         m = self._manifest(v, buckets=[b])
-        if b not in m or not self._bloom_might_contain(m[b], b, probe.ps):
+        if b not in m or not self._bloom_might_contain(m[b], b, ps):
             # manifest says the bucket never existed, or its bloom
             # sidecar PROVES the key absent: answer without touching a
             # single data file
-            if self._schema is None:
-                raise ValueError("empty sink with no remembered schema")
-            snap = self.spark.createDataFrame([], schema=self._schema)
+            snap = self._empty_snapshot()
         else:
             snap = self._read_buckets({b: m[b]})
         return visible(snap).where(F.col(key) == key_value)

@@ -298,3 +298,33 @@ def test_bloom_sidecars_never_false_negative_and_usually_skip(spark, tmp_path):
         1 for k in range(100000, 100020) if sink.lookup(k).inputFiles()
     )
     assert absent_reads <= 2  # ≤10% false-positive bucket reads on this sweep
+
+
+def test_python_hash_twins_match_spark(spark):
+    """The driver-side murmur3/xxhash64 twins behind lookup's hot path
+    must equal Spark's own hash expressions bit-for-bit, or point
+    lookups would silently probe the wrong bucket/bits."""
+    import random
+
+    from dynamodb_pitr_restore_cdc_spark.streaming.versioned_sink import (
+        _murmur3_hash_long,
+        _xxhash64_long,
+    )
+
+    random.seed(11)
+    vals = [0, 1, -1, 42, 2**62, -(2**62), 2**63 - 1, -(2**63)] + [
+        random.randrange(-(2**63), 2**63) for _ in range(40)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v long").select(
+        "v",
+        F.hash("v").alias("h"),
+        *[
+            F.xxhash64("v", F.lit(i).cast("bigint")).alias(f"x{i}")
+            for i in range(4)
+        ],
+    )
+    for r in df.collect():
+        assert _murmur3_hash_long(r.v) == r.h, r.v
+        seed = _xxhash64_long(r.v, 42)
+        for i in range(4):
+            assert _xxhash64_long(i, seed) == r[f"x{i}"], (r.v, i)
