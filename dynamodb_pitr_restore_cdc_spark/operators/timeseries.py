@@ -229,3 +229,89 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value_c") / 100.0).alias("hour_value"),
         (F.expr(f"(({_EWMA_NUM}) / ({_EWMA_DEN}))") / 100.0).alias("ewma_value"),
     )
+
+
+@register(
+    "q_ts_cusum_changepoint",
+    oracle="""
+WITH v AS (
+    SELECT user_id, ts, event_id,
+           CAST(round(value * 100) AS BIGINT) AS vc
+    FROM events
+), s AS (
+    SELECT *,
+           count(*) OVER (PARTITION BY user_id) AS n,
+           CAST(sum(vc) OVER (PARTITION BY user_id) AS BIGINT) AS s1,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           CAST(sum(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS csum
+    FROM v
+), c AS (
+    SELECT user_id, ts, n, rn,
+           abs(n * csum - rn * s1) AS dev
+    FROM s
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY dev DESC, rn) AS pick
+    FROM c
+)
+SELECT user_id,
+       epoch_us(ts) AS cp_ts_us,
+       CAST(rn AS BIGINT) AS cp_index,
+       CAST(n AS BIGINT) AS n_events,
+       (dev / n) / 100.0 AS peak_dev
+FROM ranked WHERE pick = 1
+""",
+)
+def q_ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per user: the point where the
+    cumulative deviation from the user's own mean peaks — the standard
+    drift/level-shift detector for metrics and data-quality
+    monitoring. Stays EXACT by never dividing: the centered prefix sum
+    Σ(vᵢ - mean) is scaled by n into the all-integer n·csumₜ - t·s1,
+    so the argmax is computed on exact BIGINTs (a float mean would
+    make the peak location itself merge-order dependent near ties).
+    Spark picks the peak with the min-of-struct partial aggregate
+    (argmin of (-dev, rn): largest deviation, earliest tie) — the
+    OHLC pattern, partial-aggregatable so the shuffle after the window
+    pass carries one candidate per partition per user, while the
+    oracle states the same thing as a window rank. Output normalizes
+    the peak back to dollars with int/int → double division only at
+    the edge."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    wu = W.partitionBy("user_id")
+    wo = wu.orderBy("ts", "event_id")
+    wrun = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    s = e.select(
+        "user_id",
+        "ts",
+        F.count("*").over(wu).alias("n"),
+        F.sum("vc").over(wu).alias("s1"),
+        F.row_number().over(wo).alias("rn"),
+        F.sum("vc").over(wrun).alias("csum"),
+    )
+    c = s.select(
+        "user_id",
+        "n",
+        "rn",
+        F.unix_micros("ts").alias("ts_us"),
+        F.abs(F.expr("n * csum - rn * s1")).alias("dev"),
+    )
+    peak = c.groupBy("user_id").agg(
+        F.min(
+            F.struct((-F.col("dev")).alias("negdev"), "rn", "ts_us", "n", "dev")
+        ).alias("p")
+    )
+    return peak.select(
+        "user_id",
+        F.col("p.ts_us").alias("cp_ts_us"),
+        F.col("p.rn").cast("bigint").alias("cp_index"),
+        F.col("p.n").cast("bigint").alias("n_events"),
+        (F.expr("p.dev / p.n") / 100.0).alias("peak_dev"),
+    )

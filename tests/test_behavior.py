@@ -187,3 +187,79 @@ def test_ewma_matches_truncated_reference(spark):
             vals = v[t - k : t + 1][::-1]
             want = (vals * w[: k + 1]).sum() / w[: k + 1].sum()
             assert abs(e[t] - want) < 1e-4, (uid, t, e[t], want)
+
+
+def test_cusum_finds_a_planted_level_shift(spark):
+    import os
+    import tempfile
+
+    from dynamodb_pitr_restore_cdc_spark.operators.timeseries import (
+        q_ts_cusum_changepoint,
+    )
+
+    # user 1: mean jumps from 10.0 to 20.0 at index 60 of 100
+    ts = pd.date_range("2024-01-01", periods=100, freq="1h")
+    vals = [10.0] * 60 + [20.0] * 40
+    pdf = pd.DataFrame(
+        {"user_id": 1, "ts": ts, "event_id": range(100), "value": vals,
+         "event_type": "view", "props": "{}"}
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pdf.to_parquet(os.path.join(d, "events.parquet"), coerce_timestamps="us")
+        got = q_ts_cusum_changepoint(spark, d).toPandas()
+    assert len(got) == 1
+    # CUSUM of a step function peaks exactly AT the last pre-shift point
+    assert int(got.loc[0, "cp_index"]) == 60
+    # peak |Σ(v - mean)| at t=60: mean = 14.0, so 60·|10-14| = 240
+    assert abs(got.loc[0, "peak_dev"] - 240.0) < 1e-9
+
+
+def test_sessionize_matches_bruteforce_on_random_streams(spark):
+    """Property: for random event streams, sessionize must equal a
+    direct python fold of the gap rule."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from dynamodb_pitr_restore_cdc_spark.operators.behavior import (
+        SESSION_GAP_US,
+        q_ts_sessionize,
+    )
+
+    rng = np.random.default_rng(17)
+    rows = []
+    eid = 0
+    for uid in range(6):
+        t = 0
+        for _ in range(rng.integers(1, 120)):
+            t += int(rng.choice([30, 600, 1900, 7200]) * 1e6 * rng.uniform(0.5, 1.5))
+            rows.append((uid, t, eid, float(rng.integers(0, 5000)) / 100))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["user_id", "t_us", "event_id", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["t_us"], unit="us")
+    with tempfile.TemporaryDirectory() as d:
+        pdf.drop(columns=["t_us"]).to_parquet(
+            os.path.join(d, "events.parquet"), coerce_timestamps="us"
+        )
+        got = q_ts_sessionize(spark, d).toPandas()
+
+    # brute-force fold
+    want = []
+    for uid, g in pdf.sort_values(["user_id", "t_us", "event_id"]).groupby("user_id"):
+        sid, start, last, n, val = 0, None, None, 0, 0
+        for r in g.itertuples():
+            if last is None or r.t_us - last > SESSION_GAP_US:
+                if last is not None:
+                    want.append((uid, sid, start, last, n, round(val, 2)))
+                sid, start, n, val = sid + 1, r.t_us, 0, 0.0
+            last = r.t_us
+            n += 1
+            val += r.value
+        want.append((uid, sid, start, last, n, round(val, 2)))
+    got_t = sorted(
+        (int(r.user_id), int(r.session_id), int(r.start_us), int(r.end_us),
+         int(r.n_events), round(float(r.session_value), 2))
+        for r in got.itertuples()
+    )
+    assert got_t == sorted(want)
