@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..registry import register
+from ..registry import register, tracked_persist
 from ..sources import table
 
 QUERY_TERMS = ("spark", "join", "data")
@@ -54,7 +54,9 @@ def q_llm_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     n_docs = d.count()  # driver scalar: corpus size (orchestration)
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    tf = (
+    # tf feeds both the df aggregate and the scored join — persist so
+    # the corpus is exploded once, not per branch (no cross-branch CSE)
+    tf = tracked_persist(
         tok.where(F.col("w").isin(*QUERY_TERMS))
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("tf"))
@@ -176,12 +178,17 @@ def q_llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents scan is shared by tok/dl branches at fixture scale and
     worth a persist when the corpus is hot."""
     d = table(spark, sf_dir, "documents")
-    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    # tf and dl each feed TWO plan branches (scored join + their own
+    # aggregate); Catalyst has no cross-branch CSE, so without the
+    # persists one run scans+explodes the corpus four times
+    dl = tracked_persist(
+        d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    )
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
     )
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    tf = (
+    tf = tracked_persist(
         tok.where(F.col("w").isin(*QUERY_TERMS))
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("tf"))

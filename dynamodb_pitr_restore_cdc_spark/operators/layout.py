@@ -415,10 +415,12 @@ def zvalue_expr(xcol: str, ycol: str, bits: int = Z_BITS):
     )
 
 
-_ZORDER_CACHE: dict[tuple[str, str], str] = {}
+_ZORDER_CACHE: dict[tuple[str, str], tuple[str, int, int]] = {}
 
 
-def zorder_layout(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
+def zorder_layout(
+    spark: SparkSession, sf_dir: str, n_files: int = 8
+) -> tuple[str, int, int]:
     """Write lineitem z-ordered on (l_partkey, l_suppkey) into a
     session-cached temp layout: range-partition on the Morton code
     (n_files contiguous z-ranges), sort within partitions, one parquet
@@ -427,7 +429,7 @@ def zorder_layout(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
     repays via footer-stats skipping."""
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     hit = _ZORDER_CACHE.get(key)
-    if hit is not None and os.path.isdir(hit):
+    if hit is not None and os.path.isdir(hit[0]):
         return hit
     out = os.path.join(_BUCKETED_ROOT, f"zorder-{uuid.uuid4().hex[:8]}")
     li = table(spark, sf_dir, "lineitem").select(
@@ -455,8 +457,11 @@ def zorder_layout(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
         .write.mode("overwrite")
         .parquet(out)
     )
-    _ZORDER_CACHE[key] = out
-    return out
+    # cache the domain maxima WITH the layout: box queries derive
+    # their bounds from them, and re-aggregating the unclustered fact
+    # per query would cost the very full scan the layout avoids
+    _ZORDER_CACHE[key] = (out, int(row.pk), int(row.sk))
+    return _ZORDER_CACHE[key]
 
 
 @register(
@@ -483,16 +488,12 @@ def q_scan_zorder_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate, without any index structure. The oracle runs the same
     box on the unclustered table — clustering must never change
     results, only I/O."""
-    zpath = zorder_layout(spark, sf_dir)
-    li = table(spark, sf_dir, "lineitem")
-    row = li.agg(
-        F.max("l_partkey").alias("pk"), F.max("l_suppkey").alias("sk")
-    ).first()  # driver scalars: box bounds (orchestration)
+    zpath, pk, sk = zorder_layout(spark, sf_dir)
     z = spark.read.parquet(zpath).where(
-        (F.col("l_partkey") >= row.pk // 4)
-        & (F.col("l_partkey") <= row.pk // 2)
-        & (F.col("l_suppkey") >= row.sk // 4)
-        & (F.col("l_suppkey") <= row.sk // 2)
+        (F.col("l_partkey") >= pk // 4)
+        & (F.col("l_partkey") <= pk // 2)
+        & (F.col("l_suppkey") >= sk // 4)
+        & (F.col("l_suppkey") <= sk // 2)
     )
     return z.agg(
         F.count("*").alias("n_lines"),

@@ -201,10 +201,15 @@ FROM lagged
 def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average (α=0.25) of each user's
     hourly value, truncated at 20 lags (<0.4% lost mass): the standard
-    metrics-smoothing operator, made bit-reproducible. The recursive
-    definition is a float fold whose result depends on evaluation
-    order — useless for cross-engine (or even cross-run, under
-    retries) determinism — so this uses the closed truncated form:
+    metrics-smoothing operator, made bit-reproducible. Decay is
+    TICK-BASED — per OBSERVED hour, lag j = the j-th previous
+    observation, not j wall-clock hours — the pandas `ewm` default; a
+    wall-clock-decay variant composes this over the gap-fill spine
+    (q_ts_gapfill_ffill) so missing hours occupy lag slots. The
+    recursive definition is a float fold whose result depends on
+    evaluation order — useless for cross-engine (or even cross-run,
+    under retries) determinism — so this uses the closed truncated
+    form:
     exact integer weights 3^j/4^j as literals, integer cents
     multiplied exactly, each term quantized to micro-units BEFORE an
     exact integer sum, normalized by the weight mass actually present

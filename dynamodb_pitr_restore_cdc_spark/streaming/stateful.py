@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..functions.rounding import avg_div
+from ..operators.behavior import SESSION_GAP_US
 from ..operators.cdc import changelog, with_changelog
 from ..registry import register, tracked_persist
 from .cdc_stream import CHANGELOG_STREAM_SCHEMA
@@ -32,7 +33,9 @@ from .stream_queries import _fresh_dir, _write_split_files
 OUTPUT_SCHEMA = "key long, n_events long, sum_value_c long, max_seq long"
 STATE_SCHEMA = "n long, s long, m long"
 
-SESSION_GAP_US = 30 * 60 * 1_000_000
+# SESSION_GAP_US is shared with the batch sessionizer
+# (operators/behavior.py) so the two protocols can never silently
+# diverge on the gap definition
 SESSION_OUTPUT_SCHEMA = "user_id long, session_start_us long, n_events long"
 SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
 
@@ -61,18 +64,25 @@ def sessionize(
 ) -> Iterator[pd.DataFrame]:
     """Custom gap-based sessionization: maintain (start, last, count) per
     user; when an event arrives more than the gap after `last`, emit the
-    CLOSED session and start a new one. Events are processed in event-
-    time order within each batch (sorted below); batches arrive in
-    time-split order, so cross-batch continuation works."""
+    CLOSED session and start a new one. The group's chunks are DRAINED
+    AND CONCATENATED before sorting: the Arrow iterator yields ≤
+    maxRecordsPerBatch-row chunks in arbitrary arrival order, so a
+    per-chunk sort alone is not a total event-time order once one
+    user's trigger exceeds a chunk (silent at fixture scale, wrong at
+    larger SF). Memory is bounded by one (user, trigger) slice —
+    exactly the unit the state store shuffles anyway. Batches arrive
+    in time-split order, so cross-batch continuation works."""
     if state.exists:
         start_us, last_us, n = state.get
     else:
         start_us, last_us, n = None, None, 0
     closed = []
-    for pdf in pdfs:
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        whole = pd.concat(chunks, ignore_index=True)
         # explicit µs: pandas delivers datetime64[ns] and a bare int64
         # cast would be nanoseconds, off by 1000x vs SESSION_GAP_US
-        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").sort_values()
+        ts_us = whole["ts"].astype("datetime64[us]").astype("int64").sort_values()
         for t in ts_us:
             t = int(t)
             if last_us is None:
@@ -278,9 +288,12 @@ def prequential_zscore(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Score each event against the user's PRIOR running mean/σ (exact
-    integer cent sums in state), then fold it in. Events are processed
-    in (ts, event_id) order within the batch; batches arrive in pinned
-    time-split order, so the prequential order is total.
+    integer cent sums in state), then fold it in. The group's Arrow
+    chunks are DRAINED AND CONCATENATED before the (ts, event_id)
+    sort — chunks arrive in arbitrary order and a per-chunk sort is
+    not a total order once a user's trigger spans multiple chunks —
+    then batches arrive in pinned time-split order, so the
+    prequential order is total.
 
     The fold is fully vectorized: prior-state vectors are the batch's
     shifted cumulative sums offset by the carried state (exact int64 —
@@ -294,7 +307,8 @@ def prequential_zscore(
 
     n0, s10, s20 = state.get if state.exists else (0, 0, 0)
     out = []
-    for pdf in pdfs:
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    for pdf in ([pd.concat(chunks, ignore_index=True)] if chunks else []):
         pdf = pdf.sort_values(
             ["ts", "event_id"], kind="mergesort"
         )  # stable: total prequential order

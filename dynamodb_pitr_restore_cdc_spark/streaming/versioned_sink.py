@@ -423,10 +423,11 @@ class VersionedCdcSink:
             for spath in staged:
                 os.remove(spath)
             raise
-        # CommitStateUnknownError never escapes _cas (every unknown is
-        # resolved by a strong read); if a resolution READ itself dies,
-        # the staged files stay — the pointer decides their fate at the
-        # next sweep_orphans (live if we won, debris if we lost).
+        # CommitStateUnknownError escapes _cas only after the bounded
+        # retry budget on repeated provably-not-applied unknowns (or if
+        # a resolution READ itself dies); staged files then stay — the
+        # pointer decides their fate at the next sweep_orphans (live if
+        # we won, debris if we lost).
         if won:
             # publish the root under its version name for time-travel
             # readers; latest-readers resolve via the pointer token, so
@@ -463,6 +464,7 @@ class VersionedCdcSink:
           equality ⟺ identity).
         """
         unavailable = 0
+        unknown = 0
         while True:
             try:
                 return self.pointer.put_if(expected, new_raw)
@@ -475,6 +477,12 @@ class VersionedCdcSink:
                 if raw == new_raw:
                     return True
                 if raw == expected:
+                    # provably not applied — but a persistent one-way
+                    # partition (every put times out after send, none
+                    # land) would loop here forever without a bound
+                    unknown += 1
+                    if unknown > self._MAX_STORE_RETRIES:
+                        raise
                     continue
                 try:
                     with open(self._root_path(new_version)) as fh:
@@ -560,7 +568,8 @@ class VersionedCdcSink:
             for p in r.ps:
                 bits[p // 8] |= 1 << (p % 8)
             blooms[str(r.bucket)] = bits.hex()
-        with open(os.path.join(token_dir, "bloom.json"), "w") as fh:
+        bpath = os.path.join(token_dir, "bloom.json")
+        with open(bpath + ".tmp", "w") as fh:
             json.dump(
                 {
                     "m": self.BLOOM_BITS,
@@ -570,6 +579,7 @@ class VersionedCdcSink:
                 },
                 fh,
             )
+        os.replace(bpath + ".tmp", bpath)  # never a half-written sidecar
 
     def _bloom_might_contain(self, token: str, bucket: int, positions) -> bool:
         """False only when the sidecar PROVES the key absent; missing or
@@ -578,19 +588,22 @@ class VersionedCdcSink:
         try:
             with open(bpath) as fh:
                 doc = json.load(fh)
-        except FileNotFoundError:
+            if (
+                doc.get("m") != self.BLOOM_BITS
+                or doc.get("k") != self.BLOOM_HASHES
+                or doc.get("algo") != self._BLOOM_ALGO
+            ):
+                return True
+            hexbits = doc["buckets"].get(str(bucket))
+            if hexbits is None:
+                return True
+            bits = bytes.fromhex(hexbits)
+            return all(bits[p // 8] & (1 << (p % 8)) for p in positions)
+        except (OSError, ValueError, KeyError, AttributeError, IndexError, TypeError):
+            # missing, truncated, or foreign-format sidecar: an
+            # OPTIMIZATION artifact must never fail a lookup — fall
+            # through to the one-bucket read it would have saved
             return True
-        if (
-            doc.get("m") != self.BLOOM_BITS
-            or doc.get("k") != self.BLOOM_HASHES
-            or doc.get("algo") != self._BLOOM_ALGO
-        ):
-            return True
-        hexbits = doc["buckets"].get(str(bucket))
-        if hexbits is None:
-            return True
-        bits = bytes.fromhex(hexbits)
-        return all(bits[p // 8] & (1 << (p % 8)) for p in positions)
 
     def _shard_maps_for(
         self, touched: list[int], merged_tokens: dict[int, str], cur_root: dict[int, str]

@@ -188,3 +188,30 @@ def test_stream_anomaly_is_deterministic_and_prequential(spark, sf_dir):
     rank = ev.set_index("event_id")["rank"]
     for row in a:
         assert rank[row[0]] >= ANOMALY_MIN_PRIOR
+
+
+def test_stateful_ops_survive_multi_chunk_group_delivery(spark, sf_dir):
+    """The Arrow iterator hands a group to the UDF as ≤maxRecordsPerBatch
+    chunks in arbitrary order; order-sensitive stateful ops must
+    concatenate before sorting. Force tiny chunks and require results
+    identical to the default-chunking run."""
+    from dynamodb_pitr_restore_cdc_spark.streaming.stateful import (
+        q_stream_anomaly,
+        q_stream_stateful_sessions,
+    )
+
+    base_a = sorted(map(tuple, q_stream_anomaly(spark, sf_dir).collect()))
+    base_s = sorted(
+        map(tuple, q_stream_stateful_sessions(spark, sf_dir).collect())
+    )
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        tiny_a = sorted(map(tuple, q_stream_anomaly(spark, sf_dir).collect()))
+        tiny_s = sorted(
+            map(tuple, q_stream_stateful_sessions(spark, sf_dir).collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert tiny_a == base_a
+    assert tiny_s == base_s

@@ -65,13 +65,10 @@ def test_zvalue_is_the_morton_interleave(spark):
 
 
 def test_zorder_prunes_both_dimensions_linear_sort_only_one(spark):
-    zpath = zorder_layout(spark, SF_SMOKE)
+    zpath, pk, sk = zorder_layout(spark, SF_SMOKE)
     li = table(spark, SF_SMOKE, "lineitem")
-    row = li.agg(
-        F.max("l_partkey").alias("pk"), F.max("l_suppkey").alias("sk")
-    ).first()
-    pk_box = (row.pk // 4, row.pk // 2)
-    sk_box = (row.sk // 4, row.sk // 2)
+    pk_box = (pk // 4, pk // 2)
+    sk_box = (sk // 4, sk // 2)
     cols = ["l_partkey", "l_suppkey"]
 
     # comparison layout: same file count, linearly sorted on partkey
