@@ -355,3 +355,43 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("pc") / 100.0).alias("sum_price"),
         )
     )
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+WITH c AS (
+    SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q, count(*) AS n
+    FROM lineitem GROUP BY 1, 2
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                 ORDER BY n DESC, q) AS rk
+    FROM c
+)
+SELECT l_returnflag,
+       q AS mode_qty,
+       CAST(n AS BIGINT) AS mode_count
+FROM ranked WHERE rk = 1
+""",
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: the most frequent quantity per return flag,
+    ties broken toward the SMALLEST value — built-in `mode()` leaves
+    ties implementation-defined, which is a non-answer for a
+    reproducible engine. Two partial-aggregatable passes: the value
+    count, then the argmax as min(struct(-n, q)) riding the same
+    (flag) partitioning — the full-corpus argmin pattern (min-struct
+    beats a row_number window: partial agg pre-reduces per mapper).
+    The oracle states the same thing as a window rank."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("q")
+    )
+    c = li.groupBy("l_returnflag", "q").agg(F.count("*").alias("n"))
+    peak = c.groupBy("l_returnflag").agg(
+        F.min(F.struct((-F.col("n")).alias("neg"), "q", "n")).alias("p")
+    )
+    return peak.select(
+        "l_returnflag",
+        F.col("p.q").alias("mode_qty"),
+        F.col("p.n").alias("mode_count"),
+    )

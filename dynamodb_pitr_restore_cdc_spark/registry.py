@@ -206,6 +206,10 @@ _REVERIFY_R05: frozenset[str] = frozenset(
         # round-5 mid-round re-implementation: the bloom pre-prune is
         # now gated by corpus bytes (llm/curation.py)
         "q_llm_decontaminate",
+        # late round 5: the stateful sessionizer drains+concats Arrow
+        # chunks before sorting (order totality) and tfidf persists its
+        # tf frame — both materially changed
+        "q_stream_stateful_sessions", "q_llm_tfidf_search",
     }
 )
 
