@@ -320,3 +320,99 @@ def q_ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.n").cast("bigint").alias("n_events"),
         (F.expr("p.dev / p.n") / 100.0).alias("peak_dev"),
     )
+
+
+# Autocorrelation derivation shared by both engines: all inputs are
+# exact integer sums over the lag-paired rows (ck = Σ v·lag, sh/st =
+# head/tail-trimmed sums, cnt = pairs), m = full-series mean. The
+# estimator is the standard ACF with full-series centering:
+#   r_k = Σ(v_t - m)(v_{t-k} - m) / Σ(v_t - m)²
+# expanded so every float derives from BIGINTs through this one text.
+_ACF_EXPR = (
+    "floor(((ck - (s1 / n) * (sh + st) + cnt * (s1 / n) * (s1 / n))"
+    " / (s2 - n * (s1 / n) * (s1 / n)))"
+    " * 1e6 + 0.5) / 1e6"
+)
+
+
+@register(
+    "q_ts_autocorr",
+    oracle=f"""
+WITH hourly AS (
+    SELECT user_id, date_trunc('hour', ts) AS h,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+    FROM events GROUP BY 1, 2
+), lagged AS (
+    SELECT user_id, v,
+           lag(v, 1)  OVER (PARTITION BY user_id ORDER BY h) AS l1,
+           lag(v, 24) OVER (PARTITION BY user_id ORDER BY h) AS l24
+    FROM hourly
+), g AS (
+    SELECT user_id,
+           count(*) AS n,
+           CAST(sum(v) AS BIGINT) AS s1,
+           CAST(sum(v * v) AS BIGINT) AS s2,
+           CAST(sum(CASE WHEN l1 IS NOT NULL THEN v * l1 END) AS BIGINT) AS ck1,
+           CAST(sum(CASE WHEN l1 IS NOT NULL THEN v END) AS BIGINT) AS sh1,
+           CAST(sum(CASE WHEN l1 IS NOT NULL THEN l1 END) AS BIGINT) AS st1,
+           count(l1) AS cnt1,
+           CAST(sum(CASE WHEN l24 IS NOT NULL THEN v * l24 END) AS BIGINT) AS ck24,
+           CAST(sum(CASE WHEN l24 IS NOT NULL THEN v END) AS BIGINT) AS sh24,
+           CAST(sum(CASE WHEN l24 IS NOT NULL THEN l24 END) AS BIGINT) AS st24,
+           count(l24) AS cnt24
+    FROM lagged GROUP BY user_id
+)
+SELECT user_id, n,
+       {_ACF_EXPR.replace("ck", "ck1").replace("sh", "sh1").replace("st", "st1").replace("cnt", "cnt1")} AS acf_lag1,
+       {_ACF_EXPR.replace("ck", "ck24").replace("sh", "sh24").replace("st", "st24").replace("cnt", "cnt24")} AS acf_lag24
+FROM g WHERE n > 48 AND n * s2 - s1 * s1 > 0
+""",
+)
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-24 autocorrelation of each user's hourly series —
+    the short-memory vs daily-seasonality signal pair feeding
+    forecasting/anomaly baselines. All sufficient statistics are exact
+    BIGINT sums over the lag-paired rows (one window pass for both lag
+    columns, one hash aggregate); the standard full-series-centered
+    ACF estimator then derives through the byte-identical _ACF_EXPR
+    text in both engines, quantized to 1e-6. Degenerate users (short
+    or constant series) are excluded by an INTEGER predicate so the
+    population is engine-identical. Tick-based lags like q_ts_ewma
+    (observed hours; gap-fill spine for wall-clock lags)."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("v"))
+    w = W.partitionBy("user_id").orderBy("h")
+    lagged = hourly.select(
+        "user_id",
+        "v",
+        F.lag("v", 1).over(w).alias("l1"),
+        F.lag("v", 24).over(w).alias("l24"),
+    )
+    g = lagged.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.expr("v * v")).alias("s2"),
+        F.sum(F.expr("CASE WHEN l1 IS NOT NULL THEN v * l1 END")).alias("ck1"),
+        F.sum(F.expr("CASE WHEN l1 IS NOT NULL THEN v END")).alias("sh1"),
+        F.sum(F.expr("CASE WHEN l1 IS NOT NULL THEN l1 END")).alias("st1"),
+        F.count("l1").alias("cnt1"),
+        F.sum(F.expr("CASE WHEN l24 IS NOT NULL THEN v * l24 END")).alias("ck24"),
+        F.sum(F.expr("CASE WHEN l24 IS NOT NULL THEN v END")).alias("sh24"),
+        F.sum(F.expr("CASE WHEN l24 IS NOT NULL THEN l24 END")).alias("st24"),
+        F.count("l24").alias("cnt24"),
+    )
+    sub = {"ck": "ck{k}", "sh": "sh{k}", "st": "st{k}", "cnt": "cnt{k}"}
+
+    def acf(k: int) -> str:
+        out = _ACF_EXPR
+        for a, b in sub.items():
+            out = out.replace(a, b.format(k=k))
+        return out
+
+    return g.where(
+        (F.col("n") > 48) & (F.expr("n * s2 - s1 * s1") > 0)
+    ).selectExpr(
+        "user_id", "n", f"{acf(1)} AS acf_lag1", f"{acf(24)} AS acf_lag24"
+    )
