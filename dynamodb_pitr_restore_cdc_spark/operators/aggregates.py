@@ -395,3 +395,37 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.q").alias("mode_qty"),
         F.col("p.n").alias("mode_count"),
     )
+
+
+@register(
+    "q_agg_weighted_avg",
+    oracle="""
+WITH t AS (
+    SELECT l_returnflag,
+           CAST(l_quantity AS BIGINT) AS q,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+    FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(sum(q) AS BIGINT) AS total_qty,
+       ((2 * CAST(sum(q * pc) AS BIGINT) + CAST(sum(q) AS BIGINT))
+        // (2 * CAST(sum(q) AS BIGINT))) / 100.0 AS wavg_price
+FROM t GROUP BY l_returnflag
+""",
+)
+def q_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag: Σ(q·price)/Σq
+    with both numerator and denominator as exact integer partial sums
+    (q·cents ≤ 50·10⁹ per row — BIGINT headroom to ~10⁸ rows/group),
+    rounded half-up in integer space. The float `sum(q*p)/sum(q)`
+    formulation would be merge-order sensitive; this one is
+    bit-identical under any AQE schedule."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("q"),
+        cents("l_extendedprice").alias("pc"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.sum("q").alias("total_qty"),
+        avg_div("sum(q * pc)", "sum(q)").alias("wavg_price"),
+    )

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.rounding import avg_div
 from ..registry import register
 from ..sources import table
 
@@ -398,4 +399,39 @@ def q_ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         (F.col("v") / 100.0).alias("value"),
         "zscore",
+    )
+
+
+@register(
+    "q_ts_seasonal_profile",
+    oracle="""
+WITH t AS (
+    SELECT event_type,
+           CAST(strftime(ts, '%H') AS BIGINT) AS hour_of_day,
+           CAST(round(value * 100) AS BIGINT) AS vc
+    FROM events
+)
+SELECT event_type, hour_of_day,
+       count(*) AS n_events,
+       ((2 * CAST(sum(vc) AS BIGINT) + count(*)) // (2 * count(*))) / 100.0
+           AS avg_value
+FROM t GROUP BY 1, 2
+""",
+)
+def q_ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event type — the baseline that
+    q_ts_autocorr's lag-24 signal justifies building: 24×types cells
+    of exact integer counts and half-up-rounded cent averages. A plain
+    partial-agg rollup (shuffle carries one row per cell per mapper);
+    the profile table is the broadcast side of seasonal-adjustment
+    joins downstream."""
+    e = table(spark, sf_dir, "events")
+    t = e.select(
+        "event_type",
+        F.date_format("ts", "HH").cast("bigint").alias("hour_of_day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    return t.groupBy("event_type", "hour_of_day").agg(
+        F.count("*").alias("n_events"),
+        avg_div("sum(vc)", "count(*)").alias("avg_value"),
     )

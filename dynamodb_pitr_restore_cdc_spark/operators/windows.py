@@ -206,3 +206,32 @@ def q_win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("p_brand", "p_partkey", F.round("p_retailprice", 2).alias("price"))
     )
+
+
+@register(
+    "q_win_cume_dist",
+    oracle="""
+SELECT o_orderkey,
+       o_orderpriority,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+       cume_dist() OVER (PARTITION BY o_orderpriority
+                         ORDER BY CAST(round(o_totalprice * 100) AS BIGINT))
+           AS cd
+FROM orders
+""",
+)
+def q_win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distribution within priority class — the empirical
+    CDF position of every order's price. cume_dist is tie-stable by
+    definition (peers ≤ current / n, a ratio of exact integers), so
+    ordering by integer cents makes the doubles engine-identical even
+    where prices tie; one shuffle on the partition key."""
+    o = table(spark, sf_dir, "orders")
+    pc = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = W.partitionBy("o_orderpriority").orderBy(pc)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        pc.alias("price_c"),
+        F.cume_dist().over(w).alias("cd"),
+    )
