@@ -203,3 +203,103 @@ def q_scan_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.count()  # materialize before removing the backing dir
     shutil.rmtree(out, ignore_errors=True)
     return result
+
+
+@register(
+    "q_dq_constraint_report",
+    oracle="""
+WITH base AS (
+    SELECT count(*) AS n_rows,
+           count(*) - count(o_custkey) AS null_custkey,
+           count(*) - count(o_totalprice) AS null_totalprice,
+           sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpositive_price,
+           sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01 00:00:00'
+                      OR o_orderdate > TIMESTAMP '2003-01-01 00:00:00'
+                    THEN 1 ELSE 0 END) AS date_out_of_range
+    FROM orders
+), dup AS (
+    SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS dup_orderkeys
+    FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+), orphan AS (
+    -- null keys are a COMPLETENESS violation (counted above), not a
+    -- referential one: exclude them so the two checks don't overlap
+    SELECT count(*) AS orphan_custkeys
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+)
+SELECT chk AS check_name, metric, CAST(metric > 0 AS INTEGER) AS violated
+FROM (
+    SELECT 'null_custkey' AS chk, CAST(null_custkey AS BIGINT) AS metric FROM base
+    UNION ALL SELECT 'null_totalprice', CAST(null_totalprice AS BIGINT) FROM base
+    UNION ALL SELECT 'nonpositive_price', CAST(nonpositive_price AS BIGINT) FROM base
+    UNION ALL SELECT 'date_out_of_range', CAST(date_out_of_range AS BIGINT) FROM base
+    UNION ALL SELECT 'dup_orderkeys', dup_orderkeys FROM dup
+    UNION ALL SELECT 'orphan_custkeys', CAST(orphan_custkeys AS BIGINT) FROM orphan
+)
+""",
+)
+def q_dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit over orders (the Deequ/
+    expectations shape every ingestion pipeline runs before
+    publishing): completeness (null counts), domain ranges
+    (non-positive prices, out-of-window dates), key uniqueness
+    (surplus rows per duplicated order key), and referential integrity
+    (customer orphans via broadcast anti-join). The scalar checks fuse
+    into ONE pass over the fact (conditional partial aggregates);
+    uniqueness adds a key-grain aggregate and integrity one broadcast
+    join — nothing quadratic, nothing collected. All metrics are
+    exact integers, so the report (and its violated flags) is
+    bit-stable for alerting diffs between runs."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    base = o.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("o_custkey")).alias("null_custkey"),
+        (F.count("*") - F.count("o_totalprice")).alias("null_totalprice"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "nonpositive_price"
+        ),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") > F.lit("2003-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("date_out_of_range"),
+    )
+    dup = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("cnt"))
+        .agg(
+            F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("dup_orderkeys")
+        )
+    )
+    orphan = (
+        # null keys are the completeness check's finding, not this one's
+        o.where(F.col("o_custkey").isNotNull())
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("orphan_custkeys"))
+    )
+    report = (
+        base.selectExpr(
+            "stack(4, 'null_custkey', CAST(null_custkey AS BIGINT), "
+            "'null_totalprice', CAST(null_totalprice AS BIGINT), "
+            "'nonpositive_price', CAST(nonpositive_price AS BIGINT), "
+            "'date_out_of_range', CAST(date_out_of_range AS BIGINT)) "
+            "AS (check_name, metric)"
+        )
+        .unionByName(
+            dup.selectExpr("'dup_orderkeys' AS check_name", "dup_orderkeys AS metric")
+        )
+        .unionByName(
+            orphan.selectExpr(
+                "'orphan_custkeys' AS check_name",
+                "CAST(orphan_custkeys AS BIGINT) AS metric",
+            )
+        )
+    )
+    return report.select(
+        "check_name", "metric", (F.col("metric") > 0).cast("int").alias("violated")
+    )

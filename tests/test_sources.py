@@ -48,3 +48,51 @@ def test_engine_session_reads_ltz(spark):
         df = table(spark, SF_SMOKE, name)
         for f in df.schema.fields:
             assert not isinstance(f.dataType, T.TimestampNTZType), (name, f.name)
+
+
+def test_dq_report_catches_planted_violations(spark):
+    """The clean fixture yields all-zero metrics; plant one of each
+    defect and require the exact counts."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from dynamodb_pitr_restore_cdc_spark.operators.scans import (
+        q_dq_constraint_report,
+    )
+
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 2, 3, 4, 5],  # one duplicated key (+1 surplus)
+            "o_custkey": [10, 10, 20, None, 99, 10],  # one null, one orphan(99)
+            "o_orderstatus": ["F"] * 6,
+            "o_totalprice": [100.0, -5.0, 50.0, 60.0, 70.0, None],  # negative + null
+            "o_orderdate": pd.to_datetime(
+                ["1995-01-01", "1996-01-01", "1997-01-01", "1998-01-01",
+                 "1980-01-01", "1999-01-01"]  # one out of range
+            ),
+            "o_orderpriority": ["1-URGENT"] * 6,
+        }
+    )
+    customer = pd.DataFrame(
+        {"c_custkey": [10, 20], "c_name": ["a", "b"], "c_nationkey": [0, 0],
+         "c_acctbal": [0.0, 0.0], "c_mktsegment": ["BUILDING"] * 2}
+    )
+    with tempfile.TemporaryDirectory() as d:
+        orders.to_parquet(os.path.join(d, "orders.parquet"), coerce_timestamps="us")
+        customer.to_parquet(os.path.join(d, "customer.parquet"), coerce_timestamps="us")
+        got = (
+            q_dq_constraint_report(spark, d)
+            .toPandas()
+            .set_index("check_name")["metric"]
+            .to_dict()
+        )
+    assert got == {
+        "null_custkey": 1,
+        "null_totalprice": 1,
+        "nonpositive_price": 1,
+        "date_out_of_range": 1,
+        "dup_orderkeys": 1,
+        "orphan_custkeys": 1,
+    }
