@@ -661,3 +661,88 @@ def q_llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words",
         (F.expr("nll_u / n_words") / F.lit(1e6)).alias("avg_nll"),
     )
+
+
+_SPLIT_A = f"((a.doc_id * {SPLIT_MULT}) % 4294967296) % 1000"
+_SPLIT_B = f"((b.doc_id * {SPLIT_MULT}) % 4294967296) % 1000"
+
+
+@register(
+    "q_llm_leakage_audit",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(generate_series(1, len(t) - 2),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS train_doc, b.doc_id AS eval_doc, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s
+          WHERE {_SPLIT_A} < {TRAIN_PERMILLE}
+            AND {_SPLIT_B} >= {TRAIN_PERMILLE}
+          GROUP BY 1, 2)
+SELECT train_doc, eval_doc,
+       CASE WHEN ((eval_doc * {SPLIT_MULT}) % 4294967296) % 1000 < {VALID_PERMILLE}
+            THEN 'valid' ELSE 'test' END AS eval_split,
+       ((2000 * i + (sa.n + sb.n - i)) // (2 * (sa.n + sb.n - i))) / 1000.0 AS jaccard
+FROM pairs
+JOIN sz sa ON train_doc = sa.doc_id
+JOIN sz sb ON eval_doc = sb.doc_id
+WHERE i * 2 >= (sa.n + sb.n - i)
+""",
+)
+def q_llm_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level train→eval leakage audit: near-duplicate pairs
+    (J ≥ 0.5) that CROSS the deterministic split boundary — the
+    document-granular complement of n-gram decontamination
+    (q_llm_decontaminate drops contaminated grams; this names the
+    whole leaked documents so curation can drop or re-split them).
+    Composes the session's LSH band-index artifact with the split
+    hash: candidates are band-bucket collisions where side a is train
+    and side b is not (each cross pair appears in exactly one
+    orientation, so no a<b dedup is needed), then exact-Jaccard
+    verification over the Arrow UDF. Same O(n·bands) candidate shape
+    as q_llm_near_dedup — the audit costs a filtered fraction of the
+    dedup pass it reuses the index from. Oracle: brute-force shingle
+    join restricted to cross-split pairs (test-SF only)."""
+    from .dedup import JACCARD_THRESHOLD, band_buckets, jaccard_milli
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    bands = band_buckets(spark, sf_dir).withColumn(
+        "is_train", split_bucket(F.col("doc_id")) < TRAIN_PERMILLE
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & F.col("a.is_train")
+            & ~F.col("b.is_train"),
+        )
+        .select(
+            F.col("a.doc_id").alias("train_doc"),
+            F.col("b.doc_id").alias("eval_doc"),
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            d.select(F.col("doc_id").alias("train_doc"), F.col("text").alias("text_a")),
+            "train_doc",
+        )
+        .join(
+            d.select(F.col("doc_id").alias("eval_doc"), F.col("text").alias("text_b")),
+            "eval_doc",
+        )
+        .withColumn("j_milli", jaccard_milli("text_a", "text_b"))
+        .where(F.col("j_milli") >= int(JACCARD_THRESHOLD * 1000))
+    )
+    return verified.select(
+        "train_doc",
+        "eval_doc",
+        F.when(split_bucket(F.col("eval_doc")) < VALID_PERMILLE, "valid")
+        .otherwise("test")
+        .alias("eval_split"),
+        (F.col("j_milli") / 1000.0).alias("jaccard"),
+    )
