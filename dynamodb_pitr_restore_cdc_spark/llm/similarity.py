@@ -413,3 +413,87 @@ def q_llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("qv").alias("q_min"),
         F.array_max("qv").alias("q_max"),
     )
+
+
+@register(
+    "q_emb_quality_report",
+    oracle="""
+WITH base AS (
+    SELECT count(*) AS n_vectors,
+           CAST(max(len(embedding)) - min(len(embedding)) AS BIGINT) AS dim_spread,
+           CAST(sum(CASE WHEN NOT list_bool_or(list_transform(embedding, x -> x <> 0))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_vectors,
+           CAST(sum(CASE WHEN list_bool_or(list_transform(embedding, x -> isnan(x)))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS nan_vectors,
+           CAST(sum(CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS null_elements
+    FROM embeddings
+), dup AS (
+    SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS dup_vec_ids
+    FROM (SELECT count(*) AS c FROM embeddings GROUP BY vec_id)
+)
+SELECT chk AS check_name, metric, CAST(metric > 0 AS INTEGER) AS violated
+FROM (
+    SELECT 'dim_spread' AS chk, dim_spread AS metric FROM base
+    UNION ALL SELECT 'zero_vectors', zero_vectors FROM base
+    UNION ALL SELECT 'nan_vectors', nan_vectors FROM base
+    UNION ALL SELECT 'null_elements', null_elements FROM base
+    UNION ALL SELECT 'dup_vec_ids', dup_vec_ids FROM dup
+)
+""",
+)
+def q_emb_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column health audit — q_dq_constraint_report's twin for
+    the embedding modality, run before any index build: dimension
+    consistency (max−min length; a single ragged vector poisons every
+    dot product), all-zero vectors (cosine-undefined, corrupt or
+    failed encoder output), NaN contamination (one NaN absorbs a whole
+    IVF cell's distances), null elements (encoders emit them through
+    lossy format conversions — pandas→arrow turns float('nan') in
+    object lists into NULL, a distinct defect from IEEE NaN), and id
+    uniqueness. All checks are JVM
+    higher-order predicates fused into one scan + a key-grain
+    aggregate; metrics are exact integers so the report diffs
+    bit-stably. Float comparisons against 0 and isnan are
+    representation-exact in both engines — no quantization needed."""
+    e = table(spark, sf_dir, "embeddings")
+    base = e.agg(
+        F.count("*").alias("n_vectors"),
+        (F.max(F.size("embedding")) - F.min(F.size("embedding")))
+        .cast("bigint")
+        .alias("dim_spread"),
+        F.sum(
+            F.when(~F.exists("embedding", lambda x: x != 0.0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("zero_vectors"),
+        F.sum(
+            F.when(F.exists("embedding", F.isnan), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("nan_vectors"),
+        F.sum(
+            F.when(F.exists("embedding", lambda x: x.isNull()), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("null_elements"),
+    )
+    dup = (
+        e.groupBy("vec_id")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("dup_vec_ids")
+        )
+    )
+    report = base.selectExpr(
+        "stack(4, 'dim_spread', dim_spread, 'zero_vectors', zero_vectors, "
+        "'nan_vectors', nan_vectors, 'null_elements', null_elements) "
+        "AS (check_name, metric)"
+    ).unionByName(
+        dup.selectExpr("'dup_vec_ids' AS check_name", "dup_vec_ids AS metric")
+    )
+    return report.select(
+        "check_name", "metric", (F.col("metric") > 0).cast("int").alias("violated")
+    )

@@ -396,3 +396,44 @@ def test_decontaminate_bloom_and_plain_paths_identical(spark, sf_dir):
     plain = sorted(map(tuple, decontaminate(spark, sf_dir, use_bloom=False).collect()))
     bloomed = sorted(map(tuple, decontaminate(spark, sf_dir, use_bloom=True).collect()))
     assert plain == bloomed
+
+
+def test_emb_quality_report_catches_planted_defects(spark):
+    """Clean fixture yields all-zero metrics; plant one ragged, one
+    zero, one NaN vector and a duplicated id — each check must fire
+    with the exact count."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from dynamodb_pitr_restore_cdc_spark.llm.similarity import (
+        q_emb_quality_report,
+    )
+
+    rows = [
+        (1, [1.0, 2.0, 3.0], 0),
+        (2, [0.5, 0.5, 0.5], 0),
+        (2, [0.5, 0.5, 0.5], 0),       # duplicated id
+        (3, [0.0, 0.0, 0.0], 1),       # zero vector
+        (4, np.array([1.0, np.nan, 2.0], dtype="float32"), 1),  # true IEEE NaN
+        (5, [1.0, None, 2.0], 1),      # NULL element (the pandas->arrow trap)
+        (6, [1.0, 2.0], 1),            # ragged dimension
+    ]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    with tempfile.TemporaryDirectory() as d:
+        pdf.to_parquet(os.path.join(d, "embeddings.parquet"))
+        got = (
+            q_emb_quality_report(spark, d)
+            .toPandas()
+            .set_index("check_name")["metric"]
+            .to_dict()
+        )
+    assert got == {
+        "dim_spread": 1,
+        "zero_vectors": 1,
+        "nan_vectors": 1,
+        "null_elements": 1,
+        "dup_vec_ids": 1,
+    }
