@@ -688,7 +688,9 @@ SELECT train_doc, eval_doc,
 FROM pairs
 JOIN sz sa ON train_doc = sa.doc_id
 JOIN sz sb ON eval_doc = sb.doc_id
-WHERE i * 2 >= (sa.n + sb.n - i)
+-- rounded-milli threshold, matching the Spark side's j_milli >= 500
+-- filter exactly at the [0.4995, 0.5) boundary (see q_llm_near_dedup)
+WHERE ((2000 * i + (sa.n + sb.n - i)) // (2 * (sa.n + sb.n - i))) >= 500
 """,
 )
 def q_llm_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -180,7 +180,10 @@ SELECT doc_a, doc_b,
 FROM pairs
 JOIN sz sa ON doc_a = sa.doc_id
 JOIN sz sb ON doc_b = sb.doc_id
-WHERE i * 2 >= (sa.n + sb.n - i)
+-- threshold on the SAME half-up-rounded milli value the Spark side
+-- filters on (j_milli >= 500), not the exact 2i >= u predicate: exact
+-- J in [0.4995, 0.5) rounds to 500 and must be kept by BOTH engines
+WHERE ((2000 * i + (sa.n + sb.n - i)) // (2 * (sa.n + sb.n - i))) >= 500
 """,
 )
 def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

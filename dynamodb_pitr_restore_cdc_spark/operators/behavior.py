@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.rounding import avg_div
-from ..registry import register
+from ..registry import register, tracked_persist
 from ..sources import table
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity boundary
@@ -274,9 +274,14 @@ def q_ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on user shared by the spine join and both window
     frames."""
     e = table(spark, sf_dir, "events")
-    hourly = e.groupBy(
-        "user_id", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_c"))
+    # referenced by TWO plan branches (spine-bounds derivation and the
+    # left join) — persist so the events scan + hash aggregate runs
+    # once, not twice (Catalyst has no cross-branch CSE)
+    hourly = tracked_persist(
+        e.groupBy("user_id", F.date_trunc("hour", "ts").alias("h")).agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_c")
+        )
+    )
     spine = (
         hourly.groupBy("user_id")
         .agg(F.min("h").alias("h_min"), F.max("h").alias("h_max"))

@@ -193,23 +193,61 @@ _DRIVER_VERIFIED_R04: frozenset[str] = frozenset(
     }
 )
 
-# Queries whose implementation materially changed in round 5 (CAS
-# commit protocol + sharded manifests in the versioned sink; the
-# repetition filter's run-length top-word rewrite; domain_mix's
-# unbounded source suffix): surfaced for driver RE-verification first,
-# because the local parity suite is otherwise their only guard.
-_REVERIFY_R05: frozenset[str] = frozenset(
+# Queries with a green row in CORRECTNESS_r05.json (the round-5
+# additions — 50/50 hash-match). The 53-entry r5 surface consumed the
+# whole driver window, so the _REVERIFY_R05 set below never got its
+# re-check rows; round 6 fronts them.
+_DRIVER_VERIFIED_R05: frozenset[str] = frozenset(
+    {
+        "q_agg_stats_moments", "q_agg_histogram", "q_agg_mode",
+        "q_agg_weighted_avg", "q_ts_sessionize", "q_ts_funnel",
+        "q_ts_cohort_retention", "q_ts_interpolate_linear",
+        "q_ts_anomaly_zscore", "q_ts_seasonal_profile",
+        "q_cdc_scd2_history", "q_join_shuffle_hash_hint",
+        "q_scan_partitioned_source", "q_join_bucketed_colocated",
+        "q_join_bucketed_dim", "q_join_dynamic_partition_pruning",
+        "q_scan_zorder_box", "q_dq_constraint_report",
+        "q_set_intersect_all", "q_set_except_all", "q_ts_ohlc_bars",
+        "q_ts_ewma", "q_ts_cusum_changepoint", "q_ts_autocorr",
+        "q_win_cume_dist", "q_tpch_q1_pricing_summary",
+        "q_tpch_q2_min_cost_supplier", "q_tpch_q4_order_priority",
+        "q_tpch_q7_volume_shipping", "q_tpch_q8_market_share",
+        "q_tpch_q9_product_profit", "q_tpch_q11_important_stock",
+        "q_tpch_q12_ship_priority_classes",
+        "q_tpch_q13_customer_distribution", "q_tpch_q15_top_supplier",
+        "q_tpch_q16_supplier_variety", "q_tpch_q17_small_qty_revenue",
+        "q_tpch_q19_disjunctive_revenue", "q_tpch_q20_part_promotion",
+        "q_tpch_q21_waiting_supplier", "q_tpch_q22_sales_opportunity",
+        "q_llm_unigram_logprob", "q_llm_leakage_audit", "q_llm_ann_pq",
+        "q_emb_quality_report", "q_llm_ann_ivfadc",
+        "q_llm_ann_ivfpq_residual", "q_llm_bm25_search",
+        "q_llm_paragraph_dedup", "q_llm_pii_redact",
+    }
+)
+
+# Queries needing driver RE-verification in round 6, fronted right
+# after the never-checked tier (local parity is otherwise their only
+# guard):
+#  - the round-5 rewrites that never got a driver row (the 53-query r5
+#    surface crowded them out of the 50-entry window): CAS commit
+#    protocol + sharded manifests (versioned sink family), repetition
+#    filter run-length rewrite, domain_mix unbounded suffix,
+#    byte-gated decontamination bloom, stateful-sessions chunk-concat
+#    fix, tfidf persist;
+#  - q_stream_sliding: its oracle landed in r5, AFTER its only driver
+#    row (r2) — the Expand-×4 rewrite has never been hash-verified;
+#  - round-6 changes: interpolate's hourly persist, the
+#    rounded-threshold oracle fix in near_dedup + leakage_audit, and
+#    the newly-oracled ann_lsh / sink_roundtrip entries.
+_REVERIFY_R06: frozenset[str] = frozenset(
     {
         "q_cdc_time_travel", "q_stream_versioned_sink", "q_cdc_changefeed",
         "q_cdc_incremental_agg", "q_llm_repetition_filter",
-        "q_llm_domain_mix",
-        # round-5 mid-round re-implementation: the bloom pre-prune is
-        # now gated by corpus bytes (llm/curation.py)
-        "q_llm_decontaminate",
-        # late round 5: the stateful sessionizer drains+concats Arrow
-        # chunks before sorting (order totality) and tfidf persists its
-        # tf frame — both materially changed
+        "q_llm_domain_mix", "q_llm_decontaminate",
         "q_stream_stateful_sessions", "q_llm_tfidf_search",
+        "q_stream_sliding",
+        "q_ts_interpolate_linear", "q_llm_near_dedup",
+        "q_llm_leakage_audit", "q_llm_ann_lsh", "q_sink_roundtrip",
     }
 )
 
@@ -221,7 +259,7 @@ def all_queries() -> dict[str, QuerySpec]:
     only a ~50-entry window, so ordering IS the coverage policy):
 
     1. queries with no driver row in any round (never checked);
-    2. queries re-implemented this round (``_REVERIFY_R05``) — the
+    2. queries re-implemented this round (``_REVERIFY_R06``) — the
        local parity suite is otherwise their only guard;
     3. everything else by ASCENDING last-verified round (oldest
        evidence first, registration order within a round) — a rotation
@@ -275,14 +313,15 @@ def all_queries() -> dict[str, QuerySpec]:
         _DRIVER_VERIFIED_R02,
         _DRIVER_VERIFIED_R03,
         _DRIVER_VERIFIED_R04,
+        _DRIVER_VERIFIED_R05,
     )
 
     def last_checked(n: str) -> int:
         return max((i for i, s in enumerate(rounds, start=1) if n in s), default=0)
 
     order = list(_REGISTRY)
-    fresh = [n for n in order if last_checked(n) == 0 and n not in _REVERIFY_R05]
-    recheck = [n for n in order if n in _REVERIFY_R05]
+    fresh = [n for n in order if last_checked(n) == 0 and n not in _REVERIFY_R06]
+    recheck = [n for n in order if n in _REVERIFY_R06]
     head = set(fresh) | set(recheck)
     rest = sorted(
         (n for n in order if n not in head),

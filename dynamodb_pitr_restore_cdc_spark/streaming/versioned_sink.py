@@ -1247,9 +1247,11 @@ def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink, _, _ = shared_sink(spark, sf_dir)
     cl = changelog(spark, sf_dir)
     row = cl.agg(F.min("key").alias("lo"), F.max("key").alias("hi")).first()
-    out = (
-        sink.lookup(int(row.lo))
-        .unionByName(sink.lookup(int(row.hi)))
-        .unionByName(sink.lookup(-1))  # absent key: empty, still 1-bucket read
-    )
+    out = sink.lookup(int(row.lo))
+    if int(row.hi) != int(row.lo):
+        # skip the second lookup on a degenerate one-key changelog: the
+        # oracle's IN-set dedupes min==max, an unconditional union here
+        # would emit the row twice
+        out = out.unionByName(sink.lookup(int(row.hi)))
+    out = out.unionByName(sink.lookup(-1))  # absent key: empty, still 1-bucket read
     return out.select("key", "last_seq", "payload_value")
