@@ -305,7 +305,42 @@ def lsh_bucket(embeddings: pd.Series) -> pd.Series:
     return pd.Series(buckets.astype(np.int32))
 
 
-@register("q_llm_ann_lsh", oracle=None)  # rows-only: hyperplane hashing isn't ANSI SQL
+# The 4×64 hyperplane matrix shipped as a literal VALUES table so the
+# oracle reproduces the bucket assignment exactly: repr() of each
+# float64 round-trips bit-exactly, and DuckDB's sequential
+# list_dot_product vs numpy's pairwise matmul differ by ~1e-15 — a
+# bucket sign flip would need |dot| below that, unobserved at any
+# fixture SF (same tolerance discipline as the cosine family).
+_PLANES_VALUES = ",\n    ".join(
+    f"({p}, [{', '.join(repr(float(w)) for w in _PLANES[p])}])"
+    for p in range(N_PLANES)
+)
+
+_ANN_LSH_ORACLE = f"""
+WITH planes(p, w) AS (VALUES
+    {_PLANES_VALUES}),
+b AS (
+    SELECT e.vec_id,
+           CAST(sum(CASE WHEN list_dot_product(
+                             list_transform(e.embedding, x -> x::DOUBLE), pl.w) > 0
+                         THEN (1 << pl.p) ELSE 0 END) AS INTEGER) AS bucket,
+           list_transform(e.embedding, x -> x::DOUBLE) AS v
+    FROM embeddings e CROSS JOIN planes pl
+    GROUP BY e.vec_id, v),
+probe AS (SELECT bucket AS pb, v AS pv FROM b WHERE vec_id = {PROBE_VEC_ID}),
+probed AS (
+    SELECT DISTINCT xor(pb, (1 << i.i) // 2) AS probed, pv
+    FROM probe CROSS JOIN (SELECT unnest(generate_series(0, {N_PLANES})) AS i) i),
+cand AS (
+    SELECT b.vec_id, b.bucket, list_cosine_similarity(b.v, p.pv) AS cos
+    FROM b JOIN probed p ON b.bucket = p.probed
+    WHERE b.vec_id <> {PROBE_VEC_ID})
+SELECT vec_id, bucket, round(cos, 4) AS cos_sim
+FROM cand ORDER BY cos DESC, vec_id LIMIT {TOP_K}
+"""
+
+
+@register("q_llm_ann_lsh", oracle=_ANN_LSH_ORACLE)
 def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors with MULTI-PROBE: score the probe's
     LSH bucket plus its Hamming-1 neighbors (flip each plane bit once).

@@ -96,11 +96,24 @@ def q_scan_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
-@register("q_sink_roundtrip", oracle=None)  # rows-only: filesystem side effects
+@register(
+    "q_sink_roundtrip",
+    # the write/read-back is a side effect, but the ROUNDTRIP IDENTITY
+    # is oracle-able: the aggregate over the re-read sink must equal
+    # the same aggregate over the source table (any loss or mangling
+    # in the parquet write path breaks the hash match)
+    oracle="""
+SELECT o_orderstatus, count(*) AS n_rows,
+       round(sum(o_totalprice), 2) AS sum_total
+FROM orders GROUP BY o_orderstatus
+""",
+)
 def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13 analog: write a keyed Parquet sink, read it back, aggregate.
     Partitioned write → the sink layout a restored table would have; the
-    read-back proves schema round-trip stability."""
+    read-back proves schema round-trip stability. Oracle: the same
+    aggregate computed directly on the source — equality IS the
+    roundtrip contract."""
     import uuid
 
     # unique path per invocation: a fixed path would collide if the

@@ -248,6 +248,7 @@ _REVERIFY_R06: frozenset[str] = frozenset(
         "q_stream_sliding",
         "q_ts_interpolate_linear", "q_llm_near_dedup",
         "q_llm_leakage_audit", "q_llm_ann_lsh", "q_sink_roundtrip",
+        "q_stream_watermark_late",
     }
 )
 

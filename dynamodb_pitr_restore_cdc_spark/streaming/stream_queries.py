@@ -201,7 +201,40 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 # real multi-batch streaming runs
 # ---------------------------------------------------------------------------
 
-@register("q_stream_watermark_late", oracle=None)  # rows-only: watermark trajectory isn't SQL
+# The watermark trajectory IS SQL-expressible here because the splits
+# are pinned. Spark runs each micro-batch with TWO watermark values
+# (verified empirically on a 3-file probe, reading
+# numRowsDroppedByWatermark per batch): the LATE-EVENT FILTER for
+# batch k uses the watermark committed after batch k-1, which was
+# computed from data through batch k-2 — so batch 2's filter is
+# W0 = ms-truncated max(batch-0 event time) - delay — while EVICTION /
+# append emission uses the current batch's updated watermark; after
+# the final no-data flush that is Wf over ALL rows (dropped late rows
+# still advance event-time stats, which sit upstream of the filter).
+_WM_LATE_ORACLE = """
+WITH p AS (SELECT CAST(floor(quantile_cont(epoch_us(ts), 0.3333)) AS BIGINT) AS p1
+           FROM events),
+b AS (
+    SELECT date_trunc('hour', ts) AS w0, epoch_us(ts) AS tsu,
+           CASE WHEN event_id % 5 = 0 THEN 2
+                WHEN epoch_us(ts) <= p.p1 THEN 0 ELSE 1 END AS batch
+    FROM events, p),
+wm AS (SELECT
+    (max(CASE WHEN batch = 0 THEN tsu END) // 1000) * 1000 - 600000000 AS wm0,
+    (max(tsu) // 1000) * 1000 - 600000000 AS wmf
+ FROM b),
+kept AS (
+    SELECT w0, count(*) AS n_events
+    FROM b, wm
+    WHERE batch <= 1  -- batches 0-1 filter against the initial -inf watermark
+       OR epoch_us(w0) + 3600000000 > wm0
+    GROUP BY w0)
+SELECT epoch_us(w0) AS window_start_us, n_events
+FROM kept, wm WHERE epoch_us(w0) + 3600000000 <= wmf
+"""
+
+
+@register("q_stream_watermark_late", oracle=_WM_LATE_ORACLE)
 def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data drop beyond a 10-minute watermark, observed over a real
     3-batch stream: batches 1-2 advance event time through the month;
