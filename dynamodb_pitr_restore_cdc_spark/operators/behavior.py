@@ -39,10 +39,10 @@ from ..sources import table
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity boundary
 
-
-@register(
-    "q_ts_sessionize",
-    oracle=f"""
+# shared with the real-stream twin (streaming/twins.q_stream_sessionize),
+# which must produce the IDENTICAL result — batch/stream parity is the
+# contract, so both registrations carry the same oracle text
+SESSIONIZE_ORACLE = f"""
 WITH o AS (
     SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS value_c,
            CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -64,8 +64,10 @@ SELECT user_id, session_id,
        count(*) AS n_events,
        CAST(sum(value_c) AS BIGINT) / 100.0 AS session_value
 FROM s GROUP BY user_id, session_id
-""",
-)
+"""
+
+
+@register("q_ts_sessionize", oracle=SESSIONIZE_ORACLE)
 def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization: a new session starts after >30 min of
     user inactivity; session ids are the running count of boundaries.
@@ -352,9 +354,8 @@ _Z_EXPR = (
 Z_THRESHOLD = 2.5
 
 
-@register(
-    "q_ts_anomaly_zscore",
-    oracle=f"""
+# shared with the real-stream twin (streaming/twins.q_stream_anomaly_zscore)
+ANOMALY_ZSCORE_ORACLE = f"""
 WITH v AS (
     SELECT event_id, user_id, ts,
            CAST(round(value * 100) AS BIGINT) AS v
@@ -371,8 +372,10 @@ WITH v AS (
 SELECT event_id, user_id, epoch_us(ts) AS ts_us, v / 100.0 AS value,
        zscore
 FROM z WHERE abs(zscore) > {Z_THRESHOLD}
-""",
-)
+"""
+
+
+@register("q_ts_anomaly_zscore", oracle=ANOMALY_ZSCORE_ORACLE)
 def q_ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user outlier detection: flag events whose value deviates
     more than 2.5 population standard deviations from that user's

@@ -306,6 +306,7 @@ def all_queries() -> dict[str, QuerySpec]:
         redrive,
         stateful,
         stream_queries,
+        twins,
         versioned_sink,
     )
 

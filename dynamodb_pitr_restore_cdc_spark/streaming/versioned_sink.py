@@ -895,6 +895,7 @@ class VersionedCdcSink:
 import atexit  # noqa: E402
 import tempfile  # noqa: E402
 
+from ..operators.behavior import _Z_EXPR as _BEHAVIOR_Z_EXPR  # noqa: E402
 from ..operators.cdc import changelog, fold_changelog, with_changelog  # noqa: E402
 from ..registry import register, tracked_persist  # noqa: E402
 
@@ -1096,10 +1097,12 @@ def _changes_between(sink: VersionedCdcSink, v_from: int, v_to: int) -> DataFram
     )
 
 
-@register(
-    "q_cdc_changefeed",
-    oracle=with_changelog(
-        """
+# Changefeed CTEs continuing with_changelog()'s open WITH list (must
+# start with ", name AS ("): `a` = table state at the middle commit,
+# `b` = latest state, `feed` = the classified per-key diff. Shared by
+# q_cdc_changefeed and the alerting capstone so the feed semantics are
+# asserted from one text.
+_CHANGEFEED_CTES = """
 , a AS (
     SELECT key, seq_no AS last_seq, payload_value
     FROM (
@@ -1116,16 +1119,28 @@ b AS (
                row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
         FROM changelog
     ) WHERE rn = 1 AND op <> 'REMOVE'
+),
+feed AS (
+    SELECT COALESCE(a.key, b.key) AS key,
+           CASE WHEN a.key IS NULL THEN 'INSERT'
+                WHEN b.key IS NULL THEN 'DELETE'
+                ELSE 'UPDATE' END AS change_type,
+           COALESCE(b.last_seq, a.last_seq) AS last_seq,
+           b.payload_value AS payload_value,
+           a.payload_value AS payload_value_old
+    FROM a FULL JOIN b ON a.key = b.key
+    WHERE a.key IS NULL OR b.key IS NULL OR a.last_seq <> b.last_seq
 )
-SELECT COALESCE(a.key, b.key) AS key,
-       CASE WHEN a.key IS NULL THEN 'INSERT'
-            WHEN b.key IS NULL THEN 'DELETE'
-            ELSE 'UPDATE' END AS change_type,
-       COALESCE(b.last_seq, a.last_seq) AS last_seq,
-       b.payload_value AS payload_value,
-       a.payload_value AS payload_value_old
-FROM a FULL JOIN b ON a.key = b.key
-WHERE a.key IS NULL OR b.key IS NULL OR a.last_seq <> b.last_seq
+"""
+
+
+@register(
+    "q_cdc_changefeed",
+    oracle=with_changelog(
+        _CHANGEFEED_CTES
+        + """
+SELECT key, change_type, last_seq, payload_value, payload_value_old
+FROM feed
 """
     ),
 )
@@ -1255,3 +1270,94 @@ def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionByName(sink.lookup(int(row.hi)))
     out = out.unionByName(sink.lookup(-1))  # absent key: empty, still 1-bucket read
     return out.select("key", "last_seq", "payload_value")
+
+
+# ---------------------------------------------------------------------------
+# alerting capstone: changefeed → anomaly rule → late-bound sink routing
+# ---------------------------------------------------------------------------
+
+ALERT_Z = 2.0       # feed a change to alerting when |z(delta)| exceeds this
+PAGE_Z = 3.0        # severity escalation: page instead of digest
+
+
+@register(
+    "q_cdc_alerting",
+    oracle=with_changelog(
+        _CHANGEFEED_CTES
+        + f"""
+, d AS (
+    SELECT key, change_type, last_seq,
+           COALESCE(CAST(round(payload_value * 100) AS BIGINT), 0)
+           - COALESCE(CAST(round(payload_value_old * 100) AS BIGINT), 0) AS v
+    FROM feed
+),
+s AS (
+    SELECT count(*) AS n,
+           CAST(sum(v) AS BIGINT) AS s1,
+           CAST(sum(v * v) AS BIGINT) AS s2
+    FROM d
+),
+z AS (SELECT key, change_type, last_seq, v, {{Z}} AS zscore FROM d, s)
+SELECT key, change_type, last_seq, v / 100.0 AS delta_value, zscore,
+       CASE WHEN abs(zscore) > {PAGE_Z} THEN 'sink_pager'
+            WHEN change_type = 'DELETE' THEN 'sink_audit'
+            ELSE 'sink_digest' END AS destination
+FROM z
+WHERE abs(zscore) > {ALERT_Z} OR change_type = 'DELETE'
+""".replace("{Z}", _BEHAVIOR_Z_EXPR)
+    ),
+)
+def q_cdc_alerting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alerting capstone — the reference's EventBridge-rule pattern
+    (`cdk-stack.ts:116-123`: state-machine status events routed to
+    rule-bound targets) generalized to DATA-driven alerts over the
+    versioned table:
+
+      changefeed (q_cdc_changefeed's commit diff)
+        → anomaly rule (z-score of the per-key value delta against the
+          feed's own exact-integer moments — the q_ts_anomaly_zscore
+          discipline: quantized score, engine-identical threshold)
+        → late-bound sink routing (A16/q_cdc_multi_sink's pattern:
+          destination chosen per row at delivery time — severity pages,
+          deletes audit, the rest digests).
+
+    Entirely JVM-side: the feed diff is a full-outer join over changed
+    buckets only, the moments are one 1-row aggregate broadcast back
+    over the feed (the documented 1-row crossJoin shape), and the rule
+    + routing are codegen'd CASE expressions — no Python stage anywhere
+    (plan-pinned in tests/test_plans.py). At 100 TB the feed is sized
+    by what changed, the stats row is O(1), and alert fan-out writes
+    are a tiny filtered subset of the feed."""
+    sink, _, _ = shared_sink(spark, sf_dir)
+    feed = _changes_between(sink, 2, 3)
+    cents_new = F.coalesce(F.round(F.col("payload_value") * 100).cast("bigint"), F.lit(0))
+    cents_old = F.coalesce(F.round(F.col("payload_value_old") * 100).cast("bigint"), F.lit(0))
+    # referenced by the stats aggregate AND the scoring pass — persist
+    # rather than recompute the bucket diff twice (no cross-branch CSE)
+    d = tracked_persist(
+        feed.select(
+            "key", "change_type", "last_seq", (cents_new - cents_old).alias("v")
+        )
+    )
+    stats = d.agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.expr("v*v")).alias("s2"),
+    )
+    z = d.crossJoin(F.broadcast(stats)).withColumn(
+        "zscore", F.expr(_BEHAVIOR_Z_EXPR)
+    )
+    alerts = z.where(
+        (F.abs(F.col("zscore")) > ALERT_Z) | (F.col("change_type") == "DELETE")
+    )
+    return alerts.select(
+        "key",
+        "change_type",
+        "last_seq",
+        (F.col("v") / 100.0).alias("delta_value"),
+        "zscore",
+        F.when(F.abs(F.col("zscore")) > PAGE_Z, "sink_pager")
+        .when(F.col("change_type") == "DELETE", "sink_audit")
+        .otherwise("sink_digest")
+        .alias("destination"),
+    )

@@ -541,3 +541,14 @@ def test_zorder_box_pushes_both_range_predicates(plans):
     p = plans("q_scan_zorder_box")
     f = pushed_filters(p, "zorder")
     assert "l_partkey" in f and "l_suppkey" in f
+
+
+def test_alerting_capstone_is_jvm_only_and_broadcasts_stats(plans):
+    # changefeed → anomaly rule → routing must add NO Python stage
+    # anywhere (the rule and routing are codegen'd CASE exprs), and the
+    # 1-row moments aggregate must come back as a broadcast, never a
+    # shuffle, over the feed
+    p = plans("q_cdc_alerting")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert has_broadcast_join(p)
+    assert "CartesianProduct" not in p
