@@ -25,10 +25,10 @@ path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import register
+from ..registry import register, tracked_persist
 from ..sources import table
 
 # Paragraph analog for the whitespace-token fixture corpus: fixed
@@ -45,6 +45,20 @@ _PAIR = 1 << 20
 
 EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
 PHONE_RE = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+
+def block_rows(d: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, block_idx, block) grain: the 10-word
+    block explode shared by the dedup queries and the skew tests."""
+    return d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(ceil(size(split(text, ' ')) / {BLOCK_WORDS}.0)) - 1),"
+                f" i -> array_join(slice(split(text, ' '), i * {BLOCK_WORDS} + 1, {BLOCK_WORDS}), ' '))"
+            )
+        ).alias("block_idx", "block"),
+    )
 
 
 @register(
@@ -78,31 +92,34 @@ def q_llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     block (first = smallest (doc_id, block_idx)), and reassemble each
     document from its surviving blocks in order.
 
-    Plan: explode to block grain (map-side), ONE shuffle on the block
-    text for the first-copy window, ONE shuffle on doc_id for the
-    reassembly — no self-join, no second pass over the corpus. The
-    winner tie-break is min() over a single bigint pair-encoding, so
-    the window is a cheap min-aggregate, and collect_list skips the
-    non-winning (NULL) blocks before the sort. 100 TB: the block
-    shuffle is the cost; production keys it by xxhash64(block) with
-    the block text carried once per group (same result, 8-byte keys),
-    and skew (a boilerplate block repeated 10^8 times) is bounded
-    because the window computes only min() — AQE splits oversized
-    block groups without correctness impact."""
-    d = table(spark, sf_dir, "documents")
-    blocks = d.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, int(ceil(size(split(text, ' ')) / {BLOCK_WORDS}.0)) - 1),"
-                f" i -> array_join(slice(split(text, ' '), i * {BLOCK_WORDS} + 1, {BLOCK_WORDS}), ' '))"
-            )
-        ).alias("block_idx", "block"),
+    Plan: explode to block grain (map-side, after a compact-row
+    rebalance — the corpus parquet is one input split), then the
+    winner per distinct block comes from a two-phase hash aggregate
+    (partial min per mapper BEFORE the exchange) joined back to the
+    block grain, and ONE shuffle on doc_id reassembles. The winner
+    tie-break is min() over a single bigint pair-encoding, and
+    collect_list skips the non-winning (NULL) blocks before the sort.
+
+    Skew (the viral-paragraph hazard — one boilerplate block repeated
+    10^8 times): deliberately NOT a window. min() OVER (PARTITION BY
+    block) must colocate every copy of the hot block in one task and
+    AQE cannot split a window partition. The aggregate+join shape
+    bounds it twice: the partial min pre-reduces the hot block to ONE
+    row per map task before any shuffle (reduce-side input is
+    O(mappers), proven by the skewed-fixture test), and the join back
+    is equi-shaped, so AQE skew-join can split the block-grain probe
+    side across tasks (the 1-row winner build side duplicates
+    freely). 100 TB: production keys the index by xxhash64(block)
+    with 8-byte keys; see SCALE.md for measured counts."""
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
+    # block grain is referenced by BOTH the winner aggregate and the
+    # reassembly join (no cross-branch CSE) — persist the exploded rows
+    blocks = tracked_persist(block_rows(d))
     pair = F.col("doc_id") * _PAIR + F.col("block_idx")
-    marked = blocks.withColumn(
-        "keep", pair == F.min(pair).over(W.partitionBy("block"))
-    )
+    winners = blocks.groupBy("block").agg(F.min(pair).alias("winner"))
+    marked = blocks.join(winners, "block").withColumn("keep", pair == F.col("winner"))
     kept_arr = F.array_sort(
         F.collect_list(
             F.when(
@@ -242,8 +259,6 @@ def q_stream_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("block_idx", "block")
     # corpus block -> first owning doc (the static index; referenced by
     # every micro-batch, so persisted once)
-    from ..registry import tracked_persist
-
     first_owner = tracked_persist(
         docs.select("doc_id", block_expr)
         .groupBy("block")

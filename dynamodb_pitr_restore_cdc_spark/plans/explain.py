@@ -55,3 +55,38 @@ def has_broadcast_join(plan: str) -> bool:
 
 def codegen_stage_count(plan: str) -> int:
     return plan.count("WholeStageCodegen")
+
+
+def executed_metrics(df: DataFrame) -> list[tuple[str, str, int]]:
+    """(nodeName, metricName, value) triples from the EXECUTED physical
+    plan — run an action on `df` first or every value reads 0. Descends
+    through the AdaptiveSparkPlan wrapper and materialized query stages,
+    so post-AQE shuffle metrics (shuffleRecordsWritten, recordsRead,
+    numOutputRows) are visible; this is how the skew tests PROVE a
+    partial aggregate pre-reduced a hot key rather than inferring it
+    from plan text."""
+    out: list[tuple[str, str, int]] = []
+
+    def walk(node) -> None:
+        name = node.nodeName()
+        try:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                out.append((name, kv._1(), int(kv._2().value())))
+        except Exception:
+            pass
+        if name == "AdaptiveSparkPlan":
+            walk(node.executedPlan())
+            return
+        ch = node.children().iterator()
+        while ch.hasNext():
+            walk(ch.next())
+        if "QueryStage" in name:  # shuffle/broadcast stage bodies
+            try:
+                walk(node.plan())
+            except Exception:
+                pass
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out

@@ -249,6 +249,8 @@ _REVERIFY_R06: frozenset[str] = frozenset(
         "q_ts_interpolate_linear", "q_llm_near_dedup",
         "q_llm_leakage_audit", "q_llm_ann_lsh", "q_sink_roundtrip",
         "q_stream_watermark_late",
+        # round-6 skew rewrite: window-min → partial-agg + join
+        "q_llm_paragraph_dedup",
     }
 )
 

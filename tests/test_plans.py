@@ -349,13 +349,15 @@ def test_q21_is_one_aggregation_not_two_subquery_joins(plans):
     assert has_broadcast_join(p)
 
 
-def test_paragraph_dedup_is_two_shuffles_no_python(plans):
-    # explode -> window-min on block -> regroup by doc: exactly the
-    # block shuffle + the reassembly shuffle (+AQE output exchanges),
-    # no self-join (the corpus is exploded once), no Python
+def test_paragraph_dedup_explodes_once_no_python(plans):
+    # explode -> partial-min winners joined back -> regroup by doc.
+    # The block grain backs both join sides through ONE persisted frame
+    # (InMemoryRelation), so the corpus parquet is scanned/exploded
+    # once per materialization even though the plan tree prints the
+    # cached subtree under each reference; no Python anywhere
     p = plans("q_llm_paragraph_dedup")
     assert "EvalPython" not in p
-    assert p.count("Scan parquet") <= 2  # one scan, named twice (tree + detail)
+    assert "InMemoryRelation" in p  # the shared block-grain cache
 
 
 def test_pii_redact_is_map_only(plans):
@@ -552,3 +554,70 @@ def test_alerting_capstone_is_jvm_only_and_broadcasts_stats(plans):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert has_broadcast_join(p)
     assert "CartesianProduct" not in p
+
+
+def test_paragraph_dedup_winner_is_agg_join_not_window(plans):
+    # the first-copy winner must come from a two-phase hash aggregate
+    # (partial min per mapper) + equi-join, NEVER a window over block:
+    # a window partition cannot be split, so a viral paragraph would
+    # pin one task; the aggregate pre-reduces it map-side and the join
+    # is AQE-skew-splittable
+    p = plans("q_llm_paragraph_dedup")
+    assert "Window" not in p
+    assert p.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_paragraph_dedup_partial_min_bounds_viral_block(spark, tmp_path):
+    # viral-paragraph property: every doc shares block 0; the partial
+    # min must reduce its N copies to <= one row PER MAP TASK before
+    # the block shuffle — asserted from executed shuffle metrics, not
+    # plan text
+    import pyspark.sql.functions as F
+
+    from dynamodb_pitr_restore_cdc_spark.llm.scrub import block_rows
+    from dynamodb_pitr_restore_cdc_spark.plans.explain import executed_metrics
+    from dynamodb_pitr_restore_cdc_spark.registry import all_queries, release_persisted
+
+    n_docs, m_parts = 600, 8
+    viral = " ".join(f"w{i}" for i in range(10))
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(viral + " "),
+            F.expr("concat_ws(' ', transform(sequence(0, 9), i -> concat('u', id, 'x', i)))"),
+        ).alias("text"),
+    )
+    blocks = block_rows(docs.repartition(m_parts))
+    winners = blocks.groupBy("block").agg(
+        F.min(F.col("doc_id") * 1048576 + F.col("block_idx")).alias("winner")
+    )
+    winners.collect()
+    written = [
+        v for name, k, v in executed_metrics(winners)
+        if name == "Exchange" and k == "shuffleRecordsWritten"
+    ]
+    assert written, "no shuffle metrics captured"
+    # naive (window/no partial agg) would put all 2*n_docs block rows
+    # on the wire; partial min caps it at distinct blocks + one viral
+    # row per mapper
+    assert max(written) <= n_docs + 1 + m_parts
+    assert max(written) < 2 * n_docs
+
+    # end-to-end correctness on the same skewed fixture through the
+    # registered query (doc 0 keeps both blocks, every other doc keeps
+    # only its unique tail)
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = (
+        all_queries()["q_llm_paragraph_dedup"]
+        .builder(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    release_persisted()
+    assert (out.n_blocks == 2).all()
+    assert out.loc[0, "n_kept"] == 2 and out.loc[0, "dedup_text"].startswith(viral)
+    rest = out[out.doc_id > 0]
+    assert (rest.n_kept == 1).all()
+    assert not rest.dedup_text.str.startswith("w0 ").any()  # viral copy dropped
