@@ -9,9 +9,21 @@ the full per-query timing map to BENCH_local.json next to this file:
    "queries": {headline: sec, ...}, "sf": <sf>, "n_queries": 100}
 
 Protocol (BASELINE.md): warm SparkSession, per-query wall time over
-BENCH_RUNS runs (median), full execution forced with a noop-format
+repeated runs (median), full execution forced with a noop-format
 write so nothing is collected to the driver and nothing is cached
 between runs.
+
+Dispersion (round-6, per the round-5 host-variance note): this shared
+host swings sub-second queries 3-4× between sessions, so single-run
+ratios near the 2× envelope are untrustworthy. Each query therefore
+runs BENCH_RUNS times (default 3) plus BENCH_EXTRA_RUNS more when its
+median lands under BENCH_NOISY_SEC (default: <1 s, the
+steal-time-dominated regime) — median-of-5 where noise dominates,
+median-of-3 where the query itself dominates — and BENCH_local.json
+records per-query {med, iqr, runs} under "dispersion". Breach
+verdicts must gate on the MEDIAN ratio only and read the IQR for
+stability context: scripts/bench_breach_check.py implements that gate
+against a recorded baseline.
 """
 
 from __future__ import annotations
@@ -27,7 +39,9 @@ from dynamodb_pitr_restore_cdc_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-RUNS = int(os.environ.get("BENCH_RUNS", "3"))  # median-of-3 per BASELINE.md
+RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+EXTRA_RUNS = int(os.environ.get("BENCH_EXTRA_RUNS", "2"))
+NOISY_SEC = float(os.environ.get("BENCH_NOISY_SEC", "1.0"))
 
 # Representative queries surfaced in the one-line summary; the full
 # per-query map goes to BENCH_local.json (the driver's stdout capture
@@ -64,6 +78,11 @@ def run_once(spec, spark) -> float:
     return elapsed
 
 
+def iqr(values: list[float]) -> float:
+    qs = statistics.quantiles(sorted(values), n=4, method="inclusive")
+    return qs[2] - qs[0]
+
+
 def main() -> None:
     spark = get_spark("bench", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -73,10 +92,21 @@ def main() -> None:
     run_once(specs["q_cdc_snapshot_rebuild"], spark)
 
     timings: dict[str, float] = {}
+    dispersion: dict[str, dict[str, float]] = {}
     for name in sorted(specs):
         times = [run_once(specs[name], spark) for _ in range(RUNS)]
-        timings[name] = round(statistics.median(times), 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        # sub-NOISY_SEC medians are steal-time-dominated on this shared
+        # host: buy extra samples exactly where they pay
+        if statistics.median(times) < NOISY_SEC:
+            times += [run_once(specs[name], spark) for _ in range(EXTRA_RUNS)]
+        med = round(statistics.median(times), 3)
+        timings[name] = med
+        dispersion[name] = {
+            "med": med,
+            "iqr": round(iqr(times), 3),
+            "runs": len(times),
+        }
+        print(f"# {name}: {med}s (iqr {dispersion[name]['iqr']}s/{len(times)})", file=sys.stderr)
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     summary = {
@@ -89,6 +119,7 @@ def main() -> None:
     }
     full = dict(summary)
     full["queries"] = timings
+    full["dispersion"] = dispersion
     local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json")
     with open(local_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)

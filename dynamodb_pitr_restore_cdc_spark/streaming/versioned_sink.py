@@ -887,6 +887,14 @@ class VersionedCdcSink:
                     shutil.rmtree(vdir, ignore_errors=True)
         return expired
 
+    # -- changefeed (VersionedSinkFormat seam method) -------------------
+
+    def changes_between(self, v_from: int, v_to: int) -> DataFrame:
+        """Change data feed between two commits — the seam method query
+        code calls (sink_format.VersionedSinkFormat); a real table
+        format swaps in its CDF/incremental read here."""
+        return _changes_between(self, v_from, v_to)
+
 
 # ---------------------------------------------------------------------------
 # registered queries
@@ -1152,7 +1160,7 @@ def q_cdc_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     level (identical owning commit ⇒ identical files ⇒ skipped), so
     the oracle equivalence proves the pruning loses nothing."""
     sink, _, _ = shared_sink(spark, sf_dir)
-    return _changes_between(sink, 2, 3)
+    return sink.changes_between(2, 3)
 
 
 @register(
@@ -1199,7 +1207,7 @@ def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     delta = (
-        _changes_between(sink, 2, 3)
+        sink.changes_between(2, 3)
         .groupBy(grp)
         .agg(
             F.sum(
@@ -1329,7 +1337,7 @@ def q_cdc_alerting(spark: SparkSession, sf_dir: str) -> DataFrame:
     by what changed, the stats row is O(1), and alert fan-out writes
     are a tiny filtered subset of the feed."""
     sink, _, _ = shared_sink(spark, sf_dir)
-    feed = _changes_between(sink, 2, 3)
+    feed = sink.changes_between(2, 3)
     cents_new = F.coalesce(F.round(F.col("payload_value") * 100).cast("bigint"), F.lit(0))
     cents_old = F.coalesce(F.round(F.col("payload_value_old") * 100).cast("bigint"), F.lit(0))
     # referenced by the stats aggregate AND the scoring pass — persist
