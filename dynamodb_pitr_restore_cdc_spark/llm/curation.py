@@ -748,3 +748,66 @@ def q_llm_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("eval_split"),
         (F.col("j_milli") / 1000.0).alias("jaccard"),
     )
+
+
+@register(
+    "q_llm_bigram_logprob",
+    oracle="""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       FROM d, UNNEST(generate_series(1, len(t) - 1)) AS g(i)),
+c AS (SELECT doc_id,
+             count(*) OVER (PARTITION BY w1, w2) AS c2,
+             count(*) OVER (PARTITION BY w1) AS c1
+      FROM bi),
+s AS (SELECT doc_id, count(*) AS n_bigrams,
+             CAST(sum(CAST(floor((- ln(c2 / c1)) * 1e6 + 0.5) AS BIGINT))
+                  AS BIGINT) AS nll_u
+      FROM c GROUP BY doc_id)
+SELECT doc_id, n_bigrams, (nll_u / n_bigrams) / 1e6 AS avg_nll
+FROM s
+""",
+)
+def q_llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score — the context-sensitive upgrade of
+    q_llm_unigram_logprob: each document's average per-transition
+    negative log-likelihood under the corpus's own bigram model,
+    P(w2|w1) = c(w1,w2)/c(w1·) estimated from the SAME corpus (MLE —
+    every observed transition has count ≥ 1, so no smoothing mass is
+    needed; templated/boilerplate text scores low surprise, scrambled
+    text scores high). Float discipline identical to the unigram
+    scorer: the per-bigram nll is quantized to integer micro-nats
+    through byte-identical expression text BEFORE summation, so the
+    aggregate is shuffle-order-independent and hash-stable.
+
+    Plan: one explode, lead() within doc for transitions (rides the
+    doc_id partitioning of the explode), two count windows — (w1,w2)
+    then w1, stopword heavy-hitters absorbed by AQE skew handling as
+    in the unigram/rarity shapes — then the doc rollup."""
+    d = table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w1")
+    )
+    bi = (
+        w.withColumn(
+            "w2", F.lead("w1").over(W.partitionBy("doc_id").orderBy("pos"))
+        )
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", "w1", "w2")
+    )
+    c = bi.select(
+        "doc_id",
+        F.count("*").over(W.partitionBy("w1", "w2")).alias("c2"),
+        F.count("*").over(W.partitionBy("w1")).alias("c1"),
+    )
+    s = c.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum(
+            F.expr("CAST(floor((- ln(c2 / c1)) * 1e6 + 0.5) AS BIGINT)")
+        ).alias("nll_u"),
+    )
+    return s.select(
+        "doc_id",
+        "n_bigrams",
+        (F.expr("nll_u / n_bigrams") / F.lit(1e6)).alias("avg_nll"),
+    )

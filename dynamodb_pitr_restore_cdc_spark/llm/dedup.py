@@ -380,3 +380,55 @@ def q_llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming"))
     )
+
+
+@register(
+    "q_llm_dedup_report",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(generate_series(1, len(t) - 2),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+v AS (SELECT doc_a, doc_b
+      FROM pairs
+      JOIN sz sa ON doc_a = sa.doc_id
+      JOIN sz sb ON doc_b = sb.doc_id
+      WHERE ((2000 * i + (sa.n + sb.n - i)) // (2 * (sa.n + sb.n - i))) >= 500)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       (SELECT count(*) - count(DISTINCT md5(text)) FROM documents) AS n_exact_dup,
+       (SELECT count(*) FROM v) AS near_pairs,
+       (SELECT count(DISTINCT d)
+        FROM (SELECT doc_a AS d FROM v UNION SELECT doc_b FROM v)) AS docs_in_pairs
+""",
+)
+def q_llm_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup health report — the one-row summary a curation run
+    publishes before/after dedup: corpus size, exact-duplicate count
+    (rows beyond the first per content hash), verified near-dup pair
+    count (J ≥ 0.5) and how many documents sit in at least one such
+    pair. The Spark side rides the LSH band artifact (candidates only,
+    O(n·bands)); the oracle recomputes truth by brute-force shingle
+    join — so a green hash ALSO re-proves LSH recall at this threshold
+    corpus-wide, not just per planted pair."""
+    d = table(spark, sf_dir, "documents")
+    exact = d.agg(
+        F.count("*").alias("n_docs"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_exact_dup"),
+    )
+    # verified near-dup pairs via the banded pipeline (referenced by
+    # the pair count AND the distinct-doc explode — persist, no CSE)
+    pairs = tracked_persist(
+        q_llm_near_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    n_pairs = pairs.agg(F.count("*").alias("near_pairs"))
+    n_docs_in = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .agg(F.countDistinct("d").alias("docs_in_pairs"))
+    )
+    # three 1-row frames -> one report row (documented 1-row crossJoins)
+    return exact.crossJoin(F.broadcast(n_pairs)).crossJoin(F.broadcast(n_docs_in))

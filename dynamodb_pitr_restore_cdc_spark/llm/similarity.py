@@ -532,3 +532,72 @@ def q_emb_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.select(
         "check_name", "metric", (F.col("metric") > 0).cast("int").alias("violated")
     )
+
+
+@register(
+    "q_llm_ann_recall",
+    oracle=f"""
+WITH {_ivf_oracle_prefix()},
+probe_cells AS (SELECT cid FROM rank_final
+                WHERE vec_id = {PROBE_VEC_ID} AND rn <= {IVF_PROBE_CELLS}),
+p AS (SELECT v AS pv FROM e WHERE vec_id = {PROBE_VEC_ID}),
+ivf AS (SELECT e.vec_id, list_cosine_similarity(e.v, p.pv) AS cos
+        FROM e JOIN asg USING (vec_id) CROSS JOIN p
+        WHERE asg.cid IN (SELECT cid FROM probe_cells)
+          AND e.vec_id <> {PROBE_VEC_ID}
+        ORDER BY cos DESC, vec_id LIMIT 5),
+exact AS (SELECT e.vec_id, list_cosine_similarity(e.v, p.pv) AS cos
+          FROM e CROSS JOIN p WHERE e.vec_id <> {PROBE_VEC_ID}
+          ORDER BY cos DESC, vec_id LIMIT 5)
+SELECT CAST(5 AS BIGINT) AS k,
+       count(*) AS n_overlap,
+       count(*) / 5 AS recall
+FROM ivf JOIN exact USING (vec_id)
+""",
+)
+def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 audit of the IVF index against brute-force truth — the
+    metric that justifies (or vetoes) shipping an approximate index:
+    |IVF top-5 ∩ exact top-5| / 5 for the standard probe. Both sides
+    are individually oracle-proven queries (q_llm_ann_ivf's unrolled
+    integer Lloyd, q_llm_cosine_topk's scan); this composes them into
+    the quality gate a production ANN rollout runs per index build.
+    Cost: one brute-force pass (the thing being audited away) + the
+    IVF probe; at 100 TB the audit runs on a sampled probe set, same
+    plan shape."""
+    from .kmeans import assignment_ranking
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    probe = e.where(F.col("vec_id") == PROBE_VEC_ID).select(F.col("v").alias("pv"))
+
+    vectors, cents = trained_quantizer(spark, sf_dir)
+    members = _cell_members(spark, sf_dir)
+    probe_cells = (
+        assignment_ranking(vectors.where(F.col("vec_id") == PROBE_VEC_ID), cents)
+        .where(F.col("rn") <= IVF_PROBE_CELLS)
+        .select("cid")
+    )
+    ivf5 = (
+        members.join(F.broadcast(probe_cells), "cid", "left_semi")
+        .where(F.col("vec_id") != PROBE_VEC_ID)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", cosine_col(F.col("v"), F.col("pv")).alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(5)
+        .select("vec_id")
+    )
+    exact5 = (
+        e.where(F.col("vec_id") != PROBE_VEC_ID)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", cosine_col(F.col("v"), F.col("pv")).alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(5)
+        .select("vec_id")
+    )
+    return ivf5.join(exact5, "vec_id").agg(
+        F.lit(5).cast("bigint").alias("k"),
+        F.count("*").alias("n_overlap"),
+        (F.count("*") / F.lit(5)).alias("recall"),
+    )

@@ -240,3 +240,56 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(0 as bigint), (a, b) -> (a * 31 + b) % 1000000007)"
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "q_llm_length_percentiles",
+    oracle="""
+WITH t AS (
+    SELECT lang, doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+), r AS (
+    SELECT lang, n_tokens,
+           row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM t
+)
+SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+       max(CASE WHEN rn = (n + 1) // 2 THEN n_tokens END) AS p50_tokens,
+       max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_tokens END) AS p90_tokens,
+       max(CASE WHEN rn = (99 * n + 99) // 100 THEN n_tokens END) AS p99_tokens
+FROM r GROUP BY lang
+""",
+)
+def q_llm_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length percentiles (p50/p90/p99 token
+    counts) — the corpus profile that calibrates chunking budgets and
+    length filters. DISCRETE percentiles on purpose: the value at rank
+    ceil(q·n), computed with pure integer arithmetic ((q·n + q) div
+    denom), because interpolated percentiles multiply by inexact
+    binary decimals (0.9·n can land an ulp above an integer and ceil
+    to rank+1 — engine-dependent). One shuffle on lang for the rank
+    window, rollup rides the same partitioning."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = W.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    r = t.select(
+        "lang",
+        "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("lang")).alias("n"),
+    )
+    at = lambda rank_expr: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.expr(rank_expr), F.col("n_tokens"))
+    )
+    return r.groupBy("lang").agg(
+        F.max("n").alias("n_docs"),
+        at("(n + 1) div 2").alias("p50_tokens"),
+        at("(9 * n + 9) div 10").alias("p90_tokens"),
+        at("(99 * n + 99) div 100").alias("p99_tokens"),
+    )

@@ -282,3 +282,66 @@ def q_join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+ASOF_TOLERANCE_US = 7 * 24 * 3600 * 1_000_000  # 7-day staleness bound
+
+
+@register(
+    "q_join_asof_tolerance",
+    oracle=f"""
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     s AS (SELECT user_id, ts, value FROM events WHERE event_type = 'signup')
+SELECT p.event_id, p.user_id,
+       CASE WHEN epoch_us(p.ts) - epoch_us(s.ts) <= {ASOF_TOLERANCE_US}
+            THEN round(s.value, 2) END AS last_signup_value,
+       CASE WHEN epoch_us(p.ts) - epoch_us(s.ts) <= {ASOF_TOLERANCE_US}
+            THEN (epoch_us(p.ts) - epoch_us(s.ts)) // 3600000000 END AS staleness_hours
+FROM p ASOF LEFT JOIN s
+  ON p.user_id = s.user_id AND s.ts <= p.ts
+""",
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS TOLERANCE — the production variant
+    (pandas merge_asof's `tolerance`, kdb wj bounds): a reference match
+    older than 7 days is treated as no match. Same union-trick single
+    sort/shuffle as q_join_asof (the tolerance is a post-window filter
+    on the carried match timestamp, never a range join), so the cost is
+    unchanged at any scale; DuckDB's native ASOF JOIN + post-filter is
+    the oracle."""
+    e = table(spark, sf_dir, "events")
+    probes = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(None).cast("double").alias("ref_value"),
+        F.lit(1).alias("is_probe"),
+        F.col("event_id"),
+    )
+    refs = e.where(F.col("event_type") == "signup").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("value").alias("ref_value"),
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    tagged = refs.unionByName(probes).withColumn("tsu", F.unix_micros("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("tsu", "is_probe")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ref_tsu = F.when(F.col("is_probe") == 0, F.col("tsu"))
+    carried = tagged.select(
+        "*",
+        F.last("ref_value", ignorenulls=True).over(w).alias("asof_val"),
+        F.last(ref_tsu, ignorenulls=True).over(w).alias("asof_tsu"),
+    )
+    fresh = F.col("tsu") - F.col("asof_tsu") <= ASOF_TOLERANCE_US
+    return carried.where(F.col("is_probe") == 1).select(
+        "event_id",
+        "user_id",
+        F.when(fresh, F.round("asof_val", 2)).alias("last_signup_value"),
+        F.when(fresh, F.expr("(tsu - asof_tsu) div 3600000000")).alias(
+            "staleness_hours"
+        ),
+    )

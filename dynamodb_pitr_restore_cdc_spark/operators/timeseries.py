@@ -416,3 +416,47 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr(
         "user_id", "n", f"{acf(1)} AS acf_lag1", f"{acf(24)} AS acf_lag24"
     )
+
+
+ROLLQ_FRAME = 25  # rolling-median frame width (rows)
+
+
+@register(
+    "q_ts_rolling_median",
+    oracle=f"""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {ROLLQ_FRAME - 1} PRECEDING AND CURRENT ROW)
+           / 100.0 AS rolling_median
+FROM events
+""",
+)
+def q_ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median of each user's value over the trailing
+    {ROLLQ_FRAME}-row frame — the robust-baseline smoother (outlier-
+    insensitive where the moving AVERAGE family isn't). Exact
+    cross-engine: the median interpolates between integer cents, so
+    every output is k.0 or k.5 cents — binary-exact doubles in both
+    engines (Spark `percentile` and DuckDB `quantile_cont` use the
+    same (1-d)·a + d·b rule, and d here is only ever 0 or 0.5). One
+    shuffle on user_id; the frame evaluation is Spark's sliding
+    aggregate buffer, O(rows·frame) worst case but frame-bounded —
+    never the O(rows²) UNBOUNDED FOLLOWING trap."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLLQ_FRAME - 1), W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.expr("percentile(vc, 0.5)").over(w) / 100.0).alias("rolling_median"),
+    )

@@ -904,7 +904,12 @@ import atexit  # noqa: E402
 import tempfile  # noqa: E402
 
 from ..operators.behavior import _Z_EXPR as _BEHAVIOR_Z_EXPR  # noqa: E402
-from ..operators.cdc import changelog, fold_changelog, with_changelog  # noqa: E402
+from ..operators.cdc import (  # noqa: E402
+    cdc_merge,
+    changelog,
+    fold_changelog,
+    with_changelog,
+)
 from ..registry import register, tracked_persist  # noqa: E402
 
 # One 3-commit sink per (session, corpus), shared by the time-travel /
@@ -1369,3 +1374,39 @@ def q_cdc_alerting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("sink_digest")
         .alias("destination"),
     )
+
+
+@register(
+    "q_cdc_restore_drill",
+    oracle=with_changelog(
+        """
+SELECT key, seq_no AS last_seq, payload_value
+FROM (
+    SELECT key, seq_no, op, payload_value,
+           row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
+    FROM changelog
+) WHERE rn = 1 AND op <> 'REMOVE'
+"""
+    ),
+)
+def q_cdc_restore_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WHOLE identity as one drill, end-to-end:
+    RestoreTableToPointInTime + forward CDC replay
+    (`state-machine.json:10-76` — restore, poll to ACTIVE, attach the
+    backfill consumer, drain; README restore flow). Here: "restore" =
+    reading the middle commit of the versioned table (zero-copy time
+    travel), "replay" = cdc_merge of every changelog record past that
+    commit's high-water sequence onto the restored state. The drill's
+    success criterion IS the oracle: restored-then-replayed must equal
+    the full changelog fold — i.e. a disaster recovery through the
+    version store loses nothing and duplicates nothing. At 100 TB the
+    restore step moves no data (manifest read) and the replay costs
+    only the suffix since the restore point."""
+    sink, _, c2 = shared_sink(spark, sf_dir)
+    restored = sink.visible(version=2).select("key", "last_seq", "payload_value")
+    forward = (
+        changelog(spark, sf_dir)
+        .where(F.col("seq_no") > c2)
+        .select("seq_no", "op", "key", "payload_value")
+    )
+    return cdc_merge(restored, forward).select("key", "last_seq", "payload_value")
