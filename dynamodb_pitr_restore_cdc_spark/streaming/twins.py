@@ -233,3 +233,162 @@ def q_stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ck, ignore_errors=True)
     return result
+
+
+# --- live alert routing over the versioned sink's commit stream -----------
+
+ALERT_DELTA_C = 20_000   # |value delta| in cents that makes a change an alert
+PAGE_DELTA_C = 30_000    # escalation threshold: page instead of digest
+
+_FOLD = """
+    SELECT key, seq_no AS last_seq, payload_value
+    FROM (
+        SELECT key, seq_no, op, payload_value,
+               row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
+        FROM changelog{pred}
+    ) WHERE rn = 1 AND op <> 'REMOVE'
+"""
+
+_DIFF = """
+    SELECT COALESCE(a.key, b.key) AS key,
+           CASE WHEN a.key IS NULL THEN 'INSERT'
+                WHEN b.key IS NULL THEN 'DELETE'
+                ELSE 'UPDATE' END AS change_type,
+           COALESCE(b.last_seq, a.last_seq) AS last_seq,
+           COALESCE(CAST(round(b.payload_value * 100) AS BIGINT), 0)
+           - COALESCE(CAST(round(a.payload_value * 100) AS BIGINT), 0) AS delta_c,
+           CAST({batch} AS BIGINT) AS batch_no
+    FROM {frm} a FULL JOIN {to} b ON a.key = b.key
+    WHERE a.key IS NULL OR b.key IS NULL OR a.last_seq <> b.last_seq
+"""
+
+
+def _alert_routing_oracle() -> str:
+    from ..operators.cdc import with_changelog
+
+    ctes = [
+        ", cuts AS (SELECT CAST(floor(quantile_cont(seq_no, 0.3333)) AS BIGINT) AS c1,"
+        " CAST(floor(quantile_cont(seq_no, 0.6667)) AS BIGINT) AS c2 FROM changelog)",
+        ", s0 AS (SELECT * FROM (" + _FOLD.format(pred="") + ") WHERE FALSE)",
+        ", s1 AS (" + _FOLD.format(pred=" WHERE seq_no <= (SELECT c1 FROM cuts)") + ")",
+        ", s2 AS (" + _FOLD.format(pred=" WHERE seq_no <= (SELECT c2 FROM cuts)") + ")",
+        ", s3 AS (" + _FOLD.format(pred="") + ")",
+        ", d AS ("
+        + " UNION ALL ".join(
+            _DIFF.format(batch=i, frm=f"s{i - 1}", to=f"s{i}") for i in (1, 2, 3)
+        )
+        + ")",
+    ]
+    return with_changelog(
+        "".join(ctes)
+        + f"""
+SELECT batch_no, key, change_type, last_seq, delta_c / 100.0 AS delta_value,
+       CASE WHEN abs(delta_c) >= {PAGE_DELTA_C} THEN 'sink_pager'
+            WHEN change_type = 'DELETE' THEN 'sink_audit'
+            ELSE 'sink_digest' END AS destination
+FROM d
+WHERE abs(delta_c) >= {ALERT_DELTA_C} OR change_type = 'DELETE'
+"""
+    )
+
+
+@register("q_stream_alert_routing", oracle=_alert_routing_oracle())
+def q_stream_alert_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The alerting capstone LIVE: the changelog drains through
+    foreachBatch into a fresh VersionedCdcSink (one COW commit per
+    micro-batch), and after each commit the batch handler reads the
+    changefeed vs the previous commit, applies the alert rule, and
+    routes each alert to a LATE-BOUND destination directory chosen per
+    row at delivery time (A16 / `initiate-lambda-backfill/main.py:65-74`
+    generalized; EventBridge-rule targets `cdk-stack.ts:116-123`). The
+    oracle replays the same three commit transitions as changelog-prefix
+    fold diffs — so commit mechanics, feed pruning, rule, and routing
+    are all under one hash. Static thresholds (not per-feed stats) on
+    purpose: a live alert rule must not change meaning batch to batch."""
+    from ..operators.cdc import changelog, fold_changelog
+    from .versioned_sink import VersionedCdcSink
+
+    cl = changelog(spark, sf_dir).select("seq_no", "op", "key", "payload_value")
+    row = cl.agg(
+        F.expr("percentile(seq_no, 0.3333)").alias("p1"),
+        F.expr("percentile(seq_no, 0.6667)").alias("p2"),
+    ).first()
+    c1, c2 = int(row.p1), int(row.p2)
+    s = F.col("seq_no")
+    src, work, out = _fresh_dir("alrt-src"), _fresh_dir("alrt-work"), _fresh_dir("alrt-out")
+    _write_split_files(cl, [s <= c1, (s > c1) & (s <= c2), s > c2], src)
+
+    sink = VersionedCdcSink(spark, os.path.join(work, "table"))
+    sink.init(fold_changelog(cl.where(F.lit(False))))  # v1: empty table
+    state = {"v": 1}
+    dests = ("sink_pager", "sink_audit", "sink_digest")
+
+    def alert_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        sink.apply_batch(batch_df)
+        v_new = sink.latest_version()
+        if v_new == state["v"]:  # replayed epoch: commit was a no-op
+            return
+        feed = sink.changes_between(state["v"], v_new)
+        delta_c = F.coalesce(
+            F.round(F.col("payload_value") * 100).cast("bigint"), F.lit(0)
+        ) - F.coalesce(
+            F.round(F.col("payload_value_old") * 100).cast("bigint"), F.lit(0)
+        )
+        alerts = (
+            feed.withColumn("delta_c", delta_c)
+            .where(
+                (F.abs(F.col("delta_c")) >= ALERT_DELTA_C)
+                | (F.col("change_type") == "DELETE")
+            )
+            .select(
+                F.lit(v_new - 1).cast("bigint").alias("batch_no"),
+                "key",
+                "change_type",
+                "last_seq",
+                (F.col("delta_c") / 100.0).alias("delta_value"),
+                F.when(F.abs(F.col("delta_c")) >= PAGE_DELTA_C, "sink_pager")
+                .when(F.col("change_type") == "DELETE", "sink_audit")
+                .otherwise("sink_digest")
+                .alias("destination"),
+            )
+            # referenced once per destination below — materialize once
+            .localCheckpoint(eager=True)
+        )
+        for dest in dests:  # late-bound sink: path chosen per row, per batch
+            (
+                alerts.where(F.col("destination") == dest)
+                .drop("destination")
+                .write.mode("append")
+                .parquet(os.path.join(out, dest))
+            )
+        state["v"] = v_new
+
+    q = (
+        spark.readStream.schema(
+            "seq_no long, op string, key long, payload_value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(alert_batch)
+        .option("checkpointLocation", os.path.join(work, "_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    schema = "batch_no long, key long, change_type string, last_seq long, delta_value double"
+    parts = [
+        spark.read.schema(schema).parquet(os.path.join(out, dest)).withColumn(
+            "destination", F.lit(dest)
+        )
+        for dest in dests
+        if os.path.isdir(os.path.join(out, dest))
+    ]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.unionByName(p)
+    result = tracked_persist(acc)
+    result.count()  # materialize before removing the backing dirs
+    for d in (src, work, out):
+        shutil.rmtree(d, ignore_errors=True)
+    return result
