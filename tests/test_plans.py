@@ -621,3 +621,30 @@ def test_paragraph_dedup_partial_min_bounds_viral_block(spark, tmp_path):
     rest = out[out.doc_id > 0]
     assert (rest.n_kept == 1).all()
     assert not rest.dedup_text.str.startswith("w0 ").any()  # viral copy dropped
+
+
+def test_round6_additions_plan_shapes(plans):
+    # rolling median: ONE window over one (user) exchange, no Python
+    p = plans("q_ts_rolling_median")
+    assert _n_nodes(p, "Window") == 1 and "EvalPython" not in p
+
+    # tolerance as-of: same single-sort union-trick shape as q_join_asof
+    p = plans("q_join_asof_tolerance")
+    assert _n_nodes(p, "Window") == 1 and "EvalPython" not in p
+    assert "Join" not in p  # the tolerance is a filter, never a range join
+
+    # bigram LM: explode + lead + two count windows + rollup, all JVM
+    p = plans("q_llm_bigram_logprob")
+    assert "EvalPython" not in p
+    assert p.count("HashAggregate") >= 2  # partial+final doc rollup
+
+    # ANN recall: both top-5 sides are TakeOrdered over broadcast
+    # probes — no global sort, no cartesian
+    p = plans("q_llm_ann_recall")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+
+    # restore drill: restored state + forward replay resolve in one
+    # full-outer merge, JVM-side
+    p = plans("q_cdc_restore_drill")
+    assert "FullOuter" in p and "EvalPython" not in p
