@@ -96,30 +96,34 @@ def _merge_session_intervals(sessions: DataFrame) -> DataFrame:
     ).drop("grp")
 
 
-@register("q_stream_sessionize", oracle=SESSIONIZE_ORACLE)
-def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real-stream twin of q_ts_sessionize (same oracle — the hash match
-    IS the batch/stream parity proof): the event log replays as 3
-    time-ordered micro-batches; foreachBatch sessionizes each batch and
-    folds it into a versioned session store by interval merge. The
-    final store, with ordinals assigned per user, equals the one-shot
-    batch sessionization."""
-    e = table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        F.unix_micros("ts").alias("us"),
-        F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
-    )
-    p1, p2 = _ts_tertiles(table(spark, sf_dir, "events"), "ts")
-    us = F.col("us")
-    src, work = _fresh_dir("sess-src"), _fresh_dir("sess-work")
-    _write_split_files(e, [us <= p1, (us > p1) & (us <= p2), us > p2], src)
+def run_session_stream(spark: SparkSession, src: str, work: str) -> str:
+    """Drain every available event split in `src` into the versioned
+    session store under `work`; returns the final store path.
 
-    # v_init: empty session store with a pinned schema (an empty
-    # non-partitioned parquet write preserves its schema)
-    empty = _sessionize_events(e.where(F.lit(False)))
-    init_path = os.path.join(work, "v_init")
-    empty.write.mode("overwrite").parquet(init_path)
+    Resumable (run_cdc_apply's crash-recovery discipline): the store
+    pointer `_LATEST` is durable, so a restarted run resumes the merge
+    from the last COMMITTED store version while the checkpoint skips
+    already-processed files — without the pointer, checkpoint-skipped
+    batches would merge onto the empty v_init and silently lose the
+    crashed run's sessions (pinned by the resume test)."""
+    pointer = os.path.join(work, "_LATEST")
+    if os.path.exists(pointer):
+        with open(pointer) as fh:
+            init_path = fh.read().strip()
+    else:
+        # v_init: empty session store with a pinned schema (an empty
+        # non-partitioned parquet write preserves its schema; the empty
+        # frame folds to a LocalRelation — zero jobs)
+        init_path = os.path.join(work, "v_init")
+        empty = spark.range(0).select(
+            F.col("id").alias("user_id"),
+            F.col("id").alias("event_id"),
+            F.col("id").alias("us"),
+            F.col("id").alias("value_c"),
+        )
+        _sessionize_events(empty).write.mode("overwrite").parquet(init_path)
+        with open(pointer, "w") as fh:
+            fh.write(init_path)
     state = {"path": init_path}
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -133,6 +137,10 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         merged.write.mode("overwrite").parquet(new_path)
         state["path"] = new_path
+        # pointer AFTER data: a crash between the two replays the epoch,
+        # which overwrites v{epoch} idempotently from the prior pointer
+        with open(pointer, "w") as fh:
+            fh.write(new_path)
 
     stream = spark.readStream.schema(
         "user_id long, event_id long, us long, value_c long"
@@ -144,8 +152,30 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    return state["path"]
 
-    final = spark.read.parquet(state["path"])
+
+@register("q_stream_sessionize", oracle=SESSIONIZE_ORACLE)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-stream twin of q_ts_sessionize (same oracle — the hash match
+    IS the batch/stream parity proof): the event log replays as 3
+    time-ordered micro-batches; foreachBatch sessionizes each batch and
+    folds it into a versioned session store by interval merge
+    (run_session_stream — durable-pointer resumable). The final store,
+    with ordinals assigned per user, equals the one-shot batch
+    sessionization."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
+    )
+    p1, p2 = _ts_tertiles(table(spark, sf_dir, "events"), "ts")
+    us = F.col("us")
+    src, work = _fresh_dir("sess-src"), _fresh_dir("sess-work")
+    _write_split_files(e, [us <= p1, (us > p1) & (us <= p2), us > p2], src)
+
+    final = spark.read.parquet(run_session_stream(spark, src, work))
     ordinal = W.partitionBy("user_id").orderBy("start_us")
     result = tracked_persist(
         final.select(
@@ -319,8 +349,11 @@ def q_stream_alert_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     _write_split_files(cl, [s <= c1, (s > c1) & (s <= c2), s > c2], src)
 
     sink = VersionedCdcSink(spark, os.path.join(work, "table"))
-    sink.init(fold_changelog(cl.where(F.lit(False))))  # v1: empty table
-    state = {"v": 1}
+    if sink.latest_version() == 0:
+        sink.init(fold_changelog(cl.where(F.lit(False))))  # v1: empty table
+    # resume-aware: the sink is durable, so a restarted run diffs from
+    # the last COMMITTED version, never re-routing already-sent alerts
+    state = {"v": sink.latest_version()}
     dests = ("sink_pager", "sink_audit", "sink_digest")
 
     def alert_batch(batch_df: DataFrame, epoch_id: int) -> None:

@@ -70,3 +70,49 @@ def test_interval_merge_invariant_under_arbitrary_batching(spark, data):
         acc = spark.createDataFrame(acc.toPandas(), schema=acc.schema)
 
     assert _rows(acc) == expected
+
+
+def test_session_stream_resumes_from_committed_store(spark, tmp_path):
+    """Crash-recovery: phase 1 drains two splits and 'crashes'; phase 2
+    (same src/work dirs — the durable pointer + stream checkpoint) sees
+    one more split. The resumed run must merge the new batch onto the
+    COMMITTED store, ending equal to single-pass sessionization of all
+    events — the pointer discipline run_cdc_apply established, applied
+    to the session store."""
+    import os
+
+    from dynamodb_pitr_restore_cdc_spark.streaming.stream_queries import (
+        _write_one_split,
+    )
+    from dynamodb_pitr_restore_cdc_spark.streaming.twins import (
+        _sessionize_events,
+        run_session_stream,
+    )
+
+    rows = [
+        # user 0: one session spanning the crash boundary (events in
+        # splits 0 and 2 bridge via the split-1 event)
+        (0, 1, 0 * MIN_US, 1),
+        (0, 2, 20 * MIN_US, 1),
+        (0, 3, 45 * MIN_US, 1),
+        # user 1: a session entirely pre-crash, a second entirely after
+        (1, 4, 0 * MIN_US, 2),
+        (1, 5, 200 * MIN_US, 2),
+    ]
+    splits = [[rows[0], rows[3]], [rows[1]], [rows[2], rows[4]]]
+    src, work = str(tmp_path / "src"), str(tmp_path / "work")
+    os.makedirs(src)
+
+    for i, chunk in enumerate(splits[:2]):  # phase 1, then "crash"
+        _write_one_split(_df(spark, chunk), src, i)
+    run_session_stream(spark, src, work)
+
+    _write_one_split(_df(spark, splits[2]), src, 2)  # phase 2: restart
+    final = spark.read.parquet(run_session_stream(spark, src, work))
+
+    expected = _rows(_sessionize_events(_df(spark, rows)))
+    got = sorted(
+        (r.user_id, r.start_us, r.end_us, r.n_events, r.value_c)
+        for r in final.collect()
+    )
+    assert got == expected
