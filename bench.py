@@ -66,6 +66,8 @@ HEADLINE = [
     "q_tpch_q21_waiting_supplier",
     "q_llm_ann_pq",
     "q_llm_paragraph_dedup",
+    "q_cdc_restore_drill",
+    "q_stream_alert_routing",
 ]
 
 
