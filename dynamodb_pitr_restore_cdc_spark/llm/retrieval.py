@@ -48,22 +48,31 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {TOP_K_DOCS}
 )
 def q_llm_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword search: top-{k} documents for a fixed term set.
-    tf from an explode+filter aggregate, idf from a 3-row broadcast,
-    top-k as TakeOrdered. Exact-integer tf/df feed ln() on identical
-    doubles in both engines."""
+    tf comes from a MAP-ONLY pass — one size(filter(tokens, = term))
+    per query term stacked to (w, tf) rows — never from exploding the
+    full token stream and shuffling it down to 3 terms (the round-1
+    shape; the explode put every corpus token on the wire to discard
+    all but the query terms). idf is a 3-row broadcast; top-k is
+    TakeOrdered. Exact-integer tf/df feed ln() on identical doubles in
+    both engines."""
     d = table(spark, sf_dir, "documents")
-    n_docs = d.count()  # driver scalar: corpus size (orchestration)
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    # tf feeds both the df aggregate and the scored join — persist so
-    # the corpus is exploded once, not per branch (no cross-branch CSE)
-    tf = tracked_persist(
-        tok.where(F.col("w").isin(*QUERY_TERMS))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("tf"))
+    n_docs = d.count()  # driver scalar: corpus size (parquet metadata read)
+    stack_args = ", ".join(
+        f"'{t}', size(filter(t, x -> x = '{t}'))" for t in QUERY_TERMS
     )
-    df = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    tf = (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .selectExpr("doc_id", f"stack({len(QUERY_TERMS)}, {stack_args}) AS (w, tf)")
+        .where(F.col("tf") > 0)
+        .select("doc_id", "w", F.col("tf").cast("bigint").alias("tf"))
+    )
+    # df as a count window over the tf rows ((doc_id, w) is unique, so
+    # count(*) per w IS the document frequency): ONE linear plan — no
+    # second branch, no persist, no broadcast-join round trip. The tf
+    # frame is ≤|terms| rows per matching doc, so the w-window shuffle
+    # is tiny at any corpus size.
     scored = (
-        tf.join(F.broadcast(df), "w")
+        tf.withColumn("df", F.count("*").over(W.partitionBy("w")))
         .groupBy("doc_id")
         .agg(F.sum(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("score"))
     )
