@@ -322,39 +322,29 @@ WHERE abs(delta_c) >= {ALERT_DELTA_C} OR change_type = 'DELETE'
     )
 
 
-@register("q_stream_alert_routing", oracle=_alert_routing_oracle())
-def q_stream_alert_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The alerting capstone LIVE: the changelog drains through
-    foreachBatch into a fresh VersionedCdcSink (one COW commit per
-    micro-batch), and after each commit the batch handler reads the
-    changefeed vs the previous commit, applies the alert rule, and
-    routes each alert to a LATE-BOUND destination directory chosen per
-    row at delivery time (A16 / `initiate-lambda-backfill/main.py:65-74`
-    generalized; EventBridge-rule targets `cdk-stack.ts:116-123`). The
-    oracle replays the same three commit transitions as changelog-prefix
-    fold diffs — so commit mechanics, feed pruning, rule, and routing
-    are all under one hash. Static thresholds (not per-feed stats) on
-    purpose: a live alert rule must not change meaning batch to batch."""
-    from ..operators.cdc import changelog, fold_changelog
-    from .versioned_sink import VersionedCdcSink
+ALERT_DESTS = ("sink_pager", "sink_audit", "sink_digest")
 
-    cl = changelog(spark, sf_dir).select("seq_no", "op", "key", "payload_value")
-    row = cl.agg(
-        F.expr("percentile(seq_no, 0.3333)").alias("p1"),
-        F.expr("percentile(seq_no, 0.6667)").alias("p2"),
-    ).first()
-    c1, c2 = int(row.p1), int(row.p2)
-    s = F.col("seq_no")
-    src, work, out = _fresh_dir("alrt-src"), _fresh_dir("alrt-work"), _fresh_dir("alrt-out")
-    _write_split_files(cl, [s <= c1, (s > c1) & (s <= c2), s > c2], src)
+
+def run_alert_stream(spark: SparkSession, src: str, work: str, out: str) -> None:
+    """Drain every available changelog split in `src` into the
+    versioned table under `work`, routing per-commit changefeed alerts
+    into per-destination directories under `out`.
+
+    Resumable: the sink's pointer is durable, so a restarted run diffs
+    from the last COMMITTED version — the checkpoint skips processed
+    files and already-routed alerts are never re-sent (two-phase test
+    in tests/test_twins_property.py)."""
+    from ..operators.cdc import fold_changelog
+    from .versioned_sink import VersionedCdcSink
 
     sink = VersionedCdcSink(spark, os.path.join(work, "table"))
     if sink.latest_version() == 0:
-        sink.init(fold_changelog(cl.where(F.lit(False))))  # v1: empty table
-    # resume-aware: the sink is durable, so a restarted run diffs from
-    # the last COMMITTED version, never re-routing already-sent alerts
+        empty = spark.range(0).selectExpr(
+            "id AS key", "id AS last_seq", "CAST(NULL AS DOUBLE) AS payload_value"
+        )
+        sink.init(empty)  # v1: empty table
     state = {"v": sink.latest_version()}
-    dests = ("sink_pager", "sink_audit", "sink_digest")
+    dests = ALERT_DESTS
 
     def alert_batch(batch_df: DataFrame, epoch_id: int) -> None:
         sink.apply_batch(batch_df)
@@ -409,18 +399,51 @@ def q_stream_alert_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
 
+
+def read_routed_alerts(spark: SparkSession, out: str) -> DataFrame:
+    """Union the per-destination alert directories back into one frame
+    (destination re-attached from the path — the late-binding inverse)."""
     schema = "batch_no long, key long, change_type string, last_seq long, delta_value double"
     parts = [
         spark.read.schema(schema).parquet(os.path.join(out, dest)).withColumn(
             "destination", F.lit(dest)
         )
-        for dest in dests
+        for dest in ALERT_DESTS
         if os.path.isdir(os.path.join(out, dest))
     ]
     acc = parts[0]
     for p in parts[1:]:
         acc = acc.unionByName(p)
-    result = tracked_persist(acc)
+    return acc
+
+
+@register("q_stream_alert_routing", oracle=_alert_routing_oracle())
+def q_stream_alert_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The alerting capstone LIVE: the changelog drains through
+    foreachBatch into a fresh VersionedCdcSink (one COW commit per
+    micro-batch), and after each commit the batch handler reads the
+    changefeed vs the previous commit, applies the alert rule, and
+    routes each alert to a LATE-BOUND destination directory chosen per
+    row at delivery time (A16 / `initiate-lambda-backfill/main.py:65-74`
+    generalized; EventBridge-rule targets `cdk-stack.ts:116-123`). The
+    oracle replays the same three commit transitions as changelog-prefix
+    fold diffs — so commit mechanics, feed pruning, rule, and routing
+    are all under one hash. Static thresholds (not per-feed stats) on
+    purpose: a live alert rule must not change meaning batch to batch."""
+    from ..operators.cdc import changelog
+
+    cl = changelog(spark, sf_dir).select("seq_no", "op", "key", "payload_value")
+    row = cl.agg(
+        F.expr("percentile(seq_no, 0.3333)").alias("p1"),
+        F.expr("percentile(seq_no, 0.6667)").alias("p2"),
+    ).first()
+    c1, c2 = int(row.p1), int(row.p2)
+    s = F.col("seq_no")
+    src, work, out = _fresh_dir("alrt-src"), _fresh_dir("alrt-work"), _fresh_dir("alrt-out")
+    _write_split_files(cl, [s <= c1, (s > c1) & (s <= c2), s > c2], src)
+
+    run_alert_stream(spark, src, work, out)
+    result = tracked_persist(read_routed_alerts(spark, out))
     result.count()  # materialize before removing the backing dirs
     for d in (src, work, out):
         shutil.rmtree(d, ignore_errors=True)
