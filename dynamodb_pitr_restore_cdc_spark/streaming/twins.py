@@ -334,7 +334,6 @@ def run_alert_stream(spark: SparkSession, src: str, work: str, out: str) -> None
     from the last COMMITTED version — the checkpoint skips processed
     files and already-routed alerts are never re-sent (two-phase test
     in tests/test_twins_property.py)."""
-    from ..operators.cdc import fold_changelog
     from .versioned_sink import VersionedCdcSink
 
     sink = VersionedCdcSink(spark, os.path.join(work, "table"))
