@@ -293,3 +293,63 @@ def q_llm_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         at("(9 * n + 9) div 10").alias("p90_tokens"),
         at("(99 * n + 99) div 100").alias("p99_tokens"),
     )
+
+
+@register(
+    "q_llm_vocab_growth",
+    oracle="""
+WITH w AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), firsts AS (
+    SELECT word, min(doc_id) AS first_doc FROM w GROUP BY word
+), n AS (SELECT max(doc_id) + 1 AS n_docs FROM documents),
+deciles AS (
+    SELECT CAST(((first_doc * 10) // n.n_docs) + 1 AS BIGINT) AS decile,
+           count(*) AS new_words
+    FROM firsts, n GROUP BY 1
+), spine AS (SELECT unnest(generate_series(1, 10)) AS decile)
+SELECT CAST(s.decile AS BIGINT) AS decile,
+       CAST(coalesce(d.new_words, 0) AS BIGINT) AS new_words,
+       CAST(sum(coalesce(d.new_words, 0))
+                OVER (ORDER BY s.decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS vocab_size
+FROM spine s LEFT JOIN deciles d ON s.decile = d.decile
+""",
+)
+def q_llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps'-law audit, pure integers): split
+    the corpus into 10 doc_id deciles and report how many NEVER-SEEN
+    words each decile introduces plus the cumulative vocabulary —
+    the curve a curation run watches to decide whether more data still
+    buys lexical diversity (a flattening curve means dedup/filtering
+    should tighten instead). No regression fit on purpose: the
+    exponent is a float eyeball; the curve itself is exact. Plan: one
+    explode, min-aggregate per word (partial min absorbs stopword
+    heavy-hitters map-side, the paragraph-dedup discipline), a 10-row
+    rollup and a 10-row running sum — the window is over a constant-
+    size frame, so the single-partition sort is free."""
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.agg(F.max("doc_id") + 1).first()[0]  # driver scalar
+    firsts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    deciles = firsts.groupBy(
+        (F.expr(f"(first_doc * 10) div {n_docs}") + 1).cast("bigint").alias("decile")
+    ).agg(F.count("*").alias("new_words"))
+    spine = spark.range(1, 11).select(F.col("id").alias("decile"))
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        spine.join(deciles, "decile", "left")
+        .select(
+            "decile",
+            F.coalesce("new_words", F.lit(0)).alias("new_words"),
+        )
+        .select(
+            "decile",
+            "new_words",
+            F.sum("new_words").over(w).alias("vocab_size"),
+        )
+    )

@@ -180,9 +180,9 @@ def _ewma_sql_terms() -> tuple[str, str]:
 _EWMA_NUM, _EWMA_DEN = _ewma_sql_terms()
 
 
-@register(
-    "q_ts_ewma",
-    oracle=f"""
+# shared with the real-stream twin (streaming/twins.q_stream_ewma),
+# which must produce the IDENTICAL result under incremental evaluation
+EWMA_ORACLE = f"""
 WITH hourly AS (
     SELECT user_id, date_trunc('hour', ts) AS h,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
@@ -196,8 +196,10 @@ SELECT user_id, epoch_us(h) AS hour_us,
        value_c / 100.0 AS hour_value,
        (({_EWMA_NUM}) / ({_EWMA_DEN})) / 100.0 AS ewma_value
 FROM lagged
-""",
-)
+"""
+
+
+@register("q_ts_ewma", oracle=EWMA_ORACLE)
 def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average (α=0.25) of each user's
     hourly value, truncated at 20 lags (<0.4% lost mass): the standard

@@ -447,3 +447,129 @@ def q_stream_alert_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in (src, work, out):
         shutil.rmtree(d, ignore_errors=True)
     return result
+
+
+# --- streaming EWMA: bounded-history carryover --------------------------
+
+def _hourly(batch: DataFrame) -> DataFrame:
+    return batch.groupBy(
+        "user_id", F.expr("(us div 3600000000) * 3600000000").alias("hus")
+    ).agg(F.sum("value_c").alias("value_c"))
+
+
+def run_ewma_stream(spark: SparkSession, src: str, work: str, out: str) -> None:
+    """Drain event splits, emitting each observed hour's truncated EWMA
+    (the q_ts_ewma closed form) incrementally. State = the TRAILING
+    EWMA_LAGS hourly rows per user (bounded history — the exact window
+    a truncated decay needs, O(users·lags) regardless of stream
+    length); split cuts are hour-aligned by the caller so no hour ever
+    straddles a batch. Durable-pointer resumable like the session
+    store."""
+    from ..operators.timeseries import EWMA_LAGS, _EWMA_DEN, _EWMA_NUM
+
+    pointer = os.path.join(work, "_LATEST")
+    if os.path.exists(pointer):
+        with open(pointer) as fh:
+            tail_path = fh.read().strip()
+    else:
+        tail_path = os.path.join(work, "v_init")
+        spark.range(0).select(
+            F.col("id").alias("user_id"),
+            F.col("id").alias("hus"),
+            F.col("id").alias("value_c"),
+        ).write.mode("overwrite").parquet(tail_path)
+        with open(pointer, "w") as fh:
+            fh.write(tail_path)
+    state = {"path": tail_path}
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        new_path = os.path.join(work, f"v{epoch_id}")
+        if new_path == state["path"]:  # replayed epoch
+            return
+        sess = batch_df.sparkSession
+        tail = sess.read.parquet(state["path"]).withColumn("is_new", F.lit(0))
+        combined = tail.unionByName(_hourly(batch_df).withColumn("is_new", F.lit(1)))
+        w = W.partitionBy("user_id").orderBy("hus")
+        lagged = combined.select(
+            "user_id",
+            "hus",
+            "value_c",
+            "is_new",
+            *[
+                F.lag("value_c", j).over(w).alias(f"lag{j}")
+                for j in range(EWMA_LAGS + 1)
+            ],
+        )
+        emitted = lagged.where(F.col("is_new") == 1).select(
+            "user_id",
+            F.col("hus").alias("hour_us"),
+            (F.col("value_c") / 100.0).alias("hour_value"),
+            (F.expr(f"(({_EWMA_NUM}) / ({_EWMA_DEN}))") / 100.0).alias("ewma_value"),
+        )
+        emitted.write.mode("append").parquet(out)
+        # next batch's state: the trailing EWMA_LAGS observed hours/user
+        wd = W.partitionBy("user_id").orderBy(F.desc("hus"))
+        new_tail = (
+            combined.withColumn("rn", F.row_number().over(wd))
+            .where(F.col("rn") <= EWMA_LAGS)
+            .select("user_id", "hus", "value_c")
+        )
+        new_tail.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+        with open(pointer, "w") as fh:  # pointer AFTER data (crash replay)
+            fh.write(new_path)
+
+    q = (
+        spark.readStream.schema("user_id long, us long, value_c long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(work, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _ewma_oracle() -> str:
+    from ..operators.timeseries import EWMA_ORACLE
+
+    return EWMA_ORACLE
+
+
+@register("q_stream_ewma", oracle=_ewma_oracle())
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-stream twin of q_ts_ewma (same oracle): the truncated-decay
+    closed form makes the streaming state BOUNDED — each user's next
+    EWMA needs exactly the trailing EWMA_LAGS observed hours, so the
+    carryover is O(users·lags) no matter how long the stream runs (a
+    recursive float EWMA would need no more state but would be
+    evaluation-order-dependent — the exact trade q_ts_ewma documents).
+    Splits are hour-aligned so no hour straddles a micro-batch; every
+    emitted row must hash-match the batch pass."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
+    )
+    p1, p2 = _ts_tertiles(table(spark, sf_dir, "events"), "ts")
+    h1 = (p1 // 3_600_000_000) * 3_600_000_000
+    h2 = (p2 // 3_600_000_000) * 3_600_000_000
+    us = F.col("us")
+    src, work, out = (
+        _fresh_dir("ewma-src"),
+        _fresh_dir("ewma-work"),
+        _fresh_dir("ewma-out"),
+    )
+    _write_split_files(e, [us < h1, (us >= h1) & (us < h2), us >= h2], src)
+
+    run_ewma_stream(spark, src, work, out)
+    result = tracked_persist(
+        spark.read.schema(
+            "user_id long, hour_us long, hour_value double, ewma_value double"
+        ).parquet(out)
+    )
+    result.count()  # materialize before removing the backing dirs
+    for d in (src, work, out):
+        shutil.rmtree(d, ignore_errors=True)
+    return result
