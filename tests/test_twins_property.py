@@ -173,3 +173,52 @@ def test_alert_stream_resumes_without_duplicate_alerts(spark, tmp_path):
 
     assert got == want
     assert len(got) > 0  # the fixture crosses the threshold by design
+
+
+def test_ewma_stream_resumes_with_bounded_tail(spark, tmp_path):
+    """The EWMA carryover (trailing 20 hourly rows per user) must
+    survive a crash: phase 1 drains two hour-aligned splits, the
+    restart sees one more; every emitted row must equal the fresh
+    single-run emission (which parity already proves == batch)."""
+    import os
+
+    from dynamodb_pitr_restore_cdc_spark.streaming.stream_queries import (
+        _write_one_split,
+    )
+    from dynamodb_pitr_restore_cdc_spark.streaming.twins import run_ewma_stream
+
+    H = 3_600_000_000
+
+    def ev(spark_rows):
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame(spark_rows, columns=["user_id", "us", "value_c"]),
+            schema="user_id long, us long, value_c long",
+        )
+
+    # user 0: 30 consecutive hours crossing both split boundaries (the
+    # lag-20 tail must flow through the carryover twice)
+    rows = [(0, h * H, 100 + h) for h in range(30)] + [(1, 2 * H, 7), (1, 25 * H, 9)]
+    splits = [
+        [r for r in rows if r[1] < 10 * H],
+        [r for r in rows if 10 * H <= r[1] < 20 * H],
+        [r for r in rows if r[1] >= 20 * H],
+    ]
+
+    def run(base, upto, resume_from=None):
+        src, work, out = (str(base / d) for d in ("src", "work", "out"))
+        if resume_from is None:
+            os.makedirs(src)
+        for i in range(resume_from or 0, upto):
+            _write_one_split(ev(splits[i]), src, i)
+        run_ewma_stream(spark, src, work, out)
+        got = spark.read.schema(
+            "user_id long, hour_us long, hour_value double, ewma_value double"
+        ).parquet(out)
+        return sorted(map(tuple, got.collect()))
+
+    run(tmp_path / "tp", 2)                      # phase 1, then "crash"
+    got = run(tmp_path / "tp", 3, resume_from=2)  # restart
+    want = run(tmp_path / "one", 3)               # fresh single run
+    assert got == want and len(got) == 32
