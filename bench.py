@@ -81,6 +81,8 @@ def run_once(spec, spark) -> float:
 
 
 def iqr(values: list[float]) -> float:
+    if len(values) < 2:  # BENCH_RUNS=1: dispersion is undefined, not an error
+        return 0.0
     qs = statistics.quantiles(sorted(values), n=4, method="inclusive")
     return qs[2] - qs[0]
 

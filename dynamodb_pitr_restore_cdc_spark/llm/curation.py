@@ -780,31 +780,49 @@ def q_llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     through byte-identical expression text BEFORE summation, so the
     aggregate is shuffle-order-independent and hash-stable.
 
-    Plan: one explode, lead() within doc for transitions (rides the
-    doc_id partitioning of the explode), two count windows — (w1,w2)
-    then w1, stopword heavy-hitters absorbed by AQE skew handling as
-    in the unigram/rarity shapes — then the doc rollup."""
+    Plan (skew-safe by the paragraph-dedup rule — a count window over
+    a hot w1 cannot be split, so NO windows over word keys): bigrams
+    from a map-side transform comprehension (no lead window — the
+    transition list is in-row), pre-aggregated to (doc, w1, w2,
+    multiplicity) grain, then c2 = Σm per bigram and c1 = Σc2 per w1
+    — BOTH two-phase hash aggregates whose partial step pre-reduces
+    stopword heavy-hitters map-side — joined back (equi-shaped, AQE
+    skew-splittable) and rolled up per doc; each occurrence
+    contributes m × the quantized term."""
     d = table(spark, sf_dir, "documents")
-    w = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w1")
-    )
-    bi = (
-        w.withColumn(
-            "w2", F.lead("w1").over(W.partitionBy("doc_id").orderBy("pos"))
-        )
-        .where(F.col("w2").isNotNull())
-        .select("doc_id", "w1", "w2")
-    )
-    c = bi.select(
+    bi = d.select(
         "doc_id",
-        F.count("*").over(W.partitionBy("w1", "w2")).alias("c2"),
-        F.count("*").over(W.partitionBy("w1")).alias("c1"),
+        F.explode(
+            # size guard first: sequence(1, 0) yields [1, 0] (descending),
+            # not empty — the CLAUDE.md comprehension gotcha
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) < 2 THEN"
+                " CAST(array() AS array<struct<w1: string, w2: string>>)"
+                " ELSE transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> struct(element_at(split(text, ' '), i) AS w1,"
+                "             element_at(split(text, ' '), i + 1) AS w2)) END"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    # (doc, bigram) multiplicities: referenced by the count chain AND
+    # the scoring join (no cross-branch CSE)
+    g = tracked_persist(
+        bi.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("m"))
     )
-    s = c.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"),
-        F.sum(
-            F.expr("CAST(floor((- ln(c2 / c1)) * 1e6 + 0.5) AS BIGINT)")
-        ).alias("nll_u"),
+    c2 = tracked_persist(
+        g.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
+    )  # feeds c1 AND the scoring join
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    s = (
+        g.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            F.sum(
+                F.expr("m * CAST(floor((- ln(c2 / c1)) * 1e6 + 0.5) AS BIGINT)")
+            ).alias("nll_u"),
+        )
     )
     return s.select(
         "doc_id",

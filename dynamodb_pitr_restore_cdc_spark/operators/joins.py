@@ -195,6 +195,47 @@ def q_join_cross_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.crossJoin(n).select("r_name", "n_name")
 
 
+def asof_carried(e: DataFrame) -> DataFrame:
+    """The union-trick as-of core shared by q_join_asof and
+    q_join_asof_tolerance: tag signup refs and purchase probes, sort
+    within user by (tsu, side) — side orders reference rows before
+    probes at equal ts so `<=` semantics hold — and carry the LAST
+    REFERENCE ROW forward as one struct. Carrying the whole (tsu,
+    value) struct, not the value alone, matches ASOF-join semantics
+    exactly: the newest at-or-before signup wins even when its value
+    is NULL (two independent ignorenulls carries would pair an older
+    value with a newer timestamp). One shuffle on the key, one sort,
+    one pass: O((n+m) log) per partition, vs O(n·m) for a range join.
+    Returns the probe rows with `asof` (struct tsu/ref_value) set."""
+    probes = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.unix_micros("ts").alias("tsu"),
+        F.lit(None).cast("double").alias("ref_value"),
+        F.lit(1).alias("is_probe"),
+        F.col("event_id"),
+    )
+    refs = e.where(F.col("event_type") == "signup").select(
+        F.col("user_id"),
+        F.unix_micros("ts").alias("tsu"),
+        F.col("value").alias("ref_value"),
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    tagged = refs.unionByName(probes)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("tsu", "is_probe")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ref_row = F.when(
+        F.col("is_probe") == 0, F.struct(F.col("tsu"), F.col("ref_value"))
+    )
+    return (
+        tagged.withColumn("asof", F.last(ref_row, ignorenulls=True).over(w))
+        .where(F.col("is_probe") == 1)
+    )
+
+
 @register(
     "q_join_asof",
     oracle="""
@@ -209,43 +250,12 @@ FROM p ASOF LEFT JOIN s
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (Spark has no native one): for each purchase event, the
     value of that user's latest signup at-or-before the purchase.
-
-    Union-trick implementation: tag both sides, sort within key by
-    (ts, side) — side orders reference rows before probes at equal ts so
-    `<=` semantics hold — and carry the last non-null reference value
-    forward with an unbounded-preceding window. One shuffle on the key,
-    one sort, one pass: O((n+m) log) per partition at any scale, vs the
-    O(n·m) of a range join. DuckDB's native ASOF JOIN is the oracle.
-    """
-    e = table(spark, sf_dir, "events")
-    probes = e.where(F.col("event_type") == "purchase").select(
-        F.col("user_id"),
-        F.col("ts"),
-        F.lit(None).cast("double").alias("ref_value"),
-        F.lit(1).alias("is_probe"),
-        F.col("event_id"),
-    )
-    refs = e.where(F.col("event_type") == "signup").select(
-        F.col("user_id"),
-        F.col("ts"),
-        F.col("value").alias("ref_value"),
-        F.lit(0).alias("is_probe"),
-        F.lit(None).cast("long").alias("event_id"),
-    )
-    tagged = refs.unionByName(probes)
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "is_probe")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return (
-        tagged.withColumn("asof_val", F.last("ref_value", ignorenulls=True).over(w))
-        .where(F.col("is_probe") == 1)
-        .select(
-            "event_id",
-            "user_id",
-            F.round("asof_val", 2).alias("last_signup_value"),
-        )
+    Core in asof_carried(); DuckDB's native ASOF JOIN is the oracle."""
+    carried = asof_carried(table(spark, sf_dir, "events"))
+    return carried.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("asof.ref_value"), 2).alias("last_signup_value"),
     )
 
 
@@ -304,44 +314,20 @@ FROM p ASOF LEFT JOIN s
 def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join with a STALENESS TOLERANCE — the production variant
     (pandas merge_asof's `tolerance`, kdb wj bounds): a reference match
-    older than 7 days is treated as no match. Same union-trick single
-    sort/shuffle as q_join_asof (the tolerance is a post-window filter
-    on the carried match timestamp, never a range join), so the cost is
+    older than 7 days is treated as no match. Same single-sort core as
+    q_join_asof (asof_carried — the tolerance is a post-window filter
+    on the carried match struct, never a range join), so the cost is
     unchanged at any scale; DuckDB's native ASOF JOIN + post-filter is
     the oracle."""
-    e = table(spark, sf_dir, "events")
-    probes = e.where(F.col("event_type") == "purchase").select(
-        F.col("user_id"),
-        F.col("ts"),
-        F.lit(None).cast("double").alias("ref_value"),
-        F.lit(1).alias("is_probe"),
-        F.col("event_id"),
-    )
-    refs = e.where(F.col("event_type") == "signup").select(
-        F.col("user_id"),
-        F.col("ts"),
-        F.col("value").alias("ref_value"),
-        F.lit(0).alias("is_probe"),
-        F.lit(None).cast("long").alias("event_id"),
-    )
-    tagged = refs.unionByName(probes).withColumn("tsu", F.unix_micros("ts"))
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("tsu", "is_probe")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    ref_tsu = F.when(F.col("is_probe") == 0, F.col("tsu"))
-    carried = tagged.select(
-        "*",
-        F.last("ref_value", ignorenulls=True).over(w).alias("asof_val"),
-        F.last(ref_tsu, ignorenulls=True).over(w).alias("asof_tsu"),
-    )
-    fresh = F.col("tsu") - F.col("asof_tsu") <= ASOF_TOLERANCE_US
-    return carried.where(F.col("is_probe") == 1).select(
+    carried = asof_carried(table(spark, sf_dir, "events"))
+    fresh = F.col("tsu") - F.col("asof.tsu") <= ASOF_TOLERANCE_US
+    return carried.select(
         "event_id",
         "user_id",
-        F.when(fresh, F.round("asof_val", 2)).alias("last_signup_value"),
-        F.when(fresh, F.expr("(tsu - asof_tsu) div 3600000000")).alias(
+        F.when(fresh, F.round(F.col("asof.ref_value"), 2)).alias(
+            "last_signup_value"
+        ),
+        F.when(fresh, F.expr("(tsu - asof.tsu) div 3600000000")).alias(
             "staleness_hours"
         ),
     )

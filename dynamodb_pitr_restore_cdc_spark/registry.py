@@ -251,6 +251,9 @@ _REVERIFY_R06: frozenset[str] = frozenset(
         "q_stream_watermark_late",
         # round-6 skew rewrite: window-min → partial-agg + join
         "q_llm_paragraph_dedup",
+        # round-6 review fixes: struct-carried as-of match (NULL-value
+        # consistency with the ASOF oracle) and the linearized tfidf
+        "q_join_asof",
     }
 )
 

@@ -35,6 +35,7 @@ in a finally, per the streaming invariants.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -270,53 +271,47 @@ def q_stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 ALERT_DELTA_C = 20_000   # |value delta| in cents that makes a change an alert
 PAGE_DELTA_C = 30_000    # escalation threshold: page instead of digest
 
-_FOLD = """
-    SELECT key, seq_no AS last_seq, payload_value
-    FROM (
-        SELECT key, seq_no, op, payload_value,
-               row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
-        FROM changelog{pred}
-    ) WHERE rn = 1 AND op <> 'REMOVE'
-"""
-
-_DIFF = """
-    SELECT COALESCE(a.key, b.key) AS key,
-           CASE WHEN a.key IS NULL THEN 'INSERT'
-                WHEN b.key IS NULL THEN 'DELETE'
-                ELSE 'UPDATE' END AS change_type,
-           COALESCE(b.last_seq, a.last_seq) AS last_seq,
-           COALESCE(CAST(round(b.payload_value * 100) AS BIGINT), 0)
-           - COALESCE(CAST(round(a.payload_value * 100) AS BIGINT), 0) AS delta_c,
-           CAST({batch} AS BIGINT) AS batch_no
-    FROM {frm} a FULL JOIN {to} b ON a.key = b.key
-    WHERE a.key IS NULL OR b.key IS NULL OR a.last_seq <> b.last_seq
-"""
-
-
 def _alert_routing_oracle() -> str:
+    """Three commit transitions replayed as fold diffs, built from the
+    versioned sink's shared FOLD_SQL / DIFF_SQL templates — the feed
+    semantics live in ONE text (see versioned_sink._CHANGEFEED_CTES)."""
     from ..operators.cdc import with_changelog
+    from .versioned_sink import DIFF_SQL, FOLD_SQL
+
+    def diff(i: int) -> str:
+        return DIFF_SQL.format(
+            frm=f"s{i - 1}",
+            to=f"s{i}",
+            extra=f",\n           CAST({i} AS BIGINT) AS batch_no",
+        )
 
     ctes = [
         ", cuts AS (SELECT CAST(floor(quantile_cont(seq_no, 0.3333)) AS BIGINT) AS c1,"
         " CAST(floor(quantile_cont(seq_no, 0.6667)) AS BIGINT) AS c2 FROM changelog)",
-        ", s0 AS (SELECT * FROM (" + _FOLD.format(pred="") + ") WHERE FALSE)",
-        ", s1 AS (" + _FOLD.format(pred=" WHERE seq_no <= (SELECT c1 FROM cuts)") + ")",
-        ", s2 AS (" + _FOLD.format(pred=" WHERE seq_no <= (SELECT c2 FROM cuts)") + ")",
-        ", s3 AS (" + _FOLD.format(pred="") + ")",
-        ", d AS ("
-        + " UNION ALL ".join(
-            _DIFF.format(batch=i, frm=f"s{i - 1}", to=f"s{i}") for i in (1, 2, 3)
-        )
+        ", s0 AS (SELECT * FROM (" + FOLD_SQL.format(pred="") + ") WHERE FALSE)",
+        ", s1 AS ("
+        + FOLD_SQL.format(pred=" WHERE seq_no <= (SELECT c1 FROM cuts)")
         + ")",
+        ", s2 AS ("
+        + FOLD_SQL.format(pred=" WHERE seq_no <= (SELECT c2 FROM cuts)")
+        + ")",
+        ", s3 AS (" + FOLD_SQL.format(pred="") + ")",
+        ", d AS (" + " UNION ALL ".join(diff(i) for i in (1, 2, 3)) + ")",
     ]
     return with_changelog(
         "".join(ctes)
         + f"""
+, scored AS (
+    SELECT batch_no, key, change_type, last_seq,
+           COALESCE(CAST(round(payload_value * 100) AS BIGINT), 0)
+           - COALESCE(CAST(round(payload_value_old * 100) AS BIGINT), 0) AS delta_c
+    FROM d
+)
 SELECT batch_no, key, change_type, last_seq, delta_c / 100.0 AS delta_value,
        CASE WHEN abs(delta_c) >= {PAGE_DELTA_C} THEN 'sink_pager'
             WHEN change_type = 'DELETE' THEN 'sink_audit'
             ELSE 'sink_digest' END AS destination
-FROM d
+FROM scored
 WHERE abs(delta_c) >= {ALERT_DELTA_C} OR change_type = 'DELETE'
 """
     )
@@ -330,10 +325,21 @@ def run_alert_stream(spark: SparkSession, src: str, work: str, out: str) -> None
     versioned table under `work`, routing per-commit changefeed alerts
     into per-destination directories under `out`.
 
-    Resumable: the sink's pointer is durable, so a restarted run diffs
-    from the last COMMITTED version — the checkpoint skips processed
-    files and already-routed alerts are never re-sent (two-phase test
-    in tests/test_twins_property.py)."""
+    Crash-safe at EVERY boundary, not just between epochs, via a
+    durable per-epoch marker chain (work/epochs/{e}.json holding the
+    transition's (v_from, v_to)):
+
+    - v_from for epoch e comes from the CHAIN (previous marker's
+      v_to), never from the sink's live pointer — so a phantom commit
+      (crash after apply_batch, before the marker write; the replayed
+      epoch commits the same rows again under a new version) is
+      absorbed: the seq-guarded merge makes the phantom and real
+      commits byte-identical, and the chain diff spans both.
+    - batch_no is epoch-derived (e + 1), so phantom versions never
+      shift the numbering the oracle expects.
+    - routing writes go to out/{dest}/e{e} with OVERWRITE — a crash
+      mid-routing replays into the same directories idempotently.
+    Two-phase test in tests/test_twins_property.py."""
     from .versioned_sink import VersionedCdcSink
 
     sink = VersionedCdcSink(spark, os.path.join(work, "table"))
@@ -342,15 +348,38 @@ def run_alert_stream(spark: SparkSession, src: str, work: str, out: str) -> None
             "id AS key", "id AS last_seq", "CAST(NULL AS DOUBLE) AS payload_value"
         )
         sink.init(empty)  # v1: empty table
-    state = {"v": sink.latest_version()}
-    dests = ALERT_DESTS
+    epochs_dir = os.path.join(work, "epochs")
+    os.makedirs(epochs_dir, exist_ok=True)
+
+    def _marker(e: int) -> str:
+        return os.path.join(epochs_dir, f"{e}.json")
+
+    def _chain_tail(before: int) -> int:
+        """v_to of the latest marked epoch < `before`, else the init
+        version — the durable transition chain's view of 'previous'."""
+        done = sorted(
+            int(f[:-5]) for f in os.listdir(epochs_dir) if f.endswith(".json")
+        )
+        prior = [e for e in done if e < before]
+        if not prior:
+            return 1
+        with open(_marker(prior[-1])) as fh:
+            return json.loads(fh.read())["v_to"]
 
     def alert_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        sink.apply_batch(batch_df)
-        v_new = sink.latest_version()
-        if v_new == state["v"]:  # replayed epoch: commit was a no-op
-            return
-        feed = sink.changes_between(state["v"], v_new)
+        if os.path.exists(_marker(epoch_id)):
+            # crash happened DURING routing: commit + marker landed,
+            # re-route the recorded transition (overwrite = idempotent)
+            with open(_marker(epoch_id)) as fh:
+                m = json.loads(fh.read())
+            v_from, v_to = m["v_from"], m["v_to"]
+        else:
+            v_from = _chain_tail(epoch_id)
+            sink.apply_batch(batch_df)
+            v_to = sink.latest_version()
+            with open(_marker(epoch_id), "w") as fh:
+                fh.write(json.dumps({"v_from": v_from, "v_to": v_to}))
+        feed = sink.changes_between(v_from, v_to)
         delta_c = F.coalesce(
             F.round(F.col("payload_value") * 100).cast("bigint"), F.lit(0)
         ) - F.coalesce(
@@ -363,7 +392,7 @@ def run_alert_stream(spark: SparkSession, src: str, work: str, out: str) -> None
                 | (F.col("change_type") == "DELETE")
             )
             .select(
-                F.lit(v_new - 1).cast("bigint").alias("batch_no"),
+                F.lit(epoch_id + 1).cast("bigint").alias("batch_no"),
                 "key",
                 "change_type",
                 "last_seq",
@@ -376,14 +405,13 @@ def run_alert_stream(spark: SparkSession, src: str, work: str, out: str) -> None
             # referenced once per destination below — materialize once
             .localCheckpoint(eager=True)
         )
-        for dest in dests:  # late-bound sink: path chosen per row, per batch
+        for dest in ALERT_DESTS:  # late-bound sink: path chosen per row
             (
                 alerts.where(F.col("destination") == dest)
                 .drop("destination")
-                .write.mode("append")
-                .parquet(os.path.join(out, dest))
+                .write.mode("overwrite")
+                .parquet(os.path.join(out, dest, f"e{epoch_id}"))
             )
-        state["v"] = v_new
 
     q = (
         spark.readStream.schema(
@@ -401,15 +429,35 @@ def run_alert_stream(spark: SparkSession, src: str, work: str, out: str) -> None
 
 def read_routed_alerts(spark: SparkSession, out: str) -> DataFrame:
     """Union the per-destination alert directories back into one frame
-    (destination re-attached from the path — the late-binding inverse)."""
+    (destination re-attached from the path — the late-binding inverse).
+    A run whose feed produced zero alerts leaves no directories at all:
+    return an empty typed frame, not an error."""
     schema = "batch_no long, key long, change_type string, last_seq long, delta_value double"
-    parts = [
-        spark.read.schema(schema).parquet(os.path.join(out, dest)).withColumn(
-            "destination", F.lit(dest)
+    parts = []
+    for dest in ALERT_DESTS:
+        droot = os.path.join(out, dest)
+        if not os.path.isdir(droot):
+            continue
+        epoch_dirs = [
+            os.path.join(droot, e) for e in sorted(os.listdir(droot))
+            if e.startswith("e")
+        ]
+        if not epoch_dirs:
+            continue
+        parts.append(
+            spark.read.schema(schema)
+            .parquet(*epoch_dirs)
+            .withColumn("destination", F.lit(dest))
         )
-        for dest in ALERT_DESTS
-        if os.path.isdir(os.path.join(out, dest))
-    ]
+    if not parts:
+        return (
+            spark.range(0)
+            .selectExpr(
+                "id AS batch_no", "id AS key", "CAST(NULL AS STRING) AS change_type",
+                "id AS last_seq", "CAST(NULL AS DOUBLE) AS delta_value",
+                "CAST(NULL AS STRING) AS destination",
+            )
+        )
     acc = parts[0]
     for p in parts[1:]:
         acc = acc.unionByName(p)
@@ -506,7 +554,10 @@ def run_ewma_stream(spark: SparkSession, src: str, work: str, out: str) -> None:
             (F.col("value_c") / 100.0).alias("hour_value"),
             (F.expr(f"(({_EWMA_NUM}) / ({_EWMA_DEN}))") / 100.0).alias("ewma_value"),
         )
-        emitted.write.mode("append").parquet(out)
+        # per-epoch OVERWRITE, never a shared append: a crash between
+        # this write and the pointer write replays the epoch, which
+        # must overwrite its own output rather than duplicate it
+        emitted.write.mode("overwrite").parquet(os.path.join(out, f"e{epoch_id}"))
         # next batch's state: the trailing EWMA_LAGS observed hours/user
         wd = W.partitionBy("user_id").orderBy(F.desc("hus"))
         new_tail = (
@@ -529,6 +580,23 @@ def run_ewma_stream(spark: SparkSession, src: str, work: str, out: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def read_emitted_ewma(spark: SparkSession, out: str) -> DataFrame:
+    """Union the per-epoch EWMA emission directories (empty run -> empty
+    typed frame)."""
+    schema = "user_id long, hour_us long, hour_value double, ewma_value double"
+    epoch_dirs = [
+        os.path.join(out, e)
+        for e in sorted(os.listdir(out)) if e.startswith("e")
+    ] if os.path.isdir(out) else []
+    if not epoch_dirs:
+        return spark.range(0).selectExpr(
+            "id AS user_id", "id AS hour_us",
+            "CAST(NULL AS DOUBLE) AS hour_value",
+            "CAST(NULL AS DOUBLE) AS ewma_value",
+        )
+    return spark.read.schema(schema).parquet(*epoch_dirs)
 
 
 def _ewma_oracle() -> str:
@@ -564,11 +632,7 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     _write_split_files(e, [us < h1, (us >= h1) & (us < h2), us >= h2], src)
 
     run_ewma_stream(spark, src, work, out)
-    result = tracked_persist(
-        spark.read.schema(
-            "user_id long, hour_us long, hour_value double, ewma_value double"
-        ).parquet(out)
-    )
+    result = tracked_persist(read_emitted_ewma(spark, out))
     result.count()  # materialize before removing the backing dirs
     for d in (src, work, out):
         shutil.rmtree(d, ignore_errors=True)

@@ -1115,36 +1115,44 @@ def _changes_between(sink: VersionedCdcSink, v_from: int, v_to: int) -> DataFram
 # `b` = latest state, `feed` = the classified per-key diff. Shared by
 # q_cdc_changefeed and the alerting capstone so the feed semantics are
 # asserted from one text.
-_CHANGEFEED_CTES = """
-, a AS (
+# The fold (changelog prefix -> visible state) and diff (two states ->
+# classified changefeed) as parameterized SQL templates — THE single
+# source of feed semantics for every oracle that replays commit
+# transitions (q_cdc_changefeed, q_cdc_alerting here;
+# q_stream_alert_routing in streaming/twins.py). One text: a future
+# semantics change cannot silently diverge between them.
+FOLD_SQL = """
     SELECT key, seq_no AS last_seq, payload_value
     FROM (
         SELECT key, seq_no, op, payload_value,
                row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
-        FROM changelog
-        WHERE seq_no <= (SELECT (2 * max(seq_no)) // 3 FROM changelog)
+        FROM changelog{pred}
     ) WHERE rn = 1 AND op <> 'REMOVE'
-),
-b AS (
-    SELECT key, seq_no AS last_seq, payload_value
-    FROM (
-        SELECT key, seq_no, op, payload_value,
-               row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
-        FROM changelog
-    ) WHERE rn = 1 AND op <> 'REMOVE'
-),
-feed AS (
+"""
+
+DIFF_SQL = """
     SELECT COALESCE(a.key, b.key) AS key,
            CASE WHEN a.key IS NULL THEN 'INSERT'
                 WHEN b.key IS NULL THEN 'DELETE'
                 ELSE 'UPDATE' END AS change_type,
            COALESCE(b.last_seq, a.last_seq) AS last_seq,
            b.payload_value AS payload_value,
-           a.payload_value AS payload_value_old
-    FROM a FULL JOIN b ON a.key = b.key
+           a.payload_value AS payload_value_old{extra}
+    FROM {frm} a FULL JOIN {to} b ON a.key = b.key
     WHERE a.key IS NULL OR b.key IS NULL OR a.last_seq <> b.last_seq
-)
 """
+
+_CHANGEFEED_CTES = (
+    ", a AS ("
+    + FOLD_SQL.format(
+        pred="\n        WHERE seq_no <= (SELECT (2 * max(seq_no)) // 3 FROM changelog)"
+    )
+    + "),\nb AS ("
+    + FOLD_SQL.format(pred="")
+    + "),\nfeed AS ("
+    + DIFF_SQL.format(frm="a", to="b", extra="")
+    + ")\n"
+)
 
 
 @register(

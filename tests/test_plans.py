@@ -633,10 +633,12 @@ def test_round6_additions_plan_shapes(plans):
     assert _n_nodes(p, "Window") == 1 and "EvalPython" not in p
     assert "Join" not in p  # the tolerance is a filter, never a range join
 
-    # bigram LM: explode + lead + two count windows + rollup, all JVM
+    # bigram LM: in-row transition comprehension + two-phase aggregates
+    # + equi-joins — NO window over a word key (unsplittable under a
+    # stopword heavy-hitter; the paragraph-dedup skew rule)
     p = plans("q_llm_bigram_logprob")
-    assert "EvalPython" not in p
-    assert p.count("HashAggregate") >= 2  # partial+final doc rollup
+    assert "EvalPython" not in p and "Window" not in p
+    assert p.count("HashAggregate") >= 2  # partial+final everywhere
 
     # ANN recall: both top-5 sides are TakeOrdered over broadcast
     # probes — no global sort, no cartesian

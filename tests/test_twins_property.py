@@ -185,7 +185,10 @@ def test_ewma_stream_resumes_with_bounded_tail(spark, tmp_path):
     from dynamodb_pitr_restore_cdc_spark.streaming.stream_queries import (
         _write_one_split,
     )
-    from dynamodb_pitr_restore_cdc_spark.streaming.twins import run_ewma_stream
+    from dynamodb_pitr_restore_cdc_spark.streaming.twins import (
+        read_emitted_ewma,
+        run_ewma_stream,
+    )
 
     H = 3_600_000_000
 
@@ -213,12 +216,71 @@ def test_ewma_stream_resumes_with_bounded_tail(spark, tmp_path):
         for i in range(resume_from or 0, upto):
             _write_one_split(ev(splits[i]), src, i)
         run_ewma_stream(spark, src, work, out)
-        got = spark.read.schema(
-            "user_id long, hour_us long, hour_value double, ewma_value double"
-        ).parquet(out)
-        return sorted(map(tuple, got.collect()))
+        return sorted(map(tuple, read_emitted_ewma(spark, out).collect()))
 
     run(tmp_path / "tp", 2)                      # phase 1, then "crash"
     got = run(tmp_path / "tp", 3, resume_from=2)  # restart
     want = run(tmp_path / "one", 3)               # fresh single run
     assert got == want and len(got) == 32
+
+
+def test_alert_stream_absorbs_phantom_commit(spark, tmp_path):
+    """The crash window the marker chain exists for: the process dies
+    AFTER sink.apply_batch commits an epoch's version but BEFORE the
+    epoch marker lands. The restarted stream replays the epoch and
+    commits the same rows AGAIN (a phantom version — the seq-guarded
+    merge makes both commits byte-identical); the chain diff must span
+    phantom + real so the transition's alerts are emitted exactly once
+    with the epoch-derived batch_no."""
+    import os
+
+    import pandas as pd
+
+    from dynamodb_pitr_restore_cdc_spark.streaming.stream_queries import (
+        _write_one_split,
+    )
+    from dynamodb_pitr_restore_cdc_spark.streaming.twins import (
+        ALERT_DELTA_C,
+        read_routed_alerts,
+        run_alert_stream,
+    )
+    from dynamodb_pitr_restore_cdc_spark.streaming.versioned_sink import (
+        VersionedCdcSink,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["seq_no", "op", "key", "payload_value"]),
+            schema="seq_no long, op string, key long, payload_value double",
+        )
+
+    big = (ALERT_DELTA_C + 100) / 100.0
+    splits = [
+        [(1, "INSERT", 1, big)],
+        [(2, "MODIFY", 1, 2 * big), (3, "INSERT", 2, 1.0)],
+        [(4, "REMOVE", 2, None), (5, "INSERT", 3, big)],
+    ]
+
+    def routed(base, upto, resume_from=None):
+        src, work, out = (str(base / d) for d in ("src", "work", "out"))
+        if resume_from is None:
+            os.makedirs(src)
+        for i in range(resume_from or 0, upto):
+            _write_one_split(batch(splits[i]), src, i)
+        run_alert_stream(spark, src, work, out)
+        return sorted(
+            (r.batch_no, r.key, r.change_type, r.delta_value, r.destination)
+            for r in read_routed_alerts(spark, out).collect()
+        )
+
+    base = tmp_path / "ph"
+    routed(base, 2)  # epochs 0-1 complete cleanly
+    # the simulated crash: split 2's batch committed, marker never written
+    sink = VersionedCdcSink(spark, str(base / "work" / "table"))
+    v_before = sink.latest_version()
+    sink.apply_batch(batch(splits[2]))
+    assert sink.latest_version() == v_before + 1  # the phantom is real
+
+    got = routed(base, 3, resume_from=2)  # restart replays epoch 2
+    want = routed(tmp_path / "one", 3)    # clean single run
+    assert got == want and len(got) > 0
