@@ -238,9 +238,10 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_ts_cusum_changepoint",
-    oracle="""
+# shared with the real-stream twin (streaming/twins.q_stream_cusum),
+# which must locate the IDENTICAL change point under incremental
+# evaluation (two-phase: final stats, then a prefix-carryover scan)
+CUSUM_ORACLE = """
 WITH v AS (
     SELECT user_id, ts, event_id,
            CAST(round(value * 100) AS BIGINT) AS vc
@@ -269,8 +270,10 @@ SELECT user_id,
        CAST(n AS BIGINT) AS n_events,
        (dev / n) / 100.0 AS peak_dev
 FROM ranked WHERE pick = 1
-""",
-)
+"""
+
+
+@register("q_ts_cusum_changepoint", oracle=CUSUM_ORACLE)
 def q_ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point detection per user: the point where the
     cumulative deviation from the user's own mean peaks — the standard

@@ -637,3 +637,171 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in (src, work, out):
         shutil.rmtree(d, ignore_errors=True)
     return result
+
+
+# --- streaming CUSUM: prefix-carryover change-point scan -------------------
+
+def run_cusum_stream(spark: SparkSession, src: str, work: str, stats_path: str) -> str:
+    """Drain time-ordered event splits in `src`, maintaining per user a
+    running CUSUM change-point candidate against the FINAL statistics
+    at `stats_path` (user_id, n, s1 — the phase-1 output); returns the
+    final candidate-store path.
+
+    The retrospective CUSUM peak argmaxₜ |n·csumₜ − t·s1| needs final
+    (n, s1), so at scale this is inherently two passes: a stats pass
+    (the O(users)-state complete-mode aggregate q_stream_anomaly_zscore
+    demonstrates live) and THIS scoring pass, whose state is also
+    O(users): per user the prefix tail (events-so-far t, prefix sum
+    csum) plus the best candidate struct so far. The per-batch fold is
+    associative — each batch contributes min(struct(-dev, rn, ts)) over
+    its rows, merged into the store with least() — so the final store
+    equals the batch argmin no matter how the stream was split.
+    Durable-pointer resumable like the session store (pointer written
+    AFTER data; a replayed epoch overwrites its own version
+    idempotently from the prior committed store)."""
+    pointer = os.path.join(work, "_LATEST")
+    if os.path.exists(pointer):
+        with open(pointer) as fh:
+            store_path = fh.read().strip()
+    else:
+        store_path = os.path.join(work, "v_init")
+        spark.range(0).selectExpr(
+            "id AS user_id",
+            "id AS t",
+            "id AS csum",
+            "CAST(NULL AS STRUCT<negdev: BIGINT, rn: BIGINT, ts_us: BIGINT>) AS best",
+        ).write.mode("overwrite").parquet(store_path)
+        with open(pointer, "w") as fh:
+            fh.write(store_path)
+    state = {"path": store_path}
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        new_path = os.path.join(work, f"v{epoch_id}")
+        if new_path == state["path"]:  # replayed epoch
+            return
+        sess = batch_df.sparkSession
+        store = sess.read.parquet(state["path"])
+        stats = sess.read.parquet(stats_path)
+        w = W.partitionBy("user_id").orderBy("us", "event_id")
+        wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        scored = (
+            batch_df.select(
+                "user_id",
+                "us",
+                "vc",
+                F.row_number().over(w).alias("rn_b"),
+                F.sum("vc").over(wrun).alias("csum_b"),
+            )
+            # carry join: the store is a materialized O(users) parquet,
+            # so reading it here and again in the merge below is two
+            # cheap scans, not a recomputed plan branch
+            .join(store.select("user_id", "t", "csum"), "user_id", "left")
+            .join(F.broadcast(stats), "user_id")
+            .select(
+                "user_id",
+                "us",
+                (F.coalesce("t", F.lit(0)) + F.col("rn_b")).alias("rn"),
+                (F.coalesce("csum", F.lit(0)) + F.col("csum_b")).alias("cs"),
+                "n",
+                "s1",
+            )
+        )
+        summary = scored.select(
+            "user_id",
+            "rn",
+            "cs",
+            "us",
+            F.abs(F.expr("n * cs - rn * s1")).alias("dev"),
+        ).groupBy("user_id").agg(
+            # batch candidate: largest deviation, earliest index on ties
+            # (rn is unique per user, so the struct order is total and
+            # ts_us rides as payload)
+            F.min(
+                F.struct((-F.col("dev")).alias("negdev"), "rn", F.col("us").alias("ts_us"))
+            ).alias("cand"),
+            # prefix tail after this batch: rn/cs at the last row
+            F.max(F.struct("rn", "cs")).alias("tail"),
+        )
+        merged = (
+            store.join(summary, "user_id", "full")
+            .select(
+                "user_id",
+                F.coalesce(F.col("tail.rn"), F.col("t")).alias("t"),
+                F.coalesce(F.col("tail.cs"), F.col("csum")).alias("csum"),
+                # least() skips NULLs: untouched users keep their best,
+                # new users adopt the batch candidate
+                F.least("best", "cand").alias("best"),
+            )
+        )
+        merged.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+        with open(pointer, "w") as fh:  # pointer AFTER data (crash replay)
+            fh.write(new_path)
+
+    q = (
+        spark.readStream.schema("user_id long, event_id long, us long, vc long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(work, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state["path"]
+
+
+def read_cusum_store(spark: SparkSession, store_path: str, stats_path: str) -> DataFrame:
+    """Final candidate store + final stats → the batch-twin output shape
+    (every user with events has a best candidate by construction)."""
+    store = spark.read.parquet(store_path)
+    stats = spark.read.parquet(stats_path)
+    return store.join(F.broadcast(stats), "user_id").select(
+        "user_id",
+        F.col("best.ts_us").alias("cp_ts_us"),
+        F.col("best.rn").cast("bigint").alias("cp_index"),
+        F.col("n").cast("bigint").alias("n_events"),
+        (F.expr("(-best.negdev) / n") / 100.0).alias("peak_dev"),
+    )
+
+
+def _cusum_oracle() -> str:
+    from ..operators.timeseries import CUSUM_ORACLE
+
+    return CUSUM_ORACLE
+
+
+@register("q_stream_cusum", oracle=_cusum_oracle())
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-stream twin of q_ts_cusum_changepoint (same oracle): the
+    retrospective change point falls out of two O(users)-state passes —
+    final exact moments (n, Σv; the stats half of the two-phase shape,
+    run live in q_stream_anomaly_zscore, computed as one batch
+    aggregate here), then a streamed prefix-carryover scan that scores
+    each event's exact integer deviation |n·csumₜ − t·s1| as it
+    arrives and folds the per-batch argmin candidate into a durable
+    store (run_cusum_stream). Nothing per-event is ever retained:
+    state is (t, csum, best) per user, so the scan would run
+    unchanged over a 100 TB event log. The emitted peak must equal the
+    batch window pass bit-for-bit."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    p1, p2 = _ts_tertiles(table(spark, sf_dir, "events"), "ts")
+    us = F.col("us")
+    src, work = _fresh_dir("cusum-src"), _fresh_dir("cusum-work")
+    _write_split_files(e, [us <= p1, (us > p1) & (us <= p2), us > p2], src)
+    stats_path = os.path.join(work, "stats")
+    e.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("vc").alias("s1")
+    ).write.mode("overwrite").parquet(stats_path)
+
+    final = run_cusum_stream(spark, src, work, stats_path)
+    result = tracked_persist(read_cusum_store(spark, final, stats_path))
+    result.count()  # materialize before removing the backing dirs
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return result

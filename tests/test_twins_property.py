@@ -284,3 +284,61 @@ def test_alert_stream_absorbs_phantom_commit(spark, tmp_path):
     got = routed(base, 3, resume_from=2)  # restart replays epoch 2
     want = routed(tmp_path / "one", 3)    # clean single run
     assert got == want and len(got) > 0
+
+
+def test_cusum_stream_resumes_from_committed_store(spark, tmp_path):
+    """The CUSUM carryover (prefix tail + best candidate per user) must
+    survive a crash: phase 1 drains two splits, the restart sees one
+    more; the final change point must equal the fresh single-run answer
+    (which parity already proves == the batch window pass). The fixture
+    plants the peak deviation in the FIRST split so the resumed run can
+    only get it right by reading the committed store, not by rescoring
+    what it sees after the restart."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dynamodb_pitr_restore_cdc_spark.streaming.stream_queries import (
+        _write_one_split,
+    )
+    from dynamodb_pitr_restore_cdc_spark.streaming.twins import (
+        read_cusum_store,
+        run_cusum_stream,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "event_id", "us", "vc"]),
+            schema="user_id long, event_id long, us long, vc long",
+        )
+
+    # user 0: level shift after event 3 (peak dev at rn=3, in split 0);
+    # user 1: drifts late (peak in split 2) — both directions exercised
+    rows = [(0, i, i * 1_000_000, 100 if i <= 3 else 900) for i in range(1, 10)]
+    rows += [(1, 100 + i, i * 1_000_000, 500 if i <= 6 else 50) for i in range(1, 10)]
+    splits = [
+        [r for r in rows if r[2] <= 3_000_000],
+        [r for r in rows if 3_000_000 < r[2] <= 6_000_000],
+        [r for r in rows if r[2] > 6_000_000],
+    ]
+
+    def run(base, upto, resume_from=None):
+        src, work = str(base / "src"), str(base / "work")
+        stats = str(base / "stats")
+        if resume_from is None:
+            os.makedirs(src)
+            ev(rows).groupBy("user_id").agg(
+                F.count("*").alias("n"), F.sum("vc").alias("s1")
+            ).write.mode("overwrite").parquet(stats)
+        for i in range(resume_from or 0, upto):
+            _write_one_split(ev(splits[i]), src, i)
+        final = run_cusum_stream(spark, src, work, stats)
+        return sorted(map(tuple, read_cusum_store(spark, final, stats).collect()))
+
+    run(tmp_path / "tp", 2)                       # phase 1, then "crash"
+    got = run(tmp_path / "tp", 3, resume_from=2)  # restart
+    want = run(tmp_path / "one", 3)               # fresh single run
+    assert got == want and len(got) == 2
+    by_user = {r[0]: r for r in got}
+    assert by_user[0][2] == 3   # cp_index: the planted split-0 peak
+    assert by_user[1][2] == 6   # user 1's late drift peak
