@@ -22,7 +22,7 @@ only docs with near-dup hits enter the graph.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register, tracked_persist
@@ -119,4 +119,68 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_llm_near_dedup(spark, sf_dir).select("doc_a", "doc_b")
     return connected_components(pairs, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+def _semantic_dedup_oracle() -> str:
+    from .similarity import NEARDUP_COS, _ivf_oracle_prefix
+
+    return f"""
+WITH RECURSIVE {_ivf_oracle_prefix()},
+m AS (SELECT e.vec_id, e.v, asg.cid FROM e JOIN asg USING (vec_id)),
+edges AS (SELECT x.vec_id AS a, y.vec_id AS b
+          FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id
+          WHERE list_cosine_similarity(x.v, y.v) >= {NEARDUP_COS}),
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+nodes AS (SELECT DISTINCT a AS id FROM sym),
+reach(src, dst) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+),
+lab AS (SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+allv AS (SELECT e.vec_id, COALESCE(l.cluster_id, e.vec_id) AS cluster_id
+         FROM e LEFT JOIN lab l USING (vec_id))
+SELECT vec_id, cluster_id,
+       (vec_id = cluster_id) AS keep,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+FROM allv
+"""
+
+
+@register("q_llm_semantic_dedup", oracle=_semantic_dedup_oracle())
+def q_llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup selection (SemDeDup, Abbas et al. 2023): group
+    embedding-space near-duplicates and KEEP exactly one document per
+    semantic cluster — the per-vector decision table a curation
+    pipeline filters against. Composition of two proven stages: the
+    IVF-cell-bucketed cosine pairs of q_llm_embed_neardup (O(n²/K)
+    candidates, never all-pairs) feed the iterative min-label
+    propagation of q_llm_dedup_clusters; the canonical survivor is the
+    min vec_id of each component (= its label, by construction), and
+    vectors with no near-dup hit keep themselves via the left join —
+    the graph only ever holds docs WITH hits, so CC state stays tiny
+    relative to the corpus. Oracle re-runs the full chain — Lloyd
+    quantizer, cell-restricted pairing, recursive-CTE components —
+    under one hash."""
+    from ..sources import table
+    from .similarity import embed_neardup_pairs
+
+    pairs = embed_neardup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    labels = connected_components(pairs, "vec_a", "vec_b")
+    allv = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .join(labels.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+        )
+    )
+    wc = W.partitionBy("cluster_id")
+    return allv.select(
+        "vec_id",
+        "cluster_id",
+        (F.col("vec_id") == F.col("cluster_id")).alias("keep"),
+        F.count("*").over(wc).alias("n_members"),
     )

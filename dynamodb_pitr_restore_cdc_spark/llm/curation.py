@@ -69,6 +69,66 @@ def q_llm_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_BUDGET_TOKENS = 2000  # per-lang token budget for the mixture sample
+
+
+@register(
+    "q_llm_token_budget_sample",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           (doc_id * {SPLIT_MULT}) % 4294967296 AS hk
+    FROM documents
+), r AS (
+    SELECT doc_id, lang, n_tokens,
+           row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS sample_rank,
+           CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY hk, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_tokens
+    FROM t
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(sample_rank AS BIGINT) AS sample_rank, cum_tokens,
+       (cum_tokens <= {SAMPLE_BUDGET_TOKENS}) AS keep
+FROM r
+""",
+)
+def q_llm_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget sampling per domain — the data-mixing
+    primitive that cuts each language's corpus down to a fixed token
+    budget: documents are ranked by the multiplicative doc_id hash (a
+    reproducible shuffle — re-running after appending documents never
+    reorders the existing prefix), and the kept set is the hash-order
+    prefix whose cumulative token count fits the budget. Unlike
+    q_llm_domain_cap (top-N DOCS by quality), the budget is in TOKENS —
+    what a training mixture actually allocates. 100 TB: the per-lang
+    window sort is the exactness step only; because hk is uniform, the
+    cutoff is ≈ a hash threshold, so at scale one first aggregates
+    token mass per (lang, hash-bucket) to find the cutoff bucket
+    (O(buckets) agg), map-filters everything below it, and runs this
+    exact window only inside the straddling bucket."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.pmod(F.col("doc_id") * F.lit(SPLIT_MULT), F.lit(2**32)).alias("hk"),
+    )
+    wo = W.partitionBy("lang").orderBy("hk", "doc_id")
+    wrun = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    r = t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.row_number().over(wo).cast("bigint").alias("sample_rank"),
+        F.sum("n_tokens").over(wrun).alias("cum_tokens"),
+    )
+    return r.withColumn(
+        "keep", F.col("cum_tokens") <= SAMPLE_BUDGET_TOKENS
+    )
+
+
 @register(
     "q_llm_seq_packing",
     oracle=f"""

@@ -150,6 +150,29 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
         assert cid == min(members)
 
 
+def test_semantic_dedup_selection_invariants(spark, sf_dir):
+    """The SemDeDup decision table must (a) cover every vector exactly
+    once, (b) keep exactly one survivor per cluster (the min vec_id),
+    (c) co-cluster every near-dup pair, and (d) report n_members
+    consistent with the table itself."""
+    rows = SPECS["q_llm_semantic_dedup"].builder(spark, sf_dir).collect()
+    total = SPECS["q_llm_semantic_dedup"].builder(spark, sf_dir).sparkSession.read.parquet(
+        f"{sf_dir}/embeddings.parquet"
+    ).count()
+    assert len(rows) == total and len({r.vec_id for r in rows}) == total
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m.vec_id for m in members)
+        keeps = [m for m in members if m.keep]
+        assert len(keeps) == 1 and keeps[0].vec_id == cid
+        assert all(m.n_members == len(members) for m in members)
+    cluster_of = {r.vec_id: r.cluster_id for r in rows}
+    for p in SPECS["q_llm_embed_neardup"].builder(spark, sf_dir).collect():
+        assert cluster_of[p.vec_a] == cluster_of[p.vec_b], p
+
+
 def test_exact_dedup_idempotent(spark, sf_dir):
     """Dedup of an already-deduped corpus is the identity."""
     once = SPECS["q_llm_exact_dedup"].builder(spark, sf_dir)
