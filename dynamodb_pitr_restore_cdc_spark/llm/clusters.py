@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..registry import register, tracked_persist
+from ..registry import register, tracked_checkpoint
 from .dedup import q_llm_near_dedup
 
 MAX_CC_ITERS = 20
@@ -41,15 +41,24 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # eager localCheckpoint, not persist: each iteration references
+        # `labels` TWICE (directly + inside neighbor_min), so the
+        # logical plan DOUBLES per iteration — persist caches the data
+        # but Catalyst still walks (and stringifies) the exponential
+        # tree, which OOMs the driver once a long-diameter graph runs
+        # near the iteration cap. Checkpointing truncates the lineage
+        # to the materialized O(edges)/O(nodes) blocks, so every
+        # iteration's plan is one join + one aggregate deep.
+        # Superseded iterations are unpersisted in-loop; `sym` and the
+        # FINAL labels survive into the returned plan and are tracked
+        # for release_persisted().
+        .transform(tracked_checkpoint)
     )
-    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    labels = tracked_checkpoint(
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
     )
-    # intermediate persists are unpersisted in-loop; the FINAL labels
-    # persist survives into the returned (lazy) plan, so it is tracked
-    # for release_persisted() — the one leak the loop can't free itself
-    sym = sym.persist()
-    labels = tracked_persist(labels)
 
     for _ in range(MAX_CC_ITERS):
         neighbor_min = (
@@ -58,14 +67,13 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
             .agg(F.min("label").alias("nmin"))
             .select(F.col("a").alias("node"), "nmin")
         )
-        new_labels = (
+        new_labels = tracked_checkpoint(
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
             )
         )
-        new_labels = tracked_persist(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -73,12 +81,10 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
             .limit(1)
             .count()
         )
-        labels.unpersist()
-        labels = new_labels
+        labels = new_labels  # superseded checkpoints freed by release_persisted()
         if changed == 0:
             break
 
-    sym.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 

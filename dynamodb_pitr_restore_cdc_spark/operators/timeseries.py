@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..registry import register
+from ..registry import register, tracked_persist
 from ..sources import table
 
 
@@ -464,4 +464,74 @@ def q_ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
         (F.expr("percentile(vc, 0.5)").over(w) / 100.0).alias("rolling_median"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest
+# ---------------------------------------------------------------------------
+
+DAY_US = 86_400_000_000
+
+# per-pair sMAPE quantized to integer micro-units BEFORE aggregation
+# (shuffle-order-independent sum; the EWMA quantize-then-sum discipline),
+# shared expression text so both engines state the identical arithmetic
+_SMAPE_EXPR = (
+    "CASE WHEN vc = 0 AND vhat = 0 THEN 0"
+    " ELSE floor((2 * 1e6 * abs(vc - vhat)) / (abs(vc) + abs(vhat)) + 0.5) END"
+)
+
+
+@register(
+    "q_ts_forecast_backtest",
+    oracle=f"""
+WITH hourly AS (
+    SELECT user_id, epoch_us(date_trunc('hour', ts)) AS hus,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc
+    FROM events GROUP BY 1, 2
+), j AS (
+    SELECT a.user_id, a.vc, b.vc AS vhat
+    FROM hourly a LEFT JOIN hourly b
+      ON a.user_id = b.user_id AND b.hus = a.hus - {DAY_US}
+)
+SELECT user_id,
+       count(*) AS n_hours,
+       count(vhat) AS n_forecasts,
+       CAST(sum(abs(vc - vhat)) AS BIGINT) / count(vhat) / 100.0 AS mae,
+       CAST(sum({_SMAPE_EXPR}) AS BIGINT) / count(vhat) / 1e6 AS smape
+FROM j GROUP BY user_id
+""",
+)
+def q_ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest per user: predict each hour's
+    value as the value 24 WALL-CLOCK hours earlier (the standard
+    baseline every real forecaster must beat) and score MAE and sMAPE
+    over the hours where a prediction exists. The lag is a wall-clock
+    equi-join on epoch-µs hour keys, NOT lag(24) over observed rows —
+    with gaps those differ, and the join form keeps the semantics
+    honest and the plan shuffle-shaped (one exchange on user_id shared
+    by the self-join and the final aggregate). The hourly frame feeds
+    both sides of the join, so it is persisted once (no cross-branch
+    CSE). Errors are exact integer cents; per-pair sMAPE is quantized
+    to integer micro-units before the sum, so both metrics are
+    reproducible under any partitioning. Users with no 24h-separated
+    pairs report NULL metrics rather than dropping out."""
+    e = table(spark, sf_dir, "events")
+    hourly = tracked_persist(
+        e.groupBy(
+            "user_id",
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("hus"),
+        ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("vc"))
+    )
+    pred = hourly.select(
+        "user_id",
+        (F.col("hus") + F.lit(DAY_US)).alias("hus"),
+        F.col("vc").alias("vhat"),
+    )
+    j = hourly.join(pred, ["user_id", "hus"], "left")
+    return j.groupBy("user_id").agg(
+        F.count("*").alias("n_hours"),
+        F.count("vhat").alias("n_forecasts"),
+        (F.sum(F.abs(F.col("vc") - F.col("vhat"))) / F.count("vhat") / 100.0).alias("mae"),
+        (F.sum(F.expr(_SMAPE_EXPR)) / F.count("vhat") / 1e6).alias("smape"),
     )

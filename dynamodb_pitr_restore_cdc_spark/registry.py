@@ -46,6 +46,35 @@ def tracked_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+_TRACKED_JRDDS: list = []
+
+
+def tracked_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint() + record for a later release_persisted().
+
+    For iterative builders whose plans would otherwise grow per
+    iteration (persist caches data but never truncates the logical
+    plan): the checkpoint cuts lineage, and tracking it keeps the
+    release contract identical to tracked_persist — the caller must
+    consume the result before release_persisted(), since a released
+    checkpoint cannot recompute.
+
+    DataFrame.unpersist() cannot free a local checkpoint (the blocks
+    are an RDD-level persist, not a CacheManager entry), so the newly
+    persisted RDD handles are captured by diffing the context's
+    persistent-RDD map around the checkpoint (builders are
+    single-threaded, so the diff is exact) and released at the RDD
+    level."""
+    jsc = df.sparkSession.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    df = df.localCheckpoint(eager=True)
+    jmap = jsc.getPersistentRDDs()
+    for rid in jmap.keySet().toArray():
+        if rid not in before:
+            _TRACKED_JRDDS.append(jmap.get(rid))
+    return df
+
+
 def release_persisted() -> None:
     """Unpersist every builder-persisted DataFrame recorded so far."""
     while _TRACKED_PERSISTS:
@@ -53,6 +82,11 @@ def release_persisted() -> None:
             _TRACKED_PERSISTS.pop().unpersist()
         except Exception:
             pass  # session may already be gone; releasing is best-effort
+    while _TRACKED_JRDDS:
+        try:
+            _TRACKED_JRDDS.pop().unpersist()
+        except Exception:
+            pass
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builder]:
@@ -254,6 +288,9 @@ _REVERIFY_R06: frozenset[str] = frozenset(
         # round-6 review fixes: struct-carried as-of match (NULL-value
         # consistency with the ASOF oracle) and the linearized tfidf
         "q_join_asof",
+        # round-6 cont.: connected_components lineage cut (the
+        # exponential-plan OOM fix) re-implements the CC interior
+        "q_llm_dedup_clusters",
     }
 )
 

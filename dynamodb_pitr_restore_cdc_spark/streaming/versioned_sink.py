@@ -69,7 +69,7 @@ import threading
 import uuid
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.cdc import cdc_merge_tombstone, visible
@@ -1418,3 +1418,86 @@ def q_cdc_restore_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("seq_no", "op", "key", "payload_value")
     )
     return cdc_merge(restored, forward).select("key", "last_seq", "payload_value")
+
+
+@register(
+    "q_cdc_branch_merge",
+    oracle=with_changelog(
+        ", m AS ("
+        + FOLD_SQL.format(pred="")
+        + "), br AS ("
+        + FOLD_SQL.format(
+            pred="\n        WHERE seq_no <= (SELECT max(seq_no) // 2 FROM changelog)"
+            "\n           OR op <> 'REMOVE'"
+        )
+        + "), d AS ("
+        + DIFF_SQL.format(frm="m", to="br", extra="")
+        + """)
+SELECT key, change_type, last_seq, payload_value, payload_value_old FROM d
+"""
+    ),
+)
+def q_cdc_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What-if restore branch: replay the changelog onto a branch that
+    IGNORES every deletion after the branch point (max seq // 2) — the
+    'restore, but keep the records an incident deleted' drill — then
+    diff the branch head against the main head (the selective-restore
+    analog of `state-machine.json:54-76`'s restore-complete path; Delta
+    branch / Iceberg ref semantics without a table format). Both folds
+    and the diff come out of ONE changelog shuffle: a single window
+    pass per key annotates the main-latest and branch-latest sequence,
+    and a groupBy on the SAME key folds both heads as argmax structs —
+    the diff is then pure per-key expression logic, no second scan and
+    no self-join (the oracle states the same thing as two FOLD_SQL
+    prefixes + DIFF_SQL, the shared feed-semantics text). The branch
+    cut is a driver-side scalar (plan-time decision, orchestration not
+    data). At 100 TB: one exchange on key, reused by the fold aggregate;
+    the policy predicate is a map-side filter."""
+    cl = changelog(spark, sf_dir).select("seq_no", "op", "key", "payload_value")
+    cut = cl.agg(F.expr("max(seq_no) div 2").alias("c")).first().c
+    is_br = (F.col("seq_no") <= cut) | (F.col("op") != "REMOVE")
+    wk = Window.partitionBy("key")
+    ann = cl.select(
+        "key",
+        "seq_no",
+        "op",
+        "payload_value",
+        F.max("seq_no").over(wk).alias("mseq"),
+        F.max(F.when(is_br, F.col("seq_no"))).over(wk).alias("bseq"),
+    )
+    alive = F.col("op") != "REMOVE"
+    heads = ann.where(
+        (F.col("seq_no") == F.col("mseq")) | (F.col("seq_no") == F.col("bseq"))
+    )
+    folded = heads.groupBy("key").agg(
+        F.max(
+            F.when(
+                (F.col("seq_no") == F.col("mseq")) & alive,
+                F.struct(F.col("seq_no").alias("last_seq"), F.col("payload_value").alias("v")),
+            )
+        ).alias("m"),
+        F.max(
+            F.when(
+                (F.col("seq_no") == F.col("bseq")) & alive,
+                F.struct(F.col("seq_no").alias("last_seq"), F.col("payload_value").alias("v")),
+            )
+        ).alias("b"),
+    )
+    return (
+        folded.where(F.col("m").isNotNull() | F.col("b").isNotNull())
+        .where(
+            F.col("m").isNull()
+            | F.col("b").isNull()
+            | (F.col("m.last_seq") != F.col("b.last_seq"))
+        )
+        .select(
+            "key",
+            F.when(F.col("m").isNull(), "INSERT")
+            .when(F.col("b").isNull(), "DELETE")
+            .otherwise("UPDATE")
+            .alias("change_type"),
+            F.coalesce(F.col("b.last_seq"), F.col("m.last_seq")).alias("last_seq"),
+            F.col("b.v").alias("payload_value"),
+            F.col("m.v").alias("payload_value_old"),
+        )
+    )
