@@ -241,17 +241,20 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEARDUP_COS = 0.35
 
 
-@register(
-    "q_llm_embed_neardup",
-    oracle=f"""
+# shared with the real-stream twin (q_stream_semantic_neardup below),
+# whose per-batch stream-static pair detection must union to the
+# IDENTICAL pair set
+EMBED_NEARDUP_ORACLE = f"""
 WITH {_ivf_oracle_prefix()},
 m AS (SELECT e.vec_id, e.v, asg.cid FROM e JOIN asg USING (vec_id))
 SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
        round(list_cosine_similarity(x.v, y.v), 4) AS cos_sim
 FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id
 WHERE list_cosine_similarity(x.v, y.v) >= {NEARDUP_COS}
-""",
-)
+"""
+
+
+@register("q_llm_embed_neardup", oracle=EMBED_NEARDUP_ORACLE)
 def q_llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, cell-bucketed: vectors are
     assigned to k-means-trained IVF cells (same quantizer as
@@ -601,3 +604,88 @@ def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_overlap"),
         (F.count("*") / F.lit(5)).alias("recall"),
     )
+
+
+@register("q_stream_semantic_neardup", oracle=EMBED_NEARDUP_ORACLE)
+def q_stream_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-stream twin of q_llm_embed_neardup (same oracle): vectors
+    ARRIVE as 3 vec_id-ordered micro-batches; each batch looks its
+    vectors up in the materialized IVF cell index, pairs them against
+    every INDEXED vector with a smaller id in the same cell, and emits
+    the cosine hits — the online 'is this new document a semantic
+    duplicate of anything we already hold' check a live ingestion
+    pipeline runs. Completeness is arrival-order algebra: the index is
+    the full corpus snapshot, and pair (a, b) with a < b is emitted by
+    exactly the batch that delivers b — so the per-epoch outputs union
+    to the batch pair set (the hash match proves it). Stateless per
+    batch (stream-static join; per-epoch overwrite makes replays
+    idempotent); at scale the index lookup is a partition-pruned read
+    on cid, and the only growing artifact is the index itself — the
+    same one every other ANN query shares."""
+    from ..streaming.stream_queries import _fresh_dir, _write_split_files
+
+    ids = table(spark, sf_dir, "embeddings").select("vec_id")
+    row = ids.agg(
+        F.expr("percentile(vec_id, 0.3333)").alias("p1"),
+        F.expr("percentile(vec_id, 0.6667)").alias("p2"),
+    ).first()
+    c1, c2 = int(row.p1), int(row.p2)
+    index_path = _IVF_INDEX_CACHE.get(
+        (spark.sparkContext.applicationId, os.path.abspath(sf_dir), None)
+    )
+    if index_path is None or not os.path.isdir(index_path):
+        _cell_members(spark, sf_dir)
+        index_path = _IVF_INDEX_CACHE[
+            (spark.sparkContext.applicationId, os.path.abspath(sf_dir), None)
+        ]
+    v = F.col("vec_id")
+    src, out = _fresh_dir("sem-src"), _fresh_dir("sem-out")
+    _write_split_files(ids, [v <= c1, (v > c1) & (v <= c2), v > c2], src)
+
+    def pair_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        member = sess.read.parquet(index_path).withColumn(
+            "nrm", F.sqrt(_dot(F.col("v"), F.col("v")))
+        )
+        arriving = batch_df.join(member, "vec_id")  # index lookup: cid, v, nrm
+        pairs = (
+            member.alias("x")
+            .join(
+                arriving.alias("y"),
+                (F.col("x.cid") == F.col("y.cid"))
+                & (F.col("x.vec_id") < F.col("y.vec_id")),
+            )
+            .select(
+                F.col("x.vec_id").alias("vec_a"),
+                F.col("y.vec_id").alias("vec_b"),
+                (
+                    _dot(F.col("x.v"), F.col("y.v"))
+                    / (F.col("x.nrm") * F.col("y.nrm"))
+                ).alias("cos"),
+            )
+            .where(F.col("cos") >= NEARDUP_COS)
+            .select("vec_a", "vec_b", F.round("cos", 4).alias("cos_sim"))
+        )
+        pairs.write.mode("overwrite").parquet(os.path.join(out, f"e{epoch_id}"))
+
+    q = (
+        spark.readStream.schema("vec_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(pair_batch)
+        .option("checkpointLocation", os.path.join(out, "_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    epoch_dirs = [
+        os.path.join(out, d) for d in sorted(os.listdir(out)) if d.startswith("e")
+    ]
+    result = tracked_persist(
+        spark.read.schema("vec_a long, vec_b long, cos_sim double").parquet(*epoch_dirs)
+    )
+    result.count()  # materialize before removing the backing dirs
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return result

@@ -509,10 +509,12 @@ def q_ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the hours where a prediction exists. The lag is a wall-clock
     equi-join on epoch-µs hour keys, NOT lag(24) over observed rows —
     with gaps those differ, and the join form keeps the semantics
-    honest and the plan shuffle-shaped (one exchange on user_id shared
-    by the self-join and the final aggregate). The hourly frame feeds
-    both sides of the join, so it is persisted once (no cross-branch
-    CSE). Errors are exact integer cents; per-pair sMAPE is quantized
+    honest. Only the first aggregate's map side touches event-grain
+    rows; the self-join and the final aggregate exchange HOURLY-grain
+    data (three small shuffles, not one big one). The hourly frame
+    feeds both sides of the join, so it is persisted once (no
+    cross-branch CSE). Errors are exact integer cents; per-pair sMAPE
+    is quantized
     to integer micro-units before the sum, so both metrics are
     reproducible under any partitioning. Users with no 24h-separated
     pairs report NULL metrics rather than dropping out."""

@@ -460,3 +460,29 @@ def test_emb_quality_report_catches_planted_defects(spark):
         "null_elements": 1,
         "dup_vec_ids": 1,
     }
+
+
+def test_token_budget_sample_is_a_hash_order_prefix(spark, sf_dir):
+    """Per lang: the kept set must be exactly the (hash, doc_id)-order
+    prefix whose cumulative tokens fit the budget — and the budget must
+    actually discriminate at fixture scale (some kept, some dropped)."""
+    from dynamodb_pitr_restore_cdc_spark.llm.curation import (
+        SAMPLE_BUDGET_TOKENS,
+        SPLIT_MULT,
+    )
+
+    rows = SPECS["q_llm_token_budget_sample"].builder(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert len(by_lang) >= 2
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: ((r.doc_id * SPLIT_MULT) % 2**32, r.doc_id))
+        cum = 0
+        for i, r in enumerate(rs, start=1):
+            cum += r.n_tokens
+            assert r.sample_rank == i
+            assert r.cum_tokens == cum
+            assert r.keep == (cum <= SAMPLE_BUDGET_TOKENS)
+        kept = sum(r.keep for r in rs)
+        assert 0 < kept < len(rs), (lang, kept, len(rs))

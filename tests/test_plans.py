@@ -650,3 +650,44 @@ def test_round6_additions_plan_shapes(plans):
     # full-outer merge, JVM-side
     p = plans("q_cdc_restore_drill")
     assert "FullOuter" in p and "EvalPython" not in p
+
+
+def test_branch_merge_single_shuffle(plans):
+    # both folds + the diff ride ONE changelog exchange: the window
+    # annotates main/branch-latest seq on hashpartitioning(key), and
+    # the head fold is a groupBy on the SAME key — Catalyst must reuse
+    # the partitioning rather than re-exchange
+    p = plans("q_cdc_branch_merge")
+    assert "EvalPython" not in p
+    assert _n_hash_exchanges(p) == 1, p[:2000]
+
+
+def test_stream_cusum_batch_plan_shapes(spark, sf_dir):
+    # the scoring pass inside the cusum stream: window + carry join +
+    # candidate fold must stay JVM-side (the streaming wrapper itself
+    # is exercised by parity; this pins the per-batch plan's no-Python
+    # property on a representative batch)
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from dynamodb_pitr_restore_cdc_spark.sources import table
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    stats = e.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("vc").alias("s1")
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    scored = (
+        e.select("user_id", "us", "vc",
+                 F.row_number().over(w).alias("rn"),
+                 F.sum("vc").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cs"))
+        .join(F.broadcast(stats), "user_id")
+    )
+    p = plan_string(scored)
+    assert "EvalPython" not in p
+    assert has_broadcast_join(p)
