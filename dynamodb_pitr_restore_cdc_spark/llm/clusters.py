@@ -5,11 +5,13 @@ cluster decisions in a dedup pipeline.
 Spark has no recursive SQL; components are computed by iterative
 min-label propagation (small-star style): every node starts as its own
 label and repeatedly adopts the minimum label in its neighborhood
-until a fixpoint. Each iteration is one join + one aggregation — fully
+until a fixpoint. Each iteration is one join + one aggregation plus a
+pointer-jumping self-lookup (label <- label's label) — fully
 partition-parallel; the driver only checks the converged flag (a
-1-row count, orchestration not data). Iteration count is bounded by
-the component diameter — near-dup clusters are tiny (pairs/triples),
-and a hard cap guards pathological chains.
+1-row count, orchestration not data). Compression makes the iteration
+count O(log diameter), so the hard cap covers any graph a near-dup
+corpus can produce; exhausting it unconverged raises instead of
+returning non-minimal labels.
 
 The oracle computes the same components with DuckDB's recursive CTE —
 an independent fixpoint formulation, so agreement is meaningful.
@@ -25,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..registry import register, tracked_checkpoint
+from ..registry import register, release_checkpoint, tracked_checkpoint
 from .dedup import q_llm_near_dedup
 
 MAX_CC_ITERS = 20
@@ -49,9 +51,10 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
         # near the iteration cap. Checkpointing truncates the lineage
         # to the materialized O(edges)/O(nodes) blocks, so every
         # iteration's plan is one join + one aggregate deep.
-        # Superseded iterations are unpersisted in-loop; `sym` and the
-        # FINAL labels survive into the returned plan and are tracked
-        # for release_persisted().
+        # Superseded iteration checkpoints are freed IN-LOOP via
+        # release_checkpoint; `sym` is freed after the loop; only the
+        # FINAL labels survive into the returned plan (released by
+        # release_persisted()).
         .transform(tracked_checkpoint)
     )
     labels = tracked_checkpoint(
@@ -60,6 +63,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
         .withColumn("label", F.col("node"))
     )
 
+    converged = False
     for _ in range(MAX_CC_ITERS):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -74,17 +78,41 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
                 F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
             )
         )
+        # pointer jumping: label <- label's label. Labels are always
+        # node ids, so the self-lookup compresses paths and turns
+        # O(diameter) convergence into O(log diameter) — without it a
+        # >MAX_CC_ITERS-diameter chain would exhaust the cap.
+        compressed = tracked_checkpoint(
+            new_labels.join(
+                new_labels.select(
+                    F.col("node").alias("label"), F.col("label").alias("plabel")
+                ),
+                "label",
+                "left",
+            ).select("node", F.coalesce("plabel", "label").alias("label"))
+        )
+        release_checkpoint(new_labels)
         changed = (
-            new_labels.alias("n")
+            compressed.alias("n")
             .join(labels.alias("o"), "node")
             .where(F.col("n.label") != F.col("o.label"))
             .limit(1)
             .count()
         )
-        labels = new_labels  # superseded checkpoints freed by release_persisted()
+        release_checkpoint(labels)
+        labels = compressed
         if changed == 0:
+            converged = True
             break
 
+    release_checkpoint(sym)
+    if not converged:
+        # a silent exit here would return labels that are not the
+        # component minimum — fail loudly instead (callers see a wrong
+        # ANSWER otherwise, not an error)
+        raise RuntimeError(
+            f"connected_components did not converge in {MAX_CC_ITERS} iterations"
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 

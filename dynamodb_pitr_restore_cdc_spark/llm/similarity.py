@@ -606,47 +606,18 @@ def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_stream_semantic_neardup", oracle=EMBED_NEARDUP_ORACLE)
-def q_stream_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real-stream twin of q_llm_embed_neardup (same oracle): vectors
-    ARRIVE as 3 vec_id-ordered micro-batches; each batch looks its
-    vectors up in the materialized IVF cell index, pairs them against
-    every INDEXED vector with a smaller id in the same cell, and emits
-    the cosine hits — the online 'is this new document a semantic
-    duplicate of anything we already hold' check a live ingestion
-    pipeline runs. Completeness is arrival-order algebra: the index is
-    the full corpus snapshot, and pair (a, b) with a < b is emitted by
-    exactly the batch that delivers b — so the per-epoch outputs union
-    to the batch pair set (the hash match proves it). Stateless per
-    batch (stream-static join; per-epoch overwrite makes replays
-    idempotent); at scale the index lookup is a partition-pruned read
-    on cid, and the only growing artifact is the index itself — the
-    same one every other ANN query shares."""
-    from ..streaming.stream_queries import _fresh_dir, _write_split_files
-
-    ids = table(spark, sf_dir, "embeddings").select("vec_id")
-    row = ids.agg(
-        F.expr("percentile(vec_id, 0.3333)").alias("p1"),
-        F.expr("percentile(vec_id, 0.6667)").alias("p2"),
-    ).first()
-    c1, c2 = int(row.p1), int(row.p2)
-    index_path = _IVF_INDEX_CACHE.get(
-        (spark.sparkContext.applicationId, os.path.abspath(sf_dir), None)
-    )
-    if index_path is None or not os.path.isdir(index_path):
-        _cell_members(spark, sf_dir)
-        index_path = _IVF_INDEX_CACHE[
-            (spark.sparkContext.applicationId, os.path.abspath(sf_dir), None)
-        ]
-    v = F.col("vec_id")
-    src, out = _fresh_dir("sem-src"), _fresh_dir("sem-out")
-    _write_split_files(ids, [v <= c1, (v > c1) & (v <= c2), v > c2], src)
+def run_semantic_stream(spark: SparkSession, src: str, out: str, member: DataFrame) -> None:
+    """Drain every available vec_id arrival split in `src`, pairing each
+    arriving vector against every indexed vector with a smaller id in
+    the same IVF cell of `member` (a PERSISTED stream-static frame:
+    vec_id, cid, v, nrm — built once outside the stream so each batch
+    joins cached blocks instead of re-scanning the index and
+    recomputing norms). Per-epoch OVERWRITE output: a replayed epoch
+    rewrites its own directory idempotently; the checkpoint skips
+    already-delivered arrival files, so the run is resumable with no
+    pair emitted twice (two-phase test in tests/test_twins_property)."""
 
     def pair_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        sess = batch_df.sparkSession
-        member = sess.read.parquet(index_path).withColumn(
-            "nrm", F.sqrt(_dot(F.col("v"), F.col("v")))
-        )
         arriving = batch_df.join(member, "vec_id")  # index lookup: cid, v, nrm
         pairs = (
             member.alias("x")
@@ -679,12 +650,54 @@ def q_stream_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
 
+
+def read_semantic_pairs(spark: SparkSession, out: str) -> DataFrame:
+    """Union the per-epoch pair directories back into one frame."""
     epoch_dirs = [
         os.path.join(out, d) for d in sorted(os.listdir(out)) if d.startswith("e")
     ]
-    result = tracked_persist(
-        spark.read.schema("vec_a long, vec_b long, cos_sim double").parquet(*epoch_dirs)
+    return spark.read.schema("vec_a long, vec_b long, cos_sim double").parquet(
+        *epoch_dirs
     )
+
+
+@register("q_stream_semantic_neardup", oracle=EMBED_NEARDUP_ORACLE)
+def q_stream_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-stream twin of q_llm_embed_neardup (same oracle): vectors
+    ARRIVE as 3 vec_id-ordered micro-batches; each batch looks its
+    vectors up in the materialized IVF cell index, pairs them against
+    every INDEXED vector with a smaller id in the same cell, and emits
+    the cosine hits — the online 'is this new document a semantic
+    duplicate of anything we already hold' check a live ingestion
+    pipeline runs. Completeness is arrival-order algebra: the index is
+    the full corpus snapshot, and pair (a, b) with a < b is emitted by
+    exactly the batch that delivers b — so the per-epoch outputs union
+    to the batch pair set (the hash match proves it). Stateless per
+    batch (run_semantic_stream: stream-static join against the
+    persisted index+norm frame; per-epoch overwrite makes replays
+    idempotent); at scale the index lookup is a partition-pruned read
+    on cid, and the only growing artifact is the index itself — the
+    same one every other ANN query shares."""
+    from ..streaming.stream_queries import _fresh_dir, _write_split_files
+
+    ids = table(spark, sf_dir, "embeddings").select("vec_id")
+    row = ids.agg(
+        F.expr("percentile(vec_id, 0.3333)").alias("p1"),
+        F.expr("percentile(vec_id, 0.6667)").alias("p2"),
+    ).first()
+    c1, c2 = int(row.p1), int(row.p2)
+    member = tracked_persist(
+        _cell_members(spark, sf_dir).withColumn(
+            "nrm", F.sqrt(_dot(F.col("v"), F.col("v")))
+        )
+    )
+    member.count()  # materialize before the stream's batches join it
+    v = F.col("vec_id")
+    src, out = _fresh_dir("sem-src"), _fresh_dir("sem-out")
+    _write_split_files(ids, [v <= c1, (v > c1) & (v <= c2), v > c2], src)
+
+    run_semantic_stream(spark, src, out, member)
+    result = tracked_persist(read_semantic_pairs(spark, out))
     result.count()  # materialize before removing the backing dirs
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(out, ignore_errors=True)

@@ -46,11 +46,13 @@ def tracked_persist(df: DataFrame) -> DataFrame:
     return df
 
 
-_TRACKED_JRDDS: list = []
+# (df, [JavaRDD handles]) per tracked checkpoint — the df reference
+# keeps identity stable for release_checkpoint(df)
+_TRACKED_CHECKPOINTS: list = []
 
 
 def tracked_checkpoint(df: DataFrame) -> DataFrame:
-    """Eager localCheckpoint() + record for a later release_persisted().
+    """Eager localCheckpoint() + record for a later release.
 
     For iterative builders whose plans would otherwise grow per
     iteration (persist caches data but never truncates the logical
@@ -64,15 +66,31 @@ def tracked_checkpoint(df: DataFrame) -> DataFrame:
     persisted RDD handles are captured by diffing the context's
     persistent-RDD map around the checkpoint (builders are
     single-threaded, so the diff is exact) and released at the RDD
-    level."""
+    level — either early via release_checkpoint(df) for superseded
+    iteration state, or at release_persisted()."""
     jsc = df.sparkSession.sparkContext._jsc
     before = set(jsc.getPersistentRDDs().keySet().toArray())
     df = df.localCheckpoint(eager=True)
     jmap = jsc.getPersistentRDDs()
-    for rid in jmap.keySet().toArray():
-        if rid not in before:
-            _TRACKED_JRDDS.append(jmap.get(rid))
+    handles = [
+        jmap.get(rid) for rid in jmap.keySet().toArray() if rid not in before
+    ]
+    _TRACKED_CHECKPOINTS.append((df, handles))
     return df
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Free ONE tracked checkpoint's blocks early — for iteration state
+    that has been superseded and will never be referenced again."""
+    for i, (d, handles) in enumerate(_TRACKED_CHECKPOINTS):
+        if d is df:
+            for h in handles:
+                try:
+                    h.unpersist()
+                except Exception:
+                    pass
+            _TRACKED_CHECKPOINTS.pop(i)
+            return
 
 
 def release_persisted() -> None:
@@ -82,11 +100,13 @@ def release_persisted() -> None:
             _TRACKED_PERSISTS.pop().unpersist()
         except Exception:
             pass  # session may already be gone; releasing is best-effort
-    while _TRACKED_JRDDS:
-        try:
-            _TRACKED_JRDDS.pop().unpersist()
-        except Exception:
-            pass
+    while _TRACKED_CHECKPOINTS:
+        _, handles = _TRACKED_CHECKPOINTS.pop()
+        for h in handles:
+            try:
+                h.unpersist()
+            except Exception:
+                pass
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builder]:

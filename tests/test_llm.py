@@ -156,9 +156,7 @@ def test_semantic_dedup_selection_invariants(spark, sf_dir):
     (c) co-cluster every near-dup pair, and (d) report n_members
     consistent with the table itself."""
     rows = SPECS["q_llm_semantic_dedup"].builder(spark, sf_dir).collect()
-    total = SPECS["q_llm_semantic_dedup"].builder(spark, sf_dir).sparkSession.read.parquet(
-        f"{sf_dir}/embeddings.parquet"
-    ).count()
+    total = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     assert len(rows) == total and len({r.vec_id for r in rows}) == total
     by_cluster = {}
     for r in rows:
@@ -486,3 +484,21 @@ def test_token_budget_sample_is_a_hash_order_prefix(spark, sf_dir):
             assert r.keep == (cum <= SAMPLE_BUDGET_TOKENS)
         kept = sum(r.keep for r in rs)
         assert 0 < kept < len(rs), (lang, kept, len(rs))
+
+
+def test_connected_components_long_chain_converges(spark):
+    """The finding the convergence raise + pointer jumping exist for: a
+    chain of diameter 1000 (>> MAX_CC_ITERS) must still collapse to one
+    component with the min id as its label — path compression makes the
+    iteration count O(log diameter); before it, the loop exhausted the
+    cap and silently returned non-minimal labels."""
+    from dynamodb_pitr_restore_cdc_spark.llm.clusters import connected_components
+    from dynamodb_pitr_restore_cdc_spark.registry import release_persisted
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000)], "src long, dst long"
+    )
+    labels = {r.node: r.cluster_id for r in connected_components(edges).collect()}
+    release_persisted()
+    assert len(labels) == 1001
+    assert set(labels.values()) == {0}

@@ -350,15 +350,18 @@ def test_semantic_neardup_stream_resumes_without_duplicate_pairs(spark, tmp_path
     while per-epoch overwrite absorbs replays: phase 1 drains two
     vec_id splits, the restart sees one more; the unioned pair set
     must equal the fresh single-run set (which parity proves == the
-    batch q_llm_embed_neardup answer), with no pair emitted twice."""
+    batch q_llm_embed_neardup answer), with no pair emitted twice.
+    Drives the PRODUCTION run_semantic_stream/read_semantic_pairs, not
+    a re-implementation."""
     import os
 
     from pyspark.sql import functions as F
 
     from dynamodb_pitr_restore_cdc_spark.llm.similarity import (
-        NEARDUP_COS,
         _cell_members,
         _dot,
+        read_semantic_pairs,
+        run_semantic_stream,
     )
     from dynamodb_pitr_restore_cdc_spark.streaming.stream_queries import (
         _write_one_split,
@@ -380,59 +383,13 @@ def test_semantic_neardup_stream_resumes_without_duplicate_pairs(spark, tmp_path
         return spark.createDataFrame([(v,) for v in vals], "vec_id long")
 
     def run(base, upto, resume_from=None):
-        from dynamodb_pitr_restore_cdc_spark.llm.similarity import (
-            q_stream_semantic_neardup,
-        )
-
         src, out = str(base / "src"), str(base / "out")
         if resume_from is None:
             os.makedirs(src)
         for i in range(resume_from or 0, upto):
             _write_one_split(ids_df(splits[i]), src, i)
-        # drive the same pair_batch machinery through a scoped stream
-        mem = member
-
-        def pair_batch(batch_df, epoch_id):
-            arriving = batch_df.join(mem, "vec_id")
-            pairs = (
-                mem.alias("x")
-                .join(
-                    arriving.alias("y"),
-                    (F.col("x.cid") == F.col("y.cid"))
-                    & (F.col("x.vec_id") < F.col("y.vec_id")),
-                )
-                .select(
-                    F.col("x.vec_id").alias("vec_a"),
-                    F.col("y.vec_id").alias("vec_b"),
-                    (
-                        _dot(F.col("x.v"), F.col("y.v"))
-                        / (F.col("x.nrm") * F.col("y.nrm"))
-                    ).alias("cos"),
-                )
-                .where(F.col("cos") >= NEARDUP_COS)
-                .select("vec_a", "vec_b", F.round("cos", 4).alias("cos_sim"))
-            )
-            pairs.write.mode("overwrite").parquet(os.path.join(out, f"e{epoch_id}"))
-
-        q = (
-            spark.readStream.schema("vec_id long")
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-            .writeStream.foreachBatch(pair_batch)
-            .option("checkpointLocation", os.path.join(out, "_ck"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        dirs = [
-            os.path.join(out, d) for d in sorted(os.listdir(out)) if d.startswith("e")
-        ]
-        rows = (
-            spark.read.schema("vec_a long, vec_b long, cos_sim double")
-            .parquet(*dirs)
-            .collect()
-        )
-        return sorted(map(tuple, rows))
+        run_semantic_stream(spark, src, out, member)
+        return sorted(map(tuple, read_semantic_pairs(spark, out).collect()))
 
     run(tmp_path / "tp", 2)                       # phase 1, then "crash"
     got = run(tmp_path / "tp", 3, resume_from=2)  # restart
