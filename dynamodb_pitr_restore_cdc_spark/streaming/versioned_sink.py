@@ -1455,6 +1455,14 @@ def q_cdc_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     the policy predicate is a map-side filter."""
     cl = changelog(spark, sf_dir).select("seq_no", "op", "key", "payload_value")
     cut = cl.agg(F.expr("max(seq_no) div 2").alias("c")).first().c
+    return branch_merge_frame(cl, cut)
+
+
+def branch_merge_frame(cl: DataFrame, cut: int) -> DataFrame:
+    """q_cdc_branch_merge's core over any (seq_no, op, key,
+    payload_value) changelog frame and branch point — separated so the
+    property suite can drive it with arbitrary op sequences (fold/diff
+    equivalence vs a naive sequential model)."""
     is_br = (F.col("seq_no") <= cut) | (F.col("op") != "REMOVE")
     wk = Window.partitionBy("key")
     ann = cl.select(

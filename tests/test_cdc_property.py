@@ -63,3 +63,53 @@ def test_merge_equals_sequential_fold(spark, seq_and_cuts):
     got = {r.key: (r.last_seq, r.payload_value) for r in snapshot.collect()}
     want = naive_fold(ops)
     assert got == want
+
+
+def naive_branch_merge(ops, cut):
+    """Reference model for q_cdc_branch_merge: two sequential folds
+    (main = every op; branch = ops ignoring post-cut REMOVEs) diffed
+    per key."""
+    def fold(keep):
+        state = {}
+        for seq, (key, op, val) in enumerate(ops):
+            if keep(seq, op):
+                state[key] = (seq, op, val)
+        return {k: (s, v) for k, (s, o, v) in state.items() if o != "REMOVE"}
+
+    m = fold(lambda s, o: True)
+    br = fold(lambda s, o: s <= cut or o != "REMOVE")
+    out = {}
+    for key in set(m) | set(br):
+        a, b = m.get(key), br.get(key)
+        if a is not None and b is not None and a[0] == b[0]:
+            continue  # unchanged
+        out[key] = (
+            "INSERT" if a is None else "DELETE" if b is None else "UPDATE",
+            (b or a)[0],
+            None if b is None else b[1],
+            None if a is None else a[1],
+        )
+    return out
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(op_sequences())
+def test_branch_merge_equals_naive_two_fold_diff(spark, seq_and_cuts):
+    """The single-shuffle branch merge (one window pass annotating both
+    heads + one argmax fold) must equal the naive model for ANY op
+    sequence and ANY branch point — including cuts at 0, past the end,
+    and sequences where a key's only post-cut activity is REMOVEs."""
+    from dynamodb_pitr_restore_cdc_spark.streaming.versioned_sink import (
+        branch_merge_frame,
+    )
+
+    ops, cuts = seq_and_cuts
+    if not ops:
+        return
+    cut = (cuts[0] if cuts else len(ops) // 2)
+    cl = to_batch(spark, ops, 0, len(ops))
+    got = {
+        r.key: (r.change_type, r.last_seq, r.payload_value, r.payload_value_old)
+        for r in branch_merge_frame(cl, cut).collect()
+    }
+    assert got == naive_branch_merge(ops, cut)
