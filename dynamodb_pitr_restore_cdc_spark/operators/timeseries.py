@@ -537,3 +537,106 @@ def q_ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.abs(F.col("vc") - F.col("vhat"))) / F.count("vhat") / 100.0).alias("mae"),
         (F.sum(F.expr(_SMAPE_EXPR)) / F.count("vhat") / 1e6).alias("smape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# STL-style decomposition (trend / seasonal / residual)
+# ---------------------------------------------------------------------------
+
+# shared scalar texts (both engines evaluate the IDENTICAL expression
+# tree): trend = one int/int division; the detrended value is quantized
+# to integer 1e-4-cent units BEFORE the seasonal aggregation, so the
+# only order-sensitive float op happens per row on identical inputs
+_TREND_EXPR = "fsum / fcnt"
+_DQ_EXPR = f"CAST(floor((vc - {_TREND_EXPR}) * 1e4 + 0.5) AS BIGINT)"
+_SEASONAL_EXPR = "sdq / sc / 1e4 / 100.0"
+_RESIDUAL_EXPR = "(dq / 1e4 - sdq / sc / 1e4) / 100.0"
+
+
+@register(
+    "q_ts_stl_decompose",
+    oracle=f"""
+WITH hourly AS (
+    SELECT user_id, epoch_us(date_trunc('hour', ts)) AS hus,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc
+    FROM events GROUP BY 1, 2
+), t AS (
+    SELECT user_id, hus, vc,
+           CAST(sum(vc) OVER w AS BIGINT) AS fsum,
+           count(*) OVER w AS fcnt
+    FROM hourly
+    WINDOW w AS (PARTITION BY user_id ORDER BY hus
+                 ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), d AS (
+    SELECT user_id, hus, vc, {_TREND_EXPR} AS trend, {_DQ_EXPR} AS dq
+    FROM t
+), s AS (
+    SELECT user_id, hus, vc, trend, dq,
+           CAST(sum(dq) OVER hw AS BIGINT) AS sdq,
+           count(*) OVER hw AS sc
+    FROM d
+    WINDOW hw AS (PARTITION BY user_id, (hus // 3600000000) % 24)
+)
+SELECT user_id, hus AS hour_us, vc / 100.0 AS hour_value,
+       trend / 100.0 AS trend,
+       {_SEASONAL_EXPR} AS seasonal,
+       {_RESIDUAL_EXPR} AS residual
+FROM s
+""",
+)
+def q_ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style decomposition of each user's hourly series into trend
+    (centered 25-observation moving average — a bounded ROWS frame,
+    never the quadratic UNBOUNDED-FOLLOWING trap), daily seasonal
+    (hour-of-day mean of the detrended values), and residual. The
+    determinism discipline is the EWMA one: sums stay exact BIGINTs
+    inside every window frame; each division happens once per row on
+    identical operands; the detrended value is quantized to integer
+    1e-4-cent units BEFORE the seasonal mean so that aggregation is
+    shuffle-order independent. Two shuffles at hourly grain (user_id
+    for the trend frame, (user_id, hour-of-day) for the seasonal one).
+    Trend ramps at series edges (frame truncates — the standard
+    convention) and the seasonal mean inherits those rows; both
+    engines state the same convention so the hash is exact."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id",
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("hus"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("vc"))
+    wt = (
+        W.partitionBy("user_id")
+        .orderBy("hus")
+        .rowsBetween(-12, 12)
+    )
+    t = hourly.select(
+        "user_id",
+        "hus",
+        "vc",
+        F.sum("vc").over(wt).alias("fsum"),
+        F.count("*").over(wt).alias("fcnt"),
+    )
+    d = t.select(
+        "user_id",
+        "hus",
+        "vc",
+        F.expr(_TREND_EXPR).alias("trend"),
+        F.expr(_DQ_EXPR).alias("dq"),
+    )
+    hw = W.partitionBy("user_id", F.expr("(hus div 3600000000) % 24"))
+    s = d.select(
+        "user_id",
+        "hus",
+        "vc",
+        "trend",
+        "dq",
+        F.sum("dq").over(hw).alias("sdq"),
+        F.count("*").over(hw).alias("sc"),
+    )
+    return s.select(
+        "user_id",
+        F.col("hus").alias("hour_us"),
+        (F.col("vc") / 100.0).alias("hour_value"),
+        (F.col("trend") / 100.0).alias("trend"),
+        F.expr(_SEASONAL_EXPR).alias("seasonal"),
+        F.expr(_RESIDUAL_EXPR).alias("residual"),
+    )
