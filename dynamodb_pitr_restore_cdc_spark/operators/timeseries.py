@@ -549,8 +549,10 @@ def q_ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only order-sensitive float op happens per row on identical inputs
 _TREND_EXPR = "fsum / fcnt"
 _DQ_EXPR = f"CAST(floor((vc - {_TREND_EXPR}) * 1e4 + 0.5) AS BIGINT)"
-_SEASONAL_EXPR = "sdq / sc / 1e4 / 100.0"
-_RESIDUAL_EXPR = "(dq / 1e4 - sdq / sc / 1e4) / 100.0"
+# 1e2, never 100.0, inside shared text: Spark parses bare decimal
+# literals as DECIMAL while DuckDB reads DOUBLE (CLAUDE.md gotcha)
+_SEASONAL_EXPR = "sdq / sc / 1e4 / 1e2"
+_RESIDUAL_EXPR = "(dq / 1e4 - sdq / sc / 1e4) / 1e2"
 
 
 @register(

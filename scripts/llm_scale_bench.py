@@ -51,7 +51,9 @@ SHIFT_KEYS = {
 
 def replicate(spark, out_dir: str) -> None:
     for name, keys in SHIFT_KEYS.items():
-        src = table(spark, SF_DIR, name)
+        # one scan, not REPLICAS scans: persist the source before the
+        # replica union references it REPLICAS times (no cross-branch CSE)
+        src = table(spark, SF_DIR, name).persist()
         maxes = src.agg(*[F.max(k).alias(k) for k in keys]).first()
         parts = []
         for i in range(REPLICAS):
@@ -63,12 +65,13 @@ def replicate(spark, out_dir: str) -> None:
         for p in parts[1:]:
             acc = acc.unionByName(p)
         acc.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+        src.unpersist()
 
 
 def run_warm(spec, spark, sf_dir: str) -> float:
-    for _ in range(1):  # warm-up run (quantizer/index artifacts train here)
-        spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        release_persisted()
+    # warm-up run (quantizer/index artifacts train here)
+    spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    release_persisted()
     t0 = time.perf_counter()
     spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
     elapsed = time.perf_counter() - t0

@@ -106,10 +106,13 @@ def test_branch_merge_equals_naive_two_fold_diff(spark, seq_and_cuts):
     ops, cuts = seq_and_cuts
     if not ops:
         return
-    cut = (cuts[0] if cuts else len(ops) // 2)
     cl = to_batch(spark, ops, 0, len(ops))
-    got = {
-        r.key: (r.change_type, r.last_seq, r.payload_value, r.payload_value_old)
-        for r in branch_merge_frame(cl, cut).collect()
-    }
-    assert got == naive_branch_merge(ops, cut)
+    # two cuts per example: one drawn, plus the at-the-end endpoint
+    # (branch == main, diff must be empty) — min-of-drawn-cuts alone
+    # systematically under-samples large branch points
+    for cut in {(cuts[0] if cuts else len(ops) // 2), len(ops)}:
+        got = {
+            r.key: (r.change_type, r.last_seq, r.payload_value, r.payload_value_old)
+            for r in branch_merge_frame(cl, cut).collect()
+        }
+        assert got == naive_branch_merge(ops, cut), cut
