@@ -235,3 +235,50 @@ def q_win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         pc.alias("price_c"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+@register(
+    "q_win_trailing_hour",
+    oracle="""
+WITH e AS (
+    SELECT event_id, user_id, epoch_us(ts) AS us,
+           CAST(round(value * 100) AS BIGINT) AS vc
+    FROM events
+)
+SELECT event_id, user_id, us AS ts_us,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+       CAST(sum(vc) OVER w AS BIGINT) / 100.0 AS trailing_value
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_win_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per event, the count and exact cent-sum
+    of the user's events in the trailing hour [t-1h, t] — the sliding
+    aggregate rate-limiting, fraud scoring, and feature pipelines ask
+    for, expressed as a VALUE-based frame over epoch-µs (q_win_range_
+    numeric's time twin; contrast the ROWS frames of moving_avg). A
+    RANGE frame ends at the last PEER of the current row in both
+    engines, so tied timestamps contribute identically regardless of
+    intra-tie order — deterministic without an event_id tiebreak. One
+    shuffle on user_id; at 100 TB the frame scan is the sort's
+    sequential pass, no per-row rescans (bounded by events-per-hour)."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.col("us").alias("ts_us"),
+        F.count("*").over(w).alias("n_trailing"),
+        (F.sum("vc").over(w) / 100.0).alias("trailing_value"),
+    )

@@ -1509,3 +1509,80 @@ def branch_merge_frame(cl: DataFrame, cut: int) -> DataFrame:
             F.col("m.v").alias("payload_value_old"),
         )
     )
+
+
+def _history_oracle() -> str:
+    def diff(i: int) -> str:
+        return DIFF_SQL.format(
+            frm=f"h{i - 1}",
+            to=f"h{i}",
+            extra=f",\n           CAST({i} AS BIGINT) AS version",
+        )
+
+    ctes = (
+        ", cuts AS (SELECT max(seq_no) AS mx FROM changelog)"
+        ", h0 AS (SELECT * FROM (" + FOLD_SQL.format(pred="") + ") WHERE FALSE)"
+        ", h1 AS ("
+        + FOLD_SQL.format(pred=" WHERE seq_no <= (SELECT mx // 3 FROM cuts)")
+        + "), h2 AS ("
+        + FOLD_SQL.format(pred=" WHERE seq_no <= (SELECT (2 * mx) // 3 FROM cuts)")
+        + "), h3 AS ("
+        + FOLD_SQL.format(pred="")
+        + "), d AS ("
+        + " UNION ALL ".join(diff(i) for i in (1, 2, 3))
+        + "), sizes AS ("
+        "SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows FROM h1"
+        " UNION ALL SELECT 2, count(*) FROM h2"
+        " UNION ALL SELECT 3, count(*) FROM h3)"
+    )
+    return with_changelog(
+        ctes
+        + """
+SELECT s.version, s.n_rows,
+       count(CASE WHEN d.change_type = 'INSERT' THEN 1 END) AS n_inserts,
+       count(CASE WHEN d.change_type = 'UPDATE' THEN 1 END) AS n_updates,
+       count(CASE WHEN d.change_type = 'DELETE' THEN 1 END) AS n_deletes
+FROM sizes s LEFT JOIN d ON d.version = s.version
+GROUP BY 1, 2
+"""
+    )
+
+
+@register("q_cdc_history", oracle=_history_oracle())
+def q_cdc_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY for the versioned sink (the Delta `DESCRIBE
+    HISTORY` / Iceberg snapshots-table analog, and the audit surface a
+    PITR operator reads after a restore drill): one row per commit with
+    the table size at that version and the insert/update/delete counts
+    of the commit that produced it. Sizes read version manifests
+    (zero-copy time travel); per-commit change counts aggregate the
+    SAME changefeed the incremental consumers use — so the oracle's
+    prefix-fold + DIFF_SQL replay hash-checks commit accounting, feed
+    classification, and manifest pruning together. v1's history row is
+    its own fold (everything an INSERT onto the empty table)."""
+    sink, _, _ = shared_sink(spark, sf_dir)
+
+    def size_of(v: int) -> DataFrame:
+        return sink.visible(version=v).agg(
+            F.lit(v).cast("bigint").alias("version"),
+            F.count("*").alias("n_rows"),
+        )
+
+    def changes_of(v: int) -> DataFrame:
+        if v == 1:
+            return sink.visible(version=1).agg(
+                F.lit(1).cast("bigint").alias("version"),
+                F.count("*").alias("n_inserts"),
+                F.lit(0).cast("bigint").alias("n_updates"),
+                F.lit(0).cast("bigint").alias("n_deletes"),
+            )
+        return sink.changes_between(v - 1, v).agg(
+            F.lit(v).cast("bigint").alias("version"),
+            F.count(F.when(F.col("change_type") == "INSERT", 1)).alias("n_inserts"),
+            F.count(F.when(F.col("change_type") == "UPDATE", 1)).alias("n_updates"),
+            F.count(F.when(F.col("change_type") == "DELETE", 1)).alias("n_deletes"),
+        )
+
+    sizes = size_of(1).unionByName(size_of(2)).unionByName(size_of(3))
+    changes = changes_of(1).unionByName(changes_of(2)).unionByName(changes_of(3))
+    return sizes.join(changes, "version")
