@@ -101,3 +101,92 @@ def test_histogram_partitions_all_orders(spark):
     assert int(h["n_orders"].sum()) == len(o)
     assert (h["bin_lo"] % 25000 == 0).all()
     assert abs(h["sum_price"].sum() - round(o["o_totalprice"], 2).sum()) < 1.0
+
+
+def test_stl_decompose_matches_pandas_model(spark):
+    """Independent-semantics check for q_ts_stl_decompose: its Spark
+    builder and DuckDB oracle SHARE the trend/detrend/seasonal
+    expression text, so parity alone cannot catch a bug in that text —
+    this recomputes the decomposition from first principles (centered
+    25-observation mean, hour-of-day mean of the quantized detrended
+    values) in pandas/numpy."""
+    import math
+
+    from dynamodb_pitr_restore_cdc_spark.operators.timeseries import (
+        q_ts_stl_decompose,
+    )
+
+    got = q_ts_stl_decompose(spark, SF_SMOKE).toPandas()
+    e = table(spark, SF_SMOKE, "events").select("user_id", "ts", "value").toPandas()
+    e["hus"] = e["ts"].astype("int64") // 1000  # ns -> us
+    e["hus"] = (e["hus"] // 3_600_000_000) * 3_600_000_000
+    e["vc"] = (e["value"] * 100).round().astype("int64")
+    hourly = e.groupby(["user_id", "hus"], as_index=False)["vc"].sum()
+
+    want = {}
+    for uid, g in hourly.groupby("user_id"):
+        g = g.sort_values("hus").reset_index(drop=True)
+        vcs = g["vc"].to_numpy()
+        trend = np.array(
+            [vcs[max(0, i - 12): i + 13].mean() for i in range(len(vcs))]
+        )
+        dq = np.array(
+            [math.floor((v - t) * 1e4 + 0.5) for v, t in zip(vcs, trend)]
+        )
+        hod = (g["hus"].to_numpy() // 3_600_000_000) % 24
+        for h in np.unique(hod):
+            mask = hod == h
+            seasonal = dq[mask].sum() / mask.sum() / 1e4 / 1e2
+            for i in np.where(mask)[0]:
+                want[(uid, g["hus"][i])] = (
+                    trend[i] / 100.0,
+                    seasonal,
+                    dq[i] / 1e4 / 1e2 - seasonal,
+                )
+
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        t, s, res = want[(r.user_id, r.hour_us)]
+        assert abs(r.trend - t) < 1e-9, (r, t)
+        assert abs(r.seasonal - s) < 1e-9, (r, s)
+        assert abs(r.residual - res) < 1e-9, (r, res)
+
+
+def test_forecast_backtest_matches_python_model(spark):
+    """Same independent-semantics check for q_ts_forecast_backtest
+    (shared sMAPE quantization text): wall-clock 24h seasonal-naive
+    errors recomputed in plain Python."""
+    import math
+
+    from dynamodb_pitr_restore_cdc_spark.operators.timeseries import (
+        DAY_US,
+        q_ts_forecast_backtest,
+    )
+
+    got = q_ts_forecast_backtest(spark, SF_SMOKE).toPandas().set_index("user_id")
+    e = table(spark, SF_SMOKE, "events").select("user_id", "ts", "value").toPandas()
+    e["hus"] = (e["ts"].astype("int64") // 1000 // 3_600_000_000) * 3_600_000_000
+    e["vc"] = (e["value"] * 100).round().astype("int64")
+    hourly = e.groupby(["user_id", "hus"])["vc"].sum()
+
+    by_user = {}
+    for (uid, hus), vc in hourly.items():
+        vhat = hourly.get((uid, hus - DAY_US))
+        n, nf, ae, sq = by_user.get(uid, (0, 0, 0, 0))
+        if vhat is not None:
+            a = abs(int(vc) - int(vhat))
+            q = 0 if vc == 0 and vhat == 0 else math.floor(
+                (2 * 1e6 * a) / (abs(int(vc)) + abs(int(vhat))) + 0.5
+            )
+            nf, ae, sq = nf + 1, ae + a, sq + q
+        by_user[uid] = (n + 1, nf, ae, sq)
+
+    assert len(got) == len(by_user)
+    for uid, (n, nf, ae, sq) in by_user.items():
+        r = got.loc[uid]
+        assert r.n_hours == n and r.n_forecasts == nf, (uid, n, nf)
+        if nf == 0:
+            assert pd.isna(r.mae) and pd.isna(r.smape)
+        else:
+            assert abs(r.mae - ae / nf / 100.0) < 1e-9
+            assert abs(r.smape - sq / nf / 1e6) < 1e-9
