@@ -190,3 +190,84 @@ def test_forecast_backtest_matches_python_model(spark):
         else:
             assert abs(r.mae - ae / nf / 100.0) < 1e-9
             assert abs(r.smape - sq / nf / 1e6) < 1e-9
+
+
+def test_ewma_matches_python_model(spark):
+    """q_ts_ewma's numerator/denominator text is shared with its oracle
+    AND its streaming twin — recompute the truncated closed form (exact
+    3^j/4^j weights, per-term micro-unit quantization) independently."""
+    import math
+
+    from dynamodb_pitr_restore_cdc_spark.operators.timeseries import (
+        EWMA_LAGS,
+        q_ts_ewma,
+    )
+
+    got = q_ts_ewma(spark, SF_SMOKE).toPandas()
+    e = table(spark, SF_SMOKE, "events").select("user_id", "ts", "value").toPandas()
+    e["hus"] = (e["ts"].astype("int64") // 1000 // 3_600_000_000) * 3_600_000_000
+    e["vc"] = (e["value"] * 100).round().astype("int64")
+    hourly = e.groupby(["user_id", "hus"], as_index=False)["vc"].sum()
+
+    want = {}
+    for uid, g in hourly.groupby("user_id"):
+        g = g.sort_values("hus").reset_index(drop=True)
+        vcs = g["vc"].tolist()
+        for i in range(len(vcs)):
+            num = den = 0
+            for j in range(EWMA_LAGS + 1):
+                if i - j < 0:
+                    continue
+                num += math.floor((vcs[i - j] * 3**j) * 1e6 / 4**j + 0.5)
+                den += math.floor(1e6 * 3**j / 4**j + 0.5)
+            want[(uid, g["hus"][i])] = (vcs[i] / 100.0, (num / den) / 100.0)
+
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        hv, ew = want[(r.user_id, r.hour_us)]
+        assert r.hour_value == hv
+        assert abs(r.ewma_value - ew) < 1e-12, (r, ew)
+
+
+def test_autocorr_matches_python_model(spark):
+    """q_ts_autocorr derives through the byte-identical _ACF_EXPR in
+    both engines — recompute the full-series-centered ACF from the raw
+    integer sufficient statistics in plain Python (same IEEE op order
+    as the shared text; 1e-6 quantization absorbs any last-ulp skew)."""
+    import math
+
+    from dynamodb_pitr_restore_cdc_spark.operators.timeseries import q_ts_autocorr
+
+    got = q_ts_autocorr(spark, SF_SMOKE).toPandas().set_index("user_id")
+    e = table(spark, SF_SMOKE, "events").select("user_id", "ts", "value").toPandas()
+    e["hus"] = (e["ts"].astype("int64") // 1000 // 3_600_000_000) * 3_600_000_000
+    e["vc"] = (e["value"] * 100).round().astype("int64")
+    hourly = e.groupby(["user_id", "hus"], as_index=False)["vc"].sum()
+
+    def acf(vcs, k, n, s1, s2):
+        pairs = [(vcs[i], vcs[i - k]) for i in range(k, len(vcs))]
+        if not pairs:
+            return None
+        ck = sum(v * l for v, l in pairs)
+        sh = sum(v for v, _ in pairs)
+        st = sum(l for _, l in pairs)
+        cnt = len(pairs)
+        val = (ck - (s1 / n) * (sh + st) + cnt * (s1 / n) * (s1 / n)) / (
+            s2 - n * (s1 / n) * (s1 / n)
+        )
+        return math.floor(val * 1e6 + 0.5) / 1e6
+
+    checked = 0
+    for uid, g in hourly.groupby("user_id"):
+        vcs = g.sort_values("hus")["vc"].tolist()
+        n, s1, s2 = len(vcs), sum(vcs), sum(v * v for v in vcs)
+        if not (n > 48 and n * s2 - s1 * s1 > 0):
+            assert uid not in got.index
+            continue
+        r = got.loc[uid]
+        assert r.n == n
+        for k, col in ((1, r.acf_lag1), (24, r.acf_lag24)):
+            want = acf(vcs, k, n, s1, s2)
+            assert abs(col - want) < 1.5e-6, (uid, k, col, want)
+        checked += 1
+    assert checked == len(got)
