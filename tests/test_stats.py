@@ -271,3 +271,38 @@ def test_autocorr_matches_python_model(spark):
             assert abs(col - want) < 1.5e-6, (uid, k, col, want)
         checked += 1
     assert checked == len(got)
+
+
+def test_anomaly_zscore_matches_python_model(spark):
+    """q_ts_anomaly_zscore's _Z_EXPR is shared by builder, oracle, and
+    the streaming twin — recompute the population z-scores and the
+    flagged set from first principles, including that the THRESHOLD
+    compares the quantized value."""
+    import math
+
+    from dynamodb_pitr_restore_cdc_spark.operators.behavior import (
+        Z_THRESHOLD,
+        q_ts_anomaly_zscore,
+    )
+
+    got = q_ts_anomaly_zscore(spark, SF_SMOKE).toPandas().set_index("event_id")
+    e = table(spark, SF_SMOKE, "events").select("event_id", "user_id", "value").toPandas()
+    e["v"] = (e["value"] * 100).round().astype("int64")
+
+    flagged = {}
+    for uid, g in e.groupby("user_id"):
+        vs = g["v"].tolist()
+        n, s1, s2 = len(vs), sum(vs), sum(v * v for v in vs)
+        var = s2 / n - (s1 / n) * (s1 / n)
+        if var <= 0:
+            continue
+        for eid, v in zip(g["event_id"], vs):
+            z = math.floor(((v - s1 / n) / math.sqrt(var)) * 1e6 + 0.5) / 1e6
+            if abs(z) > Z_THRESHOLD:
+                flagged[eid] = (v / 100.0, z)
+
+    assert set(got.index) == set(flagged)
+    for eid, (val, z) in flagged.items():
+        r = got.loc[eid]
+        assert r.value == val
+        assert abs(r.zscore - z) < 1.5e-6, (eid, r.zscore, z)
