@@ -155,8 +155,9 @@ def q_ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 EWMA_LAGS = 20  # truncation horizon; (3/4)^20 ~ 0.3% residual mass
 
 
-def _ewma_sql_terms() -> tuple[str, str]:
-    """(numerator, denominator) expression text shared by both engines.
+def _ewma_terms(prefix: str) -> tuple[str, str]:
+    """(numerator, denominator) expression text shared by both engines,
+    over lag columns named ``{prefix}0`` .. ``{prefix}{EWMA_LAGS}``.
 
     α = 1/4 ⇒ weight_j ∝ (3/4)^j; the common α factor cancels in the
     normalized ratio. Each term embeds the EXACT integer pair (3^j,
@@ -169,12 +170,17 @@ def _ewma_sql_terms() -> tuple[str, str]:
     nums, dens = [], []
     for j in range(EWMA_LAGS + 1):
         p3, p4 = 3**j, 4**j
-        nums.append(f"coalesce(floor((lag{j} * {p3}) * 1e6 / {p4} + 0.5), 0)")
+        nums.append(f"coalesce(floor(({prefix}{j} * {p3}) * 1e6 / {p4} + 0.5), 0)")
         dens.append(
-            f"(CASE WHEN lag{j} IS NULL THEN 0"
+            f"(CASE WHEN {prefix}{j} IS NULL THEN 0"
             f" ELSE floor(1e6 * {p3} / {p4} + 0.5) END)"
         )
     return " + ".join(nums), " + ".join(dens)
+
+
+def _ewma_sql_terms() -> tuple[str, str]:
+    """The q_ts_ewma instance of :func:`_ewma_terms` (columns lag0..lag20)."""
+    return _ewma_terms("lag")
 
 
 _EWMA_NUM, _EWMA_DEN = _ewma_sql_terms()
@@ -641,4 +647,185 @@ def q_ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("trend") / 100.0).alias("trend"),
         F.expr(_SEASONAL_EXPR).alias("seasonal"),
         F.expr(_RESIDUAL_EXPR).alias("residual"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters (additive): deterministic level + trend + seasonal
+# ---------------------------------------------------------------------------
+
+# Brown's identity makes the recursive smoother oracle-safe: with a
+# common α, Holt's level/trend equal algebraic combinations of a single
+# and a double exponential smoothing of the (deseasonalized) series —
+#   level = 2·S' − S''      trend = (α/(1−α))·(S' − S'') = (S'−S'')/3
+# so the whole method reduces to TWO truncated-exact-weight EWMAs
+# (the q_ts_ewma discipline) plus integer arithmetic. S' is quantized
+# to integer cents before feeding S'' — the one precision trade the
+# discipline demands — and every cross-term sum stays exact BIGINT.
+_HW_NUM1, _HW_DEN1 = _ewma_terms("d")  # pass 1: deseasonalized cents
+_HW_NUM2, _HW_DEN2 = _ewma_terms("e")  # pass 2: over quantized S' cents
+_HW_S1_EXPR = f"CAST(floor((({_HW_NUM1}) / ({_HW_DEN1})) + 0.5) AS BIGINT)"
+_HW_S2_EXPR = f"CAST(floor((({_HW_NUM2}) / ({_HW_DEN2})) + 0.5) AS BIGINT)"
+
+
+def _hw_text(idiv: str) -> dict[str, str]:
+    """Shared Holt-Winters scalar texts; `idiv` is the integer-division
+    spelling (`div` Spark, `//` DuckDB — same truncation toward zero,
+    CLAUDE.md gotcha). Everything else is engine-identical text."""
+    return {
+        # additive seasonal index: hod mean − overall mean, both as
+        # half-up integer cent averages ((2S+n) div (2n))
+        "seas": (
+            f"(2 * s_hod + n_hod) {idiv} (2 * n_hod)"
+            f" - (2 * s_all + n_all) {idiv} (2 * n_all)"
+        ),
+        # one-step-ahead in-sample forecast: ŷ_t = l_{t-1} + b_{t-1}
+        # + s(hod_t); the trend third is rounded half-up in int space
+        "fc": f"(prev_level + (2 * prev_tr3 + 3) {idiv} 6 + seas_c) / 1e2",
+    }
+
+
+_HW_LAG1 = ", ".join(
+    f"lag(d_c, {j}) OVER (PARTITION BY user_id ORDER BY hus) AS d{j}"
+    for j in range(EWMA_LAGS + 1)
+)
+_HW_LAG2 = ", ".join(
+    f"lag(s1_c, {j}) OVER (PARTITION BY user_id ORDER BY hus) AS e{j}"
+    for j in range(EWMA_LAGS + 1)
+)
+_HW_O = _hw_text("//")
+
+
+@register(
+    "q_ts_holt_winters",
+    oracle=f"""
+WITH hourly AS (
+    SELECT user_id, epoch_us(date_trunc('hour', ts)) AS hus,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc
+    FROM events GROUP BY 1, 2
+), seas AS (
+    SELECT user_id, hus, vc,
+           CAST(sum(vc) OVER hw AS BIGINT) AS s_hod,
+           count(*) OVER hw AS n_hod,
+           CAST(sum(vc) OVER uw AS BIGINT) AS s_all,
+           count(*) OVER uw AS n_all
+    FROM hourly
+    WINDOW hw AS (PARTITION BY user_id, (hus // 3600000000) % 24),
+           uw AS (PARTITION BY user_id)
+), des AS (
+    SELECT user_id, hus, vc, {_HW_O["seas"]} AS seas_c FROM seas
+), dd AS (
+    SELECT *, vc - seas_c AS d_c FROM des
+), lag1 AS (
+    SELECT user_id, hus, vc, seas_c, {_HW_LAG1} FROM dd
+), s1 AS (
+    SELECT user_id, hus, vc, seas_c, {_HW_S1_EXPR} AS s1_c FROM lag1
+), lag2 AS (
+    SELECT user_id, hus, vc, seas_c, s1_c, {_HW_LAG2} FROM s1
+), s2 AS (
+    SELECT user_id, hus, vc, seas_c, s1_c, {_HW_S2_EXPR} AS s2_c FROM lag2
+), st AS (
+    SELECT user_id, hus, vc, seas_c,
+           2 * s1_c - s2_c AS level_c, s1_c - s2_c AS tr3 FROM s2
+), fin AS (
+    SELECT *,
+           lag(level_c, 1) OVER (PARTITION BY user_id ORDER BY hus) AS prev_level,
+           lag(tr3, 1) OVER (PARTITION BY user_id ORDER BY hus) AS prev_tr3
+    FROM st
+)
+SELECT user_id, hus AS hour_us, vc / 1e2 AS hour_value,
+       seas_c / 1e2 AS seasonal, level_c / 1e2 AS level,
+       tr3 / 3e2 AS trend, {_HW_O["fc"]} AS forecast
+FROM fin
+""",
+)
+def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters smoothing of each user's hourly series —
+    level, trend, seasonal index, and the one-step-ahead in-sample
+    forecast ŷ_t = l_(t-1) + b_(t-1) + s(hod_t) — made bit-reproducible
+    (the round-7 backlog's 'deterministic Holt-Winters' item). The
+    recursive textbook form is a float fold (order-dependent, useless
+    cross-engine); this uses the decomposition route every engine can
+    agree on:
+
+    1. additive seasonal index per (user, hour-of-day): half-up integer
+       cent means, hod mean − overall mean — two full-partition window
+       aggregates, no self-join (the hourly frame is referenced ONCE);
+    2. deseasonalize in exact cents;
+    3. Brown's identity: level = 2S'−S'', trend = (S'−S'')/3 where S'
+       and S'' are truncated-exact-weight EWMAs (α=1/4, 20 lags — the
+       q_ts_ewma template), S' quantized to integer cents before S''
+       consumes it so both passes sum exact BIGINTs;
+    4. forecast in pure integer space; first observation per user has
+       no prior state ⇒ NULL forecast (both engines state the same
+       convention).
+
+    Three hourly-grain shuffles — (user, hod) for the seasonal frame,
+    then user for the overall mean, reused by all four ordered lag
+    windows (Catalyst collapses them onto one sort). 100 TB: state is
+    the 21-lag window per user — the same bounded-history shape the
+    streaming EWMA twin carries, so a streaming Holt-Winters twin
+    needs only O(users·lags) state."""
+    s = _hw_text("div")
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id",
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("hus"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("vc"))
+    hw = W.partitionBy("user_id", F.expr("(hus div 3600000000) % 24"))
+    uw = W.partitionBy("user_id")
+    ow = W.partitionBy("user_id").orderBy("hus")
+    seas = hourly.select(
+        "user_id",
+        "hus",
+        "vc",
+        F.sum("vc").over(hw).alias("s_hod"),
+        F.count("*").over(hw).alias("n_hod"),
+        F.sum("vc").over(uw).alias("s_all"),
+        F.count("*").over(uw).alias("n_all"),
+    )
+    des = seas.select("user_id", "hus", "vc", F.expr(s["seas"]).alias("seas_c"))
+    dd = des.withColumn("d_c", F.col("vc") - F.col("seas_c"))
+    lag1 = dd.select(
+        "user_id",
+        "hus",
+        "vc",
+        "seas_c",
+        *[F.lag("d_c", j).over(ow).alias(f"d{j}") for j in range(EWMA_LAGS + 1)],
+    )
+    s1 = lag1.select(
+        "user_id", "hus", "vc", "seas_c", F.expr(_HW_S1_EXPR).alias("s1_c")
+    )
+    lag2 = s1.select(
+        "user_id",
+        "hus",
+        "vc",
+        "seas_c",
+        "s1_c",
+        *[F.lag("s1_c", j).over(ow).alias(f"e{j}") for j in range(EWMA_LAGS + 1)],
+    )
+    s2 = lag2.select(
+        "user_id", "hus", "vc", "seas_c", "s1_c", F.expr(_HW_S2_EXPR).alias("s2_c")
+    )
+    st = s2.select(
+        "user_id",
+        "hus",
+        "vc",
+        "seas_c",
+        (2 * F.col("s1_c") - F.col("s2_c")).alias("level_c"),
+        (F.col("s1_c") - F.col("s2_c")).alias("tr3"),
+    )
+    fin = st.select(
+        "*",
+        F.lag("level_c", 1).over(ow).alias("prev_level"),
+        F.lag("tr3", 1).over(ow).alias("prev_tr3"),
+    )
+    return fin.select(
+        "user_id",
+        F.col("hus").alias("hour_us"),
+        (F.col("vc") / F.lit(1e2)).alias("hour_value"),
+        (F.col("seas_c") / F.lit(1e2)).alias("seasonal"),
+        (F.col("level_c") / F.lit(1e2)).alias("level"),
+        (F.col("tr3") / F.lit(3e2)).alias("trend"),
+        F.expr(s["fc"]).alias("forecast"),
     )

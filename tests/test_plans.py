@@ -691,3 +691,19 @@ def test_stream_cusum_batch_plan_shapes(spark, sf_dir):
     p = plan_string(scored)
     assert "EvalPython" not in p
     assert has_broadcast_join(p)
+
+
+def test_holt_winters_reuses_one_user_exchange(plans):
+    # five window passes (hod seasonal, overall mean, two EWMA lag
+    # pulls, the prev-state lag) must share ONE user-level exchange:
+    # HashPartitioning(user_id) satisfies the (user_id, hod) clustering
+    # too, so the whole smoother is groupBy-shuffle + one reshuffle.
+    # A third exchange would mean a window got its own partitioning —
+    # the O(passes) shuffle regression this pin exists to catch.
+    p = plans("q_ts_holt_winters")
+    import re
+
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_exchange == 2, p
+    assert p.count("Join") == 0  # seasonal index via windows, not self-join
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
