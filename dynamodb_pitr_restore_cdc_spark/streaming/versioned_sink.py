@@ -1085,9 +1085,18 @@ def _changes_between(sink: VersionedCdcSink, v_from: int, v_to: int) -> DataFram
     changed = sorted(
         {b for b in set(m_from) | set(m_to) if m_from.get(b) != m_to.get(b)}
     )
-    a = visible(sink._read_buckets(m_from, only=changed)).alias("a")
-    b = visible(sink._read_buckets(m_to, only=changed)).alias("b")
-    j = a.join(b, on="key", how="full_outer")
+    a = visible(sink._read_buckets(m_from, only=changed))
+    b = visible(sink._read_buckets(m_to, only=changed))
+    return diff_states(a, b)
+
+
+def diff_states(a_vis: DataFrame, b_vis: DataFrame) -> DataFrame:
+    """Classified per-key diff of two VISIBLE states: the engine-side
+    half of the changefeed, shared by every versioned sink format
+    (VersionedCdcSink above, DeltaLogSink's CDF read) so the
+    classification semantics cannot silently diverge. The pre-image
+    column is what an incremental consumer needs to retract."""
+    j = a_vis.alias("a").join(b_vis.alias("b"), on="key", how="full_outer")
     return (
         j.select(
             F.col("key"),

@@ -1,0 +1,137 @@
+"""Delta-protocol mechanics of DeltaLogSink (what the seam suite can't
+see: log layout, put-if-absent commits, file immutability, stats-based
+skipping, checkpoint-bounded replay, vacuum)."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dynamodb_pitr_restore_cdc_spark.streaming.delta_log_sink import (
+    LOG_DIR,
+    DeltaLogSink,
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["key", "seq_no", "op", "payload_value"]),
+        schema="key long, seq_no long, op string, payload_value double",
+    )
+
+
+def _snapshot(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["key", "last_seq", "payload_value"]),
+        schema="key long, last_seq long, payload_value double",
+    )
+
+
+@pytest.fixture()
+def sink(spark, tmp_path):
+    s = DeltaLogSink(spark, str(tmp_path / "tbl"), n_buckets=4)
+    # keys 0..7 cover several of the 4 buckets
+    s.init(_snapshot(spark, [(k, 0, float(k)) for k in range(8)]))
+    return s
+
+
+def _actions(sink, v):
+    with open(os.path.join(sink.path, LOG_DIR, f"{v:020d}.json")) as fh:
+        return [json.loads(line) for line in fh]
+
+
+def test_log_layout_and_actions(sink):
+    acts = _actions(sink, 1)
+    kinds = [next(iter(a)) for a in acts]
+    assert kinds[0] == "commitInfo" and "metaData" in kinds and "add" in kinds
+    meta = next(a["metaData"] for a in acts if "metaData" in a)
+    assert meta["partitionColumns"] == ["bucket"]
+    assert "schemaString" in meta
+    for a in acts:
+        if "add" not in a:
+            continue
+        add = a["add"]
+        assert set(add["partitionValues"]) == {"bucket"}
+        stats = json.loads(add["stats"])
+        assert stats["numRecords"] >= 1
+        assert "key" in stats["minValues"] and "last_seq" in stats["maxValues"]
+        # directory-partitioned writes put exactly one bucket per file
+        assert f"bucket={add['partitionValues']['bucket']}" in add["path"]
+
+
+def test_merge_skips_untouched_buckets(sink, spark):
+    _, active_v1 = sink._state(1)
+    bucket_of = {
+        p: int(a["partitionValues"]["bucket"]) for p, a in active_v1.items()
+    }
+    # one-key batch: its bucket is the ONLY one the MERGE may touch
+    sink.apply_batch(_batch(spark, [(3, 10, "MODIFY", 3.5)]))
+    b3 = F.pmod(F.hash(F.lit(3).cast("long")), F.lit(4))
+    touched = spark.range(1).select(b3.alias("b")).first().b
+    removes = [a["remove"]["path"] for a in _actions(sink, 2) if "remove" in a]
+    assert removes, "MERGE must retire the files it replaced"
+    assert all(bucket_of[p] == touched for p in removes)
+    adds = [a["add"] for a in _actions(sink, 2) if "add" in a]
+    assert all(int(a["partitionValues"]["bucket"]) == touched for a in adds)
+
+
+def test_data_files_are_immutable(sink, spark):
+    _, active_v1 = sink._state(1)
+    sigs = {
+        p: os.path.getmtime(os.path.join(sink.path, p)) for p in active_v1
+    }
+    sink.apply_batch(_batch(spark, [(1, 10, "MODIFY", 9.9)]))
+    for p, mtime in sigs.items():
+        full = os.path.join(sink.path, p)
+        assert os.path.exists(full)
+        assert os.path.getmtime(full) == mtime  # never rewritten in place
+
+
+def test_commit_is_put_if_absent(sink):
+    with pytest.raises(FileExistsError):
+        sink._commit(1, [{"commitInfo": {"operation": "LOSER"}}])
+
+
+def test_checkpoint_bounds_replay_and_expiry_fails_loudly(sink, spark):
+    sink.apply_batch(_batch(spark, [(1, 10, "MODIFY", 1.5)]))
+    sink.apply_batch(_batch(spark, [(2, 20, "REMOVE", None)]))
+    before = sorted(
+        (r.key, r.payload_value) for r in sink.visible().collect()
+    )
+    assert sink.expire_versions(keep_last=1) == [1, 2]
+    lc = os.path.join(sink.path, LOG_DIR, "_last_checkpoint")
+    assert json.load(open(lc))["version"] == 3
+    assert os.path.exists(
+        os.path.join(sink.path, LOG_DIR, f"{3:020d}.checkpoint.json")
+    )
+    # state survives, replays purely from the checkpoint
+    after = sorted((r.key, r.payload_value) for r in sink.visible().collect())
+    assert after == before
+    with pytest.raises(ValueError, match="expired"):
+        sink.snapshot(1)
+
+
+def test_vacuum_deletes_only_unreferenced_files(sink, spark):
+    _, active_v1 = sink._state(1)
+    sink.apply_batch(_batch(spark, [(3, 10, "MODIFY", 3.5)]))
+    _, active_v2 = sink._state(2)
+    replaced = set(active_v1) - set(active_v2)
+    survivors = set(active_v1) & set(active_v2)
+    assert replaced and survivors  # untouched buckets' files carry over
+    sink.expire_versions(keep_last=1, sweep_orphans=True)
+    for p in replaced:
+        assert not os.path.exists(os.path.join(sink.path, p))
+    for p in survivors:
+        assert os.path.exists(os.path.join(sink.path, p))
+
+
+def test_optimize_uses_stats_and_converges(sink, spark):
+    sink.apply_batch(_batch(spark, [(5, 10, "REMOVE", None)]))
+    sink.compact(reorder_horizon_seq=11)
+    assert sink.snapshot().where(F.col("op") == "REMOVE").count() == 0
+    v_after = sink.latest_version()
+    # second pass: stats prove every file clean -> no new commit at all
+    sink.compact(reorder_horizon_seq=11)
+    assert sink.latest_version() == v_after

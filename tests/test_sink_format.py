@@ -20,6 +20,7 @@ from dynamodb_pitr_restore_cdc_spark.streaming.sink_format import (
     SinkFormat,
     VersionedSinkFormat,
 )
+from dynamodb_pitr_restore_cdc_spark.streaming.delta_log_sink import DeltaLogSink
 from dynamodb_pitr_restore_cdc_spark.streaming.versioned_sink import VersionedCdcSink
 
 
@@ -44,7 +45,12 @@ def _rows(df):
 FACTORIES = {
     "bucketed": lambda spark, path: BucketedCdcSink(spark, path, n_buckets=4),
     "versioned": lambda spark, path: VersionedCdcSink(spark, path, n_buckets=4),
+    # the Delta-protocol-shaped format (delta_log_sink.py): the proof
+    # that a transaction-log table format drops in behind the seam
+    "delta": lambda spark, path: DeltaLogSink(spark, path, n_buckets=4),
 }
+VERSIONED = ["versioned", "delta"]
+COMPACTING = ["bucketed", "delta"]
 
 
 def test_structural_conformance():
@@ -55,6 +61,10 @@ def test_structural_conformance():
     assert issubclass(BucketedCdcSink, CompactingSinkFormat)
     assert issubclass(VersionedCdcSink, VersionedSinkFormat)
     assert not issubclass(BucketedCdcSink, VersionedSinkFormat)
+    # the Delta-shaped log implements every seam extension
+    assert issubclass(DeltaLogSink, SinkFormat)
+    assert issubclass(DeltaLogSink, CompactingSinkFormat)
+    assert issubclass(DeltaLogSink, VersionedSinkFormat)
 
 
 def _drive(sink: SinkFormat, spark) -> None:
@@ -90,8 +100,9 @@ def test_stale_op_after_remove_stays_dead_through_seam(spark, tmp_path, name):
     assert _rows(sink.visible()) == []
 
 
-def test_tombstone_compaction_preserves_visible(spark, tmp_path):
-    sink: CompactingSinkFormat = FACTORIES["bucketed"](spark, str(tmp_path / "c"))
+@pytest.mark.parametrize("name", COMPACTING)
+def test_tombstone_compaction_preserves_visible(spark, tmp_path, name):
+    sink: CompactingSinkFormat = FACTORIES[name](spark, str(tmp_path / "c"))
     _drive(sink, spark)
     before = _rows(sink.visible())
     sink.compact(reorder_horizon_seq=21)  # key 3's tombstone (seq 20) settled
@@ -101,8 +112,9 @@ def test_tombstone_compaction_preserves_visible(spark, tmp_path):
     assert sink.snapshot().where(F.col("op") == "REMOVE").count() == 0
 
 
-def test_time_travel_prefix_equality_through_seam(spark, tmp_path):
-    sink: VersionedSinkFormat = FACTORIES["versioned"](spark, str(tmp_path / "v"))
+@pytest.mark.parametrize("name", VERSIONED)
+def test_time_travel_prefix_equality_through_seam(spark, tmp_path, name):
+    sink: VersionedSinkFormat = FACTORIES[name](spark, str(tmp_path / "v"))
     _drive(sink, spark)
     assert sink.latest_version() == 3
     # v2 = init + first batch only
@@ -112,8 +124,9 @@ def test_time_travel_prefix_equality_through_seam(spark, tmp_path):
     assert _rows(visible(sink.snapshot())) == EXPECTED_FINAL
 
 
-def test_changefeed_classification_through_seam(spark, tmp_path):
-    sink: VersionedSinkFormat = FACTORIES["versioned"](spark, str(tmp_path / "f"))
+@pytest.mark.parametrize("name", VERSIONED)
+def test_changefeed_classification_through_seam(spark, tmp_path, name):
+    sink: VersionedSinkFormat = FACTORIES[name](spark, str(tmp_path / "f"))
     _drive(sink, spark)
     feed = {
         r.key: (r.change_type, r.payload_value, r.payload_value_old)
@@ -125,8 +138,9 @@ def test_changefeed_classification_through_seam(spark, tmp_path):
     }
 
 
-def test_retention_expiry_through_seam(spark, tmp_path):
-    sink: VersionedSinkFormat = FACTORIES["versioned"](spark, str(tmp_path / "r"))
+@pytest.mark.parametrize("name", VERSIONED)
+def test_retention_expiry_through_seam(spark, tmp_path, name):
+    sink: VersionedSinkFormat = FACTORIES[name](spark, str(tmp_path / "r"))
     _drive(sink, spark)
     expired = sink.expire_versions(keep_last=1)
     assert expired == [1, 2]

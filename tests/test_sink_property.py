@@ -54,3 +54,72 @@ def test_bucketed_sink_equals_fold(spark, tmp_path_factory, data):
 
     got = {r.key: (r.last_seq, r.payload_value) for r in sink.visible().collect()}
     assert got == naive_fold(ops)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_delta_sink_equals_fold_and_feed_equals_state_diff(
+    spark, tmp_path_factory, data
+):
+    # same integration property, through the Delta-protocol format —
+    # PLUS the changefeed invariant: changes_between(v2, v3) must equal
+    # the dict-diff of the naive fold before/after the second batch
+    from dynamodb_pitr_restore_cdc_spark.streaming.delta_log_sink import (
+        DeltaLogSink,
+    )
+
+    n = data.draw(st.integers(1, 15))
+    ops = [
+        (
+            data.draw(st.integers(0, 5)),
+            data.draw(st.sampled_from(["INSERT", "MODIFY", "REMOVE"])),
+            float(data.draw(st.integers(0, 99))),
+        )
+        for _ in range(n)
+    ]
+    assignment = [data.draw(st.integers(0, 1)) for _ in range(n)]
+
+    path = str(tmp_path_factory.mktemp("deltaprop"))
+    sink = DeltaLogSink(spark, path + "/d", n_buckets=4)
+    sink.init(
+        to_batch(spark, []).selectExpr(
+            "key", "seq_no as last_seq", "op", "payload_value"
+        )
+    )
+    batches = [
+        [(key, seq, op, val) for seq, (key, op, val) in enumerate(ops)
+         if assignment[seq] == b]
+        for b in range(2)
+    ]
+    for rows in batches:
+        sink.apply_batch(to_batch(spark, rows))
+
+    got = {r.key: (r.last_seq, r.payload_value) for r in sink.visible().collect()}
+    assert got == naive_fold(ops)
+
+    def fold_rows(rows):
+        # sequential fold carrying GLOBAL seq numbers (a re-enumerated
+        # fold would mistake a stale cross-batch replay for an update)
+        state = {}
+        for key, seq, op, val in sorted(rows, key=lambda r: r[1]):
+            if op == "REMOVE":
+                state.pop(key, None)
+            else:
+                state[key] = (seq, val)
+        return state
+
+    mid = fold_rows(batches[0])
+    final = fold_rows(batches[0] + batches[1])
+    expect = {}
+    for k in set(mid) | set(final):
+        if k not in mid:
+            expect[k] = ("INSERT", final[k][1], None)
+        elif k not in final:
+            expect[k] = ("DELETE", None, mid[k][1])
+        elif mid[k][0] != final[k][0]:
+            expect[k] = ("UPDATE", final[k][1], mid[k][1])
+    feed = {
+        r.key: (r.change_type, r.payload_value, r.payload_value_old)
+        for r in sink.changes_between(2, 3).collect()
+    }
+    assert feed == expect
