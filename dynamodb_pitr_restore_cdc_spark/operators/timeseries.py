@@ -680,8 +680,14 @@ def _hw_text(idiv: str) -> dict[str, str]:
             f" - (2 * s_all + n_all) {idiv} (2 * n_all)"
         ),
         # one-step-ahead in-sample forecast: ŷ_t = l_{t-1} + b_{t-1}
-        # + s(hod_t); the trend third is rounded half-up in int space
-        "fc": f"(prev_level + (2 * prev_tr3 + 3) {idiv} 6 + seas_c) / 1e2",
+        # + s(hod_t); the trend third rounds half-up via floor(x+0.5)
+        # — sign-safe (trend is routinely NEGATIVE, where `div`
+        # truncation would bias the forecast toward zero; the
+        # (2S+n) div (2n) idiom is positive-only, rounding.py)
+        "fc": (
+            "(prev_level + CAST(floor(prev_tr3 / 3e0 + 0.5) AS BIGINT)"
+            " + seas_c) / 1e2"
+        ),
     }
 
 
@@ -696,9 +702,9 @@ _HW_LAG2 = ", ".join(
 _HW_O = _hw_text("//")
 
 
-@register(
-    "q_ts_holt_winters",
-    oracle=f"""
+# shared with the real-stream twin (streaming/twins.q_stream_holt_winters),
+# which must emit the IDENTICAL rows under incremental evaluation
+HW_ORACLE = f"""
 WITH hourly AS (
     SELECT user_id, epoch_us(date_trunc('hour', ts)) AS hus,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc
@@ -737,8 +743,10 @@ SELECT user_id, hus AS hour_us, vc / 1e2 AS hour_value,
        seas_c / 1e2 AS seasonal, level_c / 1e2 AS level,
        tr3 / 3e2 AS trend, {_HW_O["fc"]} AS forecast
 FROM fin
-""",
-)
+"""
+
+
+@register("q_ts_holt_winters", oracle=HW_ORACLE)
 def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive Holt-Winters smoothing of each user's hourly series —
     level, trend, seasonal index, and the one-step-ahead in-sample
@@ -756,9 +764,10 @@ def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
        and S'' are truncated-exact-weight EWMAs (α=1/4, 20 lags — the
        q_ts_ewma template), S' quantized to integer cents before S''
        consumes it so both passes sum exact BIGINTs;
-    4. forecast in pure integer space; first observation per user has
-       no prior state ⇒ NULL forecast (both engines state the same
-       convention).
+    4. forecast from integer state, the trend third quantized half-up
+       with the sign-safe floor(x+0.5) idiom; first observation per
+       user has no prior state ⇒ NULL forecast (both engines state
+       the same convention).
 
     Three hourly-grain shuffles — (user, hod) for the seasonal frame,
     then user for the overall mean, reused by all four ordered lag

@@ -117,13 +117,17 @@ class DeltaLogSink:
 
     def _newest_checkpoint_at_most(self, v: int) -> int | None:
         """Honor _last_checkpoint first (Delta's fast path), fall back
-        to a directory listing (its documented recovery path)."""
+        to a directory listing (its documented recovery path — which
+        the protocol requires to also cover a CORRUPT pointer file: a
+        crash mid-write must not wedge every subsequent read)."""
         lc = os.path.join(self._log_dir(), "_last_checkpoint")
-        if os.path.exists(lc):
+        try:
             with open(lc) as fh:
                 cv = json.load(fh)["version"]
             if cv <= v and os.path.exists(self._ckpt_path(cv)):
                 return cv
+        except (OSError, ValueError, KeyError):
+            pass  # missing, torn, or stale pointer: use the listing
         cks = sorted(
             int(f.partition(".")[0])
             for f in os.listdir(self._log_dir())
@@ -175,13 +179,16 @@ class DeltaLogSink:
         return F.pmod(F.hash(key_col), F.lit(self.n_buckets)).alias("bucket")
 
     def _write_data(self, bucketed: DataFrame, v: int) -> list[dict]:
-        """Write one commit's data files (immutable, commit-scoped dir,
-        directory-partitioned by bucket, one file per bucket) and build
+        """Write one commit ATTEMPT's data files (immutable, attempt-
+        scoped dir — the uuid suffix means a crashed or commit-losing
+        attempt can never collide with a retry's write, so os.link on
+        the log file stays the one true arbiter; orphaned attempt dirs
+        are debris that vacuum's sweep_orphans reclaims) and build
         their add actions with footer-derived stats — the stats read is
         a driver-side parquet-metadata peek, not a data scan."""
         import pyarrow.parquet as pq
 
-        rel_dir = os.path.join("files", f"c{v:06d}")
+        rel_dir = os.path.join("files", f"c{v:06d}-{uuid.uuid4().hex[:8]}")
         out = os.path.join(self.path, rel_dir)
         (
             bucketed.repartition("bucket")
@@ -336,6 +343,12 @@ class DeltaLogSink:
         settled = (F.col("op") == "REMOVE") & (
             F.col("last_seq") < reorder_horizon_seq
         )
+        # stats admit false positives (a post-merge file mixing old live
+        # rows with a FRESH tombstone passes may_hold_settled forever) —
+        # without this exact check, periodic OPTIMIZE would rewrite such
+        # buckets and grow the log unboundedly
+        if cur.where(settled).limit(1).count() == 0:
+            return
         kept = cur.where(~settled)
         v = self.latest_version() + 1
         adds = self._write_data(
@@ -394,15 +407,42 @@ class DeltaLogSink:
         expired = [v for v in on_disk if v < horizon]
         if not expired:
             return []
-        # referenced-file accounting BEFORE anything is deleted: one
-        # incremental replay collects each retained version's active set
+        # referenced-file accounting BEFORE anything is deleted: ONE
+        # incremental replay (each commit file read exactly once) seeds
+        # from the newest checkpoint covering the oldest surviving
+        # commit, applies commits in order, and snapshots the active
+        # set at every version boundary at or past the horizon
         keep_files: set[str] = set()
         all_refs: set[str] = set()
         schema_at_horizon = None
         active_at_horizon: dict[str, dict] = {}
-        for v in on_disk:
-            schema, active = self._state(v)
+        schema: str | None = None
+        active: dict[str, dict] = {}
+        start = 1
+        ck0 = self._newest_checkpoint_at_most(on_disk[0])
+        if ck0 is not None:
+            with open(self._ckpt_path(ck0)) as fh:
+                for line in fh:
+                    a = json.loads(line)
+                    if "metaData" in a:
+                        schema = a["metaData"]["schemaString"]
+                    elif "add" in a:
+                        active[a["add"]["path"]] = a["add"]
+            start = ck0 + 1
             all_refs.update(active)
+            # ck0 < horizon always holds here: ck0 is the previous
+            # horizon, and a wider keep_last would have early-returned
+        for v in range(start, latest + 1):
+            with open(self._log_path(v)) as fh:
+                for line in fh:
+                    a = json.loads(line)
+                    if "metaData" in a:
+                        schema = a["metaData"]["schemaString"]
+                    elif "add" in a:
+                        active[a["add"]["path"]] = a["add"]
+                        all_refs.add(a["add"]["path"])
+                    elif "remove" in a:
+                        active.pop(a["remove"]["path"], None)
             if v == horizon:
                 schema_at_horizon, active_at_horizon = schema, dict(active)
             if v >= horizon:
@@ -415,8 +455,18 @@ class DeltaLogSink:
             for a in active_at_horizon.values():
                 fh.write(json.dumps({"add": a}) + "\n")
         os.replace(ck + ".tmp", ck)
-        with open(os.path.join(self._log_dir(), "_last_checkpoint"), "w") as fh:
+        # pointer write is torn-read-safe: tmp + atomic rename (readers
+        # additionally tolerate a corrupt pointer, _newest_checkpoint_at_most)
+        lc = os.path.join(self._log_dir(), "_last_checkpoint")
+        with open(lc + ".tmp", "w") as fh:
             json.dump({"version": horizon}, fh)
+        os.replace(lc + ".tmp", lc)
+        # superseded checkpoints must go WITH their commits: a stale
+        # checkpoint below the horizon would let _state resolve an
+        # expired version against vacuumed files instead of raising
+        for f in os.listdir(self._log_dir()):
+            if f.endswith(".checkpoint.json") and int(f.partition(".")[0]) < horizon:
+                os.remove(os.path.join(self._log_dir(), f))
         for v in expired:
             os.remove(self._log_path(v))
         for rel in sorted(all_refs - keep_files):

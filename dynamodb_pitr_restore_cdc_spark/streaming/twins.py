@@ -805,3 +805,266 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+# --- streaming Holt-Winters: two-phase seasonal smoothing -----------------
+
+def run_hw_stream(
+    spark: SparkSession, src: str, work: str, out: str, seas_path: str
+) -> None:
+    """Drain hour-aligned event splits, emitting each observed hour's
+    Holt-Winters row (the q_ts_holt_winters closed form) incrementally
+    against the FINAL seasonal index at `seas_path` (phase-1 output,
+    user_id × hour-of-day × seas_c).
+
+    State per user = the trailing EWMA_LAGS observed hours carrying
+    (vc, s1_c, level_c, tr3): the d-lags of a new hour need the prior
+    20 deseasonalized values (vc and the broadcast-free seas join
+    recover them), the e-lags need the prior 20 QUANTIZED first
+    smoothings — which must be the values computed when those hours
+    were live, never recomputed from a truncated window — and the
+    one-step forecast needs the last (level, trend). O(users·lags)
+    forever, like the EWMA tail. Durable-pointer resumable (pointer
+    written AFTER data; replayed epochs overwrite their own output)."""
+    from ..operators.timeseries import (
+        EWMA_LAGS,
+        _HW_S1_EXPR,
+        _HW_S2_EXPR,
+        _hw_text,
+    )
+
+    s = _hw_text("div")
+    pointer = os.path.join(work, "_LATEST")
+    if os.path.exists(pointer):
+        with open(pointer) as fh:
+            tail_path = fh.read().strip()
+    else:
+        tail_path = os.path.join(work, "v_init")
+        spark.range(0).selectExpr(
+            "id AS user_id",
+            "id AS hus",
+            "id AS vc",
+            "id AS s1_c",
+            "id AS level_c",
+            "id AS tr3",
+        ).write.mode("overwrite").parquet(tail_path)
+        with open(pointer, "w") as fh:
+            fh.write(tail_path)
+    state = {"path": tail_path}
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        new_path = os.path.join(work, f"v{epoch_id}")
+        if new_path == state["path"]:  # replayed epoch
+            return
+        sess = batch_df.sparkSession
+        tail = sess.read.parquet(state["path"]).withColumn("is_new", F.lit(0))
+        newh = (
+            _hourly(batch_df)
+            .select(
+                "user_id",
+                "hus",
+                F.col("value_c").alias("vc"),
+                F.lit(None).cast("long").alias("s1_c"),
+                F.lit(None).cast("long").alias("level_c"),
+                F.lit(None).cast("long").alias("tr3"),
+            )
+            .withColumn("is_new", F.lit(1))
+        )
+        seas = sess.read.parquet(seas_path)  # (user_id, hod, seas_c)
+        comb = (
+            tail.unionByName(newh)
+            .withColumn("hod", F.expr("(hus div 3600000000) % 24"))
+            # equi-join, not broadcast: the index is O(users·24) — at
+            # scale it shuffles with the (small) hourly batch, never
+            # pinned driver-side
+            .join(seas, ["user_id", "hod"], "left")
+            .withColumn("d_c", F.col("vc") - F.col("seas_c"))
+        )
+        w = W.partitionBy("user_id").orderBy("hus")
+        lag1 = comb.select(
+            "user_id",
+            "hus",
+            "vc",
+            "seas_c",
+            "is_new",
+            "s1_c",
+            "level_c",
+            "tr3",
+            *[F.lag("d_c", j).over(w).alias(f"d{j}") for j in range(EWMA_LAGS + 1)],
+        )
+        # carried s1 for tail rows (their full history is gone — a
+        # recompute here would silently use a truncated window);
+        # computed s1 for new rows
+        s1r = lag1.withColumn(
+            "s1_c",
+            F.when(F.col("is_new") == 1, F.expr(_HW_S1_EXPR)).otherwise(
+                F.col("s1_c")
+            ),
+        )
+        lag2 = s1r.select(
+            "user_id",
+            "hus",
+            "vc",
+            "seas_c",
+            "is_new",
+            "s1_c",
+            "level_c",
+            "tr3",
+            *[F.lag("s1_c", j).over(w).alias(f"e{j}") for j in range(EWMA_LAGS + 1)],
+        )
+        s2r = (
+            lag2.withColumn("s2_c", F.expr(_HW_S2_EXPR))
+            .withColumn(
+                "level_c",
+                F.when(
+                    F.col("is_new") == 1, 2 * F.col("s1_c") - F.col("s2_c")
+                ).otherwise(F.col("level_c")),
+            )
+            .withColumn(
+                "tr3",
+                F.when(
+                    F.col("is_new") == 1, F.col("s1_c") - F.col("s2_c")
+                ).otherwise(F.col("tr3")),
+            )
+        )
+        fin = s2r.select(
+            "user_id",
+            "hus",
+            "vc",
+            "seas_c",
+            "is_new",
+            "s1_c",
+            "level_c",
+            "tr3",
+            F.lag("level_c", 1).over(w).alias("prev_level"),
+            F.lag("tr3", 1).over(w).alias("prev_tr3"),
+        )
+        emitted = fin.where(F.col("is_new") == 1).select(
+            "user_id",
+            F.col("hus").alias("hour_us"),
+            (F.col("vc") / F.lit(1e2)).alias("hour_value"),
+            (F.col("seas_c") / F.lit(1e2)).alias("seasonal"),
+            (F.col("level_c") / F.lit(1e2)).alias("level"),
+            (F.col("tr3") / F.lit(3e2)).alias("trend"),
+            F.expr(s["fc"]).alias("forecast"),
+        )
+        # per-epoch OVERWRITE, never a shared append (crash replay)
+        emitted.write.mode("overwrite").parquet(os.path.join(out, f"e{epoch_id}"))
+        wd = W.partitionBy("user_id").orderBy(F.desc("hus"))
+        new_tail = (
+            fin.withColumn("rn", F.row_number().over(wd))
+            .where(F.col("rn") <= EWMA_LAGS)
+            .select("user_id", "hus", "vc", "s1_c", "level_c", "tr3")
+        )
+        new_tail.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+        with open(pointer, "w") as fh:  # pointer AFTER data (crash replay)
+            fh.write(new_path)
+
+    q = (
+        spark.readStream.schema("user_id long, us long, value_c long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(work, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_emitted_hw(spark: SparkSession, out: str) -> DataFrame:
+    """Union the per-epoch Holt-Winters emissions (empty run -> empty
+    typed frame)."""
+    schema = (
+        "user_id long, hour_us long, hour_value double, seasonal double, "
+        "level double, trend double, forecast double"
+    )
+    epoch_dirs = [
+        os.path.join(out, e)
+        for e in sorted(os.listdir(out)) if e.startswith("e")
+    ] if os.path.isdir(out) else []
+    if not epoch_dirs:
+        return spark.range(0).selectExpr(
+            "id AS user_id", "id AS hour_us",
+            "CAST(NULL AS DOUBLE) AS hour_value",
+            "CAST(NULL AS DOUBLE) AS seasonal",
+            "CAST(NULL AS DOUBLE) AS level",
+            "CAST(NULL AS DOUBLE) AS trend",
+            "CAST(NULL AS DOUBLE) AS forecast",
+        )
+    return spark.read.schema(schema).parquet(*epoch_dirs)
+
+
+def write_hw_seasonal_index(e: DataFrame, seas_path: str) -> None:
+    """Phase 1: the final additive seasonal index (user × hour-of-day),
+    exactly the batch twin's window formulation — the hourly frame is
+    referenced once; dropDuplicates reduces the per-row window values
+    to the per-cell index."""
+    from ..operators.timeseries import _hw_text
+
+    s = _hw_text("div")
+    hourly = e.groupBy(
+        "user_id", F.expr("(us div 3600000000) * 3600000000").alias("hus")
+    ).agg(F.sum("value_c").alias("vc"))
+    hw = W.partitionBy("user_id", F.expr("(hus div 3600000000) % 24"))
+    uw = W.partitionBy("user_id")
+    (
+        hourly.select(
+            "user_id",
+            F.expr("(hus div 3600000000) % 24").alias("hod"),
+            F.sum("vc").over(hw).alias("s_hod"),
+            F.count("*").over(hw).alias("n_hod"),
+            F.sum("vc").over(uw).alias("s_all"),
+            F.count("*").over(uw).alias("n_all"),
+        )
+        .select("user_id", "hod", F.expr(s["seas"]).alias("seas_c"))
+        .dropDuplicates(["user_id", "hod"])
+        .write.mode("overwrite")
+        .parquet(seas_path)
+    )
+
+
+def _hw_oracle() -> str:
+    from ..operators.timeseries import HW_ORACLE
+
+    return HW_ORACLE
+
+
+@register("q_stream_holt_winters", oracle=_hw_oracle())
+def q_stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-stream twin of q_ts_holt_winters (same oracle): the
+    decomposition route splits into exactly the two-phase shape every
+    'smooth against global structure' pipeline has at scale — a stats
+    pass producing the O(users·24) seasonal index (phase 1; the live
+    complete-mode variant is demonstrated by q_stream_anomaly_zscore's
+    moment stream), then a scoring stream whose carryover is the
+    trailing EWMA_LAGS hours per user with their quantized first
+    smoothings and last (level, trend) — O(users·lags) state no matter
+    how long the stream runs. Splits are hour-aligned so no hour
+    straddles a micro-batch; every emitted row must hash-match the
+    batch pass, Brown's-identity arithmetic and all."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
+    )
+    p1, p2 = _ts_tertiles(table(spark, sf_dir, "events"), "ts")
+    h1 = (p1 // 3_600_000_000) * 3_600_000_000
+    h2 = (p2 // 3_600_000_000) * 3_600_000_000
+    us = F.col("us")
+    src, work, out = (
+        _fresh_dir("hw-src"),
+        _fresh_dir("hw-work"),
+        _fresh_dir("hw-out"),
+    )
+    _write_split_files(e, [us < h1, (us >= h1) & (us < h2), us >= h2], src)
+    seas_path = os.path.join(work, "seas")
+    write_hw_seasonal_index(e, seas_path)
+
+    run_hw_stream(spark, src, work, out, seas_path)
+    result = tracked_persist(read_emitted_hw(spark, out))
+    result.count()  # materialize before removing the backing dirs
+    for d in (src, work, out):
+        shutil.rmtree(d, ignore_errors=True)
+    return result

@@ -135,3 +135,59 @@ def test_optimize_uses_stats_and_converges(sink, spark):
     # second pass: stats prove every file clean -> no new commit at all
     sink.compact(reorder_horizon_seq=11)
     assert sink.latest_version() == v_after
+
+
+def test_second_expiry_cycle_expires_loudly(sink, spark):
+    # a superseded checkpoint must die with its commits: after TWO
+    # expiry cycles, time travel to a version expired in the first
+    # cycle's window still raises the designed error instead of
+    # resolving via a stale checkpoint onto vacuumed files
+    sink.apply_batch(_batch(spark, [(1, 10, "MODIFY", 1.1)]))
+    sink.apply_batch(_batch(spark, [(1, 11, "MODIFY", 1.2)]))
+    sink.expire_versions(keep_last=1)  # checkpoint@3, drops 1-2
+    sink.apply_batch(_batch(spark, [(1, 12, "MODIFY", 1.3)]))
+    sink.apply_batch(_batch(spark, [(1, 13, "MODIFY", 1.4)]))
+    assert sink.expire_versions(keep_last=1) == [3, 4]  # checkpoint@5
+    for v in (1, 2, 3, 4):
+        with pytest.raises(ValueError, match="expired"):
+            sink.snapshot(v)
+    assert sorted(
+        (r.key, r.payload_value) for r in sink.visible().collect()
+    )[1] == (1, 1.4)
+
+
+def test_crashed_write_attempt_does_not_wedge(sink, spark):
+    # simulate a crash between data write and log publication: the
+    # attempt-scoped data dir must not collide with the retry
+    v = sink.latest_version() + 1
+    orphan = sink._write_data(
+        _batch(spark, [(1, 10, "MODIFY", 5.0)])
+        .withColumnRenamed("seq_no", "last_seq")
+        .withColumn("bucket", sink._bucket(F.col("key"))),
+        v,
+    )  # files exist, commit never happens
+    assert orphan
+    sink.apply_batch(_batch(spark, [(1, 10, "MODIFY", 5.0)]))  # retry works
+    assert sink.latest_version() == v
+    rows = {r.key: r.payload_value for r in sink.visible().collect()}
+    assert rows[1] == 5.0
+
+
+def test_corrupt_last_checkpoint_is_tolerated(sink, spark):
+    sink.apply_batch(_batch(spark, [(1, 10, "MODIFY", 1.5)]))
+    sink.expire_versions(keep_last=1)
+    lc = os.path.join(sink.path, LOG_DIR, "_last_checkpoint")
+    with open(lc, "w") as fh:
+        fh.write('{"ver')  # torn mid-write
+    rows = {r.key: r.payload_value for r in sink.visible().collect()}
+    assert rows[1] == 1.5  # listing fallback found the checkpoint
+
+
+def test_optimize_converges_on_mixed_fresh_tombstone_file(sink, spark):
+    # post-merge shape: one file holds old live rows AND a fresh
+    # (unsettled) tombstone — stats admit it forever, so only the
+    # exact emptiness check stops OPTIMIZE from rewriting it each call
+    sink.apply_batch(_batch(spark, [(0, 50, "REMOVE", None)]))
+    v = sink.latest_version()
+    sink.compact(reorder_horizon_seq=10)  # tombstone seq 50 NOT settled
+    assert sink.latest_version() == v  # no-op commit suppressed

@@ -397,3 +397,59 @@ def test_semantic_neardup_stream_resumes_without_duplicate_pairs(spark, tmp_path
     assert got == want
     assert len(got) == len({(a, b) for a, b, _ in got})  # no pair twice
     assert len(got) > 0
+
+
+def test_hw_stream_resumes_with_carried_smoothings(spark, tmp_path):
+    """The Holt-Winters carryover (trailing 20 hours with their
+    QUANTIZED first smoothings and last level/trend per user) must
+    survive a crash: phase 1 drains two hour-aligned splits, the
+    restart sees one more; every emitted row must equal the fresh
+    single-run emission (which parity already proves == batch). The
+    30-hour user pushes the s1 tail through the carryover twice — a
+    recomputed-from-truncated-history s1 would diverge here."""
+    import os
+
+    from dynamodb_pitr_restore_cdc_spark.streaming.stream_queries import (
+        _write_one_split,
+    )
+    from dynamodb_pitr_restore_cdc_spark.streaming.twins import (
+        read_emitted_hw,
+        run_hw_stream,
+        write_hw_seasonal_index,
+    )
+
+    H = 3_600_000_000
+
+    def ev(rows):
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "us", "value_c"]),
+            schema="user_id long, us long, value_c long",
+        )
+
+    rows = [(0, h * H, 100 + 7 * h % 50) for h in range(30)] + [
+        (1, 2 * H, 7),
+        (1, 25 * H, 9),
+    ]
+    splits = [
+        [r for r in rows if r[1] < 10 * H],
+        [r for r in rows if 10 * H <= r[1] < 20 * H],
+        [r for r in rows if r[1] >= 20 * H],
+    ]
+    seas = str(tmp_path / "seas")
+    write_hw_seasonal_index(ev(rows), seas)
+
+    def run(base, upto, resume_from=None):
+        src, work, out = (str(base / d) for d in ("src", "work", "out"))
+        if resume_from is None:
+            os.makedirs(src)
+        for i in range(resume_from or 0, upto):
+            _write_one_split(ev(splits[i]), src, i)
+        run_hw_stream(spark, src, work, out, seas)
+        return sorted(map(tuple, read_emitted_hw(spark, out).collect()))
+
+    run(tmp_path / "tp", 2)                       # phase 1, then "crash"
+    got = run(tmp_path / "tp", 3, resume_from=2)  # restart
+    want = run(tmp_path / "one", 3)               # fresh single run
+    assert got == want and len(got) == 32
