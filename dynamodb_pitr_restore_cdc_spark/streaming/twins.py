@@ -97,6 +97,16 @@ def _merge_session_intervals(sessions: DataFrame) -> DataFrame:
     ).drop("grp")
 
 
+def _set_pointer(pointer: str, path: str) -> None:
+    """Atomic `_LATEST` update (tmp + rename): a crash mid-write must
+    leave the previous pointer intact, never a torn file that wedges
+    every subsequent resume — the same discipline as the Delta-log
+    sink's `_last_checkpoint`."""
+    with open(pointer + ".tmp", "w") as fh:
+        fh.write(path)
+    os.replace(pointer + ".tmp", pointer)
+
+
 def run_session_stream(spark: SparkSession, src: str, work: str) -> str:
     """Drain every available event split in `src` into the versioned
     session store under `work`; returns the final store path.
@@ -123,8 +133,7 @@ def run_session_stream(spark: SparkSession, src: str, work: str) -> str:
             F.col("id").alias("value_c"),
         )
         _sessionize_events(empty).write.mode("overwrite").parquet(init_path)
-        with open(pointer, "w") as fh:
-            fh.write(init_path)
+        _set_pointer(pointer, init_path)
     state = {"path": init_path}
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -140,8 +149,7 @@ def run_session_stream(spark: SparkSession, src: str, work: str) -> str:
         state["path"] = new_path
         # pointer AFTER data: a crash between the two replays the epoch,
         # which overwrites v{epoch} idempotently from the prior pointer
-        with open(pointer, "w") as fh:
-            fh.write(new_path)
+        _set_pointer(pointer, new_path)
 
     stream = spark.readStream.schema(
         "user_id long, event_id long, us long, value_c long"
@@ -526,8 +534,7 @@ def run_ewma_stream(spark: SparkSession, src: str, work: str, out: str) -> None:
             F.col("id").alias("hus"),
             F.col("id").alias("value_c"),
         ).write.mode("overwrite").parquet(tail_path)
-        with open(pointer, "w") as fh:
-            fh.write(tail_path)
+        _set_pointer(pointer, tail_path)
     state = {"path": tail_path}
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -567,8 +574,7 @@ def run_ewma_stream(spark: SparkSession, src: str, work: str, out: str) -> None:
         )
         new_tail.write.mode("overwrite").parquet(new_path)
         state["path"] = new_path
-        with open(pointer, "w") as fh:  # pointer AFTER data (crash replay)
-            fh.write(new_path)
+        _set_pointer(pointer, new_path)  # pointer AFTER data (crash replay)
 
     q = (
         spark.readStream.schema("user_id long, us long, value_c long")
@@ -582,21 +588,28 @@ def run_ewma_stream(spark: SparkSession, src: str, work: str, out: str) -> None:
     q.awaitTermination()
 
 
-def read_emitted_ewma(spark: SparkSession, out: str) -> DataFrame:
-    """Union the per-epoch EWMA emission directories (empty run -> empty
-    typed frame)."""
-    schema = "user_id long, hour_us long, hour_value double, ewma_value double"
+def _read_emitted(spark: SparkSession, out: str, schema: str) -> DataFrame:
+    """Union per-epoch emission directories under `out` (empty run ->
+    empty typed frame via the zero-job WHERE FALSE idiom)."""
     epoch_dirs = [
         os.path.join(out, e)
         for e in sorted(os.listdir(out)) if e.startswith("e")
     ] if os.path.isdir(out) else []
     if not epoch_dirs:
-        return spark.range(0).selectExpr(
-            "id AS user_id", "id AS hour_us",
-            "CAST(NULL AS DOUBLE) AS hour_value",
-            "CAST(NULL AS DOUBLE) AS ewma_value",
+        cols = ", ".join(
+            f"CAST(NULL AS {c.rsplit(' ', 1)[1]}) AS {c.rsplit(' ', 1)[0]}"
+            for c in (s.strip() for s in schema.split(","))
         )
+        return spark.sql(f"SELECT {cols} WHERE FALSE")
     return spark.read.schema(schema).parquet(*epoch_dirs)
+
+
+def read_emitted_ewma(spark: SparkSession, out: str) -> DataFrame:
+    """Union the per-epoch EWMA emission directories (empty run -> empty
+    typed frame)."""
+    return _read_emitted(
+        spark, out, "user_id long, hour_us long, hour_value double, ewma_value double"
+    )
 
 
 def _ewma_oracle() -> str:
@@ -671,8 +684,7 @@ def run_cusum_stream(spark: SparkSession, src: str, work: str, stats_path: str) 
             "id AS csum",
             "CAST(NULL AS STRUCT<negdev: BIGINT, rn: BIGINT, ts_us: BIGINT>) AS best",
         ).write.mode("overwrite").parquet(store_path)
-        with open(pointer, "w") as fh:
-            fh.write(store_path)
+        _set_pointer(pointer, store_path)
     state = {"path": store_path}
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -735,8 +747,7 @@ def run_cusum_stream(spark: SparkSession, src: str, work: str, stats_path: str) 
         )
         merged.write.mode("overwrite").parquet(new_path)
         state["path"] = new_path
-        with open(pointer, "w") as fh:  # pointer AFTER data (crash replay)
-            fh.write(new_path)
+        _set_pointer(pointer, new_path)  # pointer AFTER data (crash replay)
 
     q = (
         spark.readStream.schema("user_id long, event_id long, us long, vc long")
@@ -848,8 +859,7 @@ def run_hw_stream(
             "id AS level_c",
             "id AS tr3",
         ).write.mode("overwrite").parquet(tail_path)
-        with open(pointer, "w") as fh:
-            fh.write(tail_path)
+        _set_pointer(pointer, tail_path)
     state = {"path": tail_path}
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -927,6 +937,8 @@ def run_hw_stream(
                 ).otherwise(F.col("tr3")),
             )
         )
+        # two actions (emission + new tail) consume fin: persist it for
+        # the batch so the join + four window passes run once, not twice
         fin = s2r.select(
             "user_id",
             "hus",
@@ -938,7 +950,7 @@ def run_hw_stream(
             "tr3",
             F.lag("level_c", 1).over(w).alias("prev_level"),
             F.lag("tr3", 1).over(w).alias("prev_tr3"),
-        )
+        ).persist()
         emitted = fin.where(F.col("is_new") == 1).select(
             "user_id",
             F.col("hus").alias("hour_us"),
@@ -957,9 +969,9 @@ def run_hw_stream(
             .select("user_id", "hus", "vc", "s1_c", "level_c", "tr3")
         )
         new_tail.write.mode("overwrite").parquet(new_path)
+        fin.unpersist()
         state["path"] = new_path
-        with open(pointer, "w") as fh:  # pointer AFTER data (crash replay)
-            fh.write(new_path)
+        _set_pointer(pointer, new_path)  # pointer AFTER data (crash replay)
 
     q = (
         spark.readStream.schema("user_id long, us long, value_c long")
@@ -976,24 +988,12 @@ def run_hw_stream(
 def read_emitted_hw(spark: SparkSession, out: str) -> DataFrame:
     """Union the per-epoch Holt-Winters emissions (empty run -> empty
     typed frame)."""
-    schema = (
+    return _read_emitted(
+        spark,
+        out,
         "user_id long, hour_us long, hour_value double, seasonal double, "
-        "level double, trend double, forecast double"
+        "level double, trend double, forecast double",
     )
-    epoch_dirs = [
-        os.path.join(out, e)
-        for e in sorted(os.listdir(out)) if e.startswith("e")
-    ] if os.path.isdir(out) else []
-    if not epoch_dirs:
-        return spark.range(0).selectExpr(
-            "id AS user_id", "id AS hour_us",
-            "CAST(NULL AS DOUBLE) AS hour_value",
-            "CAST(NULL AS DOUBLE) AS seasonal",
-            "CAST(NULL AS DOUBLE) AS level",
-            "CAST(NULL AS DOUBLE) AS trend",
-            "CAST(NULL AS DOUBLE) AS forecast",
-        )
-    return spark.read.schema(schema).parquet(*epoch_dirs)
 
 
 def write_hw_seasonal_index(e: DataFrame, seas_path: str) -> None:
@@ -1004,9 +1004,9 @@ def write_hw_seasonal_index(e: DataFrame, seas_path: str) -> None:
     from ..operators.timeseries import _hw_text
 
     s = _hw_text("div")
-    hourly = e.groupBy(
-        "user_id", F.expr("(us div 3600000000) * 3600000000").alias("hus")
-    ).agg(F.sum("value_c").alias("vc"))
+    # the SAME hour bucketing as the scoring stream (_hourly) — phase 1
+    # and phase 2 must never disagree on what an "hour" is
+    hourly = _hourly(e).withColumnRenamed("value_c", "vc")
     hw = W.partitionBy("user_id", F.expr("(hus div 3600000000) % 24"))
     uw = W.partitionBy("user_id")
     (
