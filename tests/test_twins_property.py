@@ -453,3 +453,58 @@ def test_hw_stream_resumes_with_carried_smoothings(spark, tmp_path):
     got = run(tmp_path / "tp", 3, resume_from=2)  # restart
     want = run(tmp_path / "one", 3)               # fresh single run
     assert got == want and len(got) == 32
+
+
+def test_hw_stream_resume_survives_torn_pointer_attempt(spark, tmp_path):
+    """_set_pointer's crash window: a run that died mid-pointer-update
+    leaves a stale `_LATEST.tmp` (torn content) while `_LATEST` itself
+    still names the last committed state — the restart must resume from
+    the committed pointer, ignore the debris, and emit exactly the
+    fresh single-run rows. (Before the tmp+rename rewrite, the torn
+    write landed IN `_LATEST` and permanently wedged every resume.)"""
+    import os
+
+    from dynamodb_pitr_restore_cdc_spark.streaming.stream_queries import (
+        _write_one_split,
+    )
+    from dynamodb_pitr_restore_cdc_spark.streaming.twins import (
+        read_emitted_hw,
+        run_hw_stream,
+        write_hw_seasonal_index,
+    )
+
+    H = 3_600_000_000
+
+    def ev(rows):
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "us", "value_c"]),
+            schema="user_id long, us long, value_c long",
+        )
+
+    rows = [(0, h * H, 40 + 11 * h % 30) for h in range(24)]
+    splits = [
+        [r for r in rows if r[1] < 12 * H],
+        [r for r in rows if r[1] >= 12 * H],
+    ]
+    seas = str(tmp_path / "seas")
+    write_hw_seasonal_index(ev(rows), seas)
+
+    src, work, out = (str(tmp_path / d) for d in ("src", "work", "out"))
+    os.makedirs(src)
+    _write_one_split(ev(splits[0]), src, 0)
+    run_hw_stream(spark, src, work, out, seas)
+    with open(os.path.join(work, "_LATEST.tmp"), "w") as fh:
+        fh.write(os.path.join(work, "v9"))  # torn attempt: garbage path
+    _write_one_split(ev(splits[1]), src, 1)
+    run_hw_stream(spark, src, work, out, seas)
+    got = sorted(map(tuple, read_emitted_hw(spark, out).collect()))
+
+    src1, work1, out1 = (str(tmp_path / d) for d in ("s1", "w1", "o1"))
+    os.makedirs(src1)
+    _write_one_split(ev(splits[0]), src1, 0)
+    _write_one_split(ev(splits[1]), src1, 1)
+    run_hw_stream(spark, src1, work1, out1, seas)
+    want = sorted(map(tuple, read_emitted_hw(spark, out1).collect()))
+    assert got == want and len(got) == 24
