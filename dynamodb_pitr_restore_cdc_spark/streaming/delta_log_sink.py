@@ -278,35 +278,57 @@ class DeltaLogSink:
             ],
         )
 
-    def apply_batch(self, batch: DataFrame, key: str = "key") -> None:
+    def apply_batch(
+        self, batch: DataFrame, key: str = "key", max_attempts: int = 5
+    ) -> None:
         """MERGE INTO: resolve the batch against ONLY the files of the
         buckets it touches (partitionValues skipping), write replacement
         files, publish remove+add in one commit. Immutable data files
         mean the read side is never the write target — no lineage break
-        needed."""
-        v = self.latest_version() + 1
-        schema_json, active = self._state()
+        needed.
+
+        Optimistic concurrency, Delta's documented loser behavior: if
+        another writer claims our target version first (EEXIST on the
+        log link), re-read the NEW table state and recompute the whole
+        merge before retrying — the winner may have replaced the very
+        files our candidate set named, so committing the stale remove
+        set would resurrect its rows as duplicates. The losing
+        attempt's data files are attempt-scoped orphans reclaimed by
+        ``expire_versions(sweep_orphans=True)``."""
         batch = batch.withColumn("bucket", self._bucket(F.col(key)))
         touched = {
             r.bucket for r in batch.select("bucket").distinct().collect()
         }  # ≤ N ints: orchestration, not data
-        cand = [
-            a
-            for a in active.values()
-            if int(a["partitionValues"]["bucket"]) in touched
-        ]
-        current = self._read_adds(cand, schema_json)
-        merged = cdc_merge_tombstone(current, batch.drop("bucket"), key=key)
-        adds = self._write_data(
-            merged.withColumn("bucket", self._bucket(F.col(key))), v
-        )
-        self._commit(
-            v,
-            [
-                {"commitInfo": {"operation": "MERGE"}},
-                *({"remove": {"path": a["path"], "dataChange": True}} for a in cand),
-                *({"add": a} for a in adds),
-            ],
+        for _ in range(max_attempts):
+            v = self.latest_version() + 1
+            schema_json, active = self._state()
+            cand = [
+                a
+                for a in active.values()
+                if int(a["partitionValues"]["bucket"]) in touched
+            ]
+            current = self._read_adds(cand, schema_json)
+            merged = cdc_merge_tombstone(current, batch.drop("bucket"), key=key)
+            adds = self._write_data(
+                merged.withColumn("bucket", self._bucket(F.col(key))), v
+            )
+            try:
+                self._commit(
+                    v,
+                    [
+                        {"commitInfo": {"operation": "MERGE"}},
+                        *(
+                            {"remove": {"path": a["path"], "dataChange": True}}
+                            for a in cand
+                        ),
+                        *({"add": a} for a in adds),
+                    ],
+                )
+                return
+            except FileExistsError:
+                continue  # lost the race: recompute against the new state
+        raise RuntimeError(
+            f"MERGE lost the commit race {max_attempts} times at {self.path}"
         )
 
     def snapshot(self, version: int | None = None) -> DataFrame:

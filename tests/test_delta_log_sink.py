@@ -191,3 +191,30 @@ def test_optimize_converges_on_mixed_fresh_tombstone_file(sink, spark):
     v = sink.latest_version()
     sink.compact(reorder_horizon_seq=10)  # tombstone seq 50 NOT settled
     assert sink.latest_version() == v  # no-op commit suppressed
+
+
+def test_lost_race_remerges_against_winner_state(sink, spark):
+    # two writers target the same next version; the loser must re-read
+    # the winner's state before retrying — a stale retry would publish
+    # a remove set naming pre-race files and resurrect the winner's
+    # rows as duplicates
+    loser, winner = sink, DeltaLogSink(spark, sink.path, n_buckets=4)
+    v0 = sink.latest_version()
+    orig, fired = sink._commit, {}
+
+    def racing_commit(v, actions):
+        if not fired:
+            fired["x"] = True  # interleave: winner publishes v first
+            winner.apply_batch(_batch(spark, [(1, 20, "MODIFY", 7.0)]))
+        orig(v, actions)
+
+    loser._commit = racing_commit
+    loser.apply_batch(_batch(spark, [(1, 21, "MODIFY", 8.0), (2, 21, "REMOVE", None)]))
+    assert sink.latest_version() == v0 + 2  # winner v0+1, loser retried at v0+2
+    rows = {r.key: r.payload_value for r in sink.visible().collect()}
+    assert rows[1] == 8.0 and 2 not in rows  # seq 21 beats the winner's 20
+    assert len([k for k in rows if k == 1]) == 1  # no resurrected duplicate
+    # the retry's remove set names the WINNER's file for key 1's bucket,
+    # so replay keeps exactly one live add per path
+    _schema, active = sink._state()
+    assert len(active) == len({a["path"] for a in active.values()})
