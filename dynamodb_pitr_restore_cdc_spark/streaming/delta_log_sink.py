@@ -342,47 +342,63 @@ class DeltaLogSink:
 
     # -- CompactingSinkFormat -------------------------------------------
 
-    def compact(self, reorder_horizon_seq: int) -> None:
+    def compact(self, reorder_horizon_seq: int, max_attempts: int = 5) -> None:
         """OPTIMIZE analog: rewrite files that may hold settled
         tombstones (op='REMOVE' below the reorder horizon), dropping
         them. Candidates come from add-action STATS only — a file whose
         op range excludes 'REMOVE' or whose min last_seq is above the
-        horizon is provably clean and is never opened."""
-        schema_json, active = self._state()
+        horizon is provably clean and is never opened.
 
-        def may_hold_settled(a: dict) -> bool:
-            s = json.loads(a["stats"]) if a.get("stats") else None
-            if not s or "op" not in s.get("minValues", {}):
-                return True  # no stats: conservative
-            if not (s["minValues"]["op"] <= "REMOVE" <= s["maxValues"]["op"]):
-                return False
-            ls_min = s["minValues"].get("last_seq")
-            return ls_min is None or ls_min < reorder_horizon_seq
-        cand = [a for a in active.values() if may_hold_settled(a)]
-        if not cand:
-            return
-        cur = self._read_adds(cand, schema_json)
-        settled = (F.col("op") == "REMOVE") & (
-            F.col("last_seq") < reorder_horizon_seq
-        )
-        # stats admit false positives (a post-merge file mixing old live
-        # rows with a FRESH tombstone passes may_hold_settled forever) —
-        # without this exact check, periodic OPTIMIZE would rewrite such
-        # buckets and grow the log unboundedly
-        if cur.where(settled).limit(1).count() == 0:
-            return
-        kept = cur.where(~settled)
-        v = self.latest_version() + 1
-        adds = self._write_data(
-            kept.withColumn("bucket", self._bucket(F.col("key"))), v
-        )
-        self._commit(
-            v,
-            [
-                {"commitInfo": {"operation": "OPTIMIZE"}},
-                *({"remove": {"path": a["path"], "dataChange": False}} for a in cand),
-                *({"add": a} for a in adds),
-            ],
+        Same loser-retry as apply_batch: a concurrent MERGE that wins
+        our version may have replaced candidate files, so the retry
+        recomputes the candidate set (and the exact emptiness check)
+        from the new state instead of publishing stale removes."""
+        for _ in range(max_attempts):
+            schema_json, active = self._state()
+
+            def may_hold_settled(a: dict) -> bool:
+                s = json.loads(a["stats"]) if a.get("stats") else None
+                if not s or "op" not in s.get("minValues", {}):
+                    return True  # no stats: conservative
+                if not (s["minValues"]["op"] <= "REMOVE" <= s["maxValues"]["op"]):
+                    return False
+                ls_min = s["minValues"].get("last_seq")
+                return ls_min is None or ls_min < reorder_horizon_seq
+            cand = [a for a in active.values() if may_hold_settled(a)]
+            if not cand:
+                return
+            cur = self._read_adds(cand, schema_json)
+            settled = (F.col("op") == "REMOVE") & (
+                F.col("last_seq") < reorder_horizon_seq
+            )
+            # stats admit false positives (a post-merge file mixing old
+            # live rows with a FRESH tombstone passes may_hold_settled
+            # forever) — without this exact check, periodic OPTIMIZE
+            # would rewrite such buckets and grow the log unboundedly
+            if cur.where(settled).limit(1).count() == 0:
+                return
+            kept = cur.where(~settled)
+            v = self.latest_version() + 1
+            adds = self._write_data(
+                kept.withColumn("bucket", self._bucket(F.col("key"))), v
+            )
+            try:
+                self._commit(
+                    v,
+                    [
+                        {"commitInfo": {"operation": "OPTIMIZE"}},
+                        *(
+                            {"remove": {"path": a["path"], "dataChange": False}}
+                            for a in cand
+                        ),
+                        *({"add": a} for a in adds),
+                    ],
+                )
+                return
+            except FileExistsError:
+                continue  # lost the race: recompute candidates
+        raise RuntimeError(
+            f"OPTIMIZE lost the commit race {max_attempts} times at {self.path}"
         )
 
     # -- VersionedSinkFormat --------------------------------------------

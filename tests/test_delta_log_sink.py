@@ -218,3 +218,26 @@ def test_lost_race_remerges_against_winner_state(sink, spark):
     # so replay keeps exactly one live add per path
     _schema, active = sink._state()
     assert len(active) == len({a["path"] for a in active.values()})
+
+
+def test_optimize_lost_race_recomputes_candidates(sink, spark):
+    # OPTIMIZE races a MERGE that replaces one of its candidate files:
+    # the retry must re-select candidates from the winner's state, so
+    # the published removes name live files only
+    sink.apply_batch(_batch(spark, [(3, 30, "REMOVE", None)]))
+    other = DeltaLogSink(spark, sink.path, n_buckets=4)
+    orig, fired = sink._commit, {}
+
+    def racing_commit(v, actions):
+        if not fired:
+            fired["x"] = True
+            other.apply_batch(_batch(spark, [(3, 31, "MODIFY", 3.5)]))
+        orig(v, actions)
+
+    sink._commit = racing_commit
+    sink.compact(reorder_horizon_seq=31)
+    rows = {r.key: r.payload_value for r in sink.visible().collect()}
+    assert rows[3] == 3.5  # the winner's re-insert survived the retry
+    _schema, active = sink._state()
+    for a in active.values():  # every live add names an existing file
+        assert os.path.exists(os.path.join(sink.path, a["path"]))
