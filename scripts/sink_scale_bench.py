@@ -146,6 +146,46 @@ def bench_wide(cl) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_delta(tag: str, cl) -> None:
+    """Same shape as bench(), against the Delta-log format: MERGE cost
+    must track the touched-bucket subset (partitionValues skipping),
+    time travel is a checkpoint-bounded log replay + pruned read, and
+    the changefeed diffs only the buckets whose files changed."""
+    from dynamodb_pitr_restore_cdc_spark.streaming.delta_log_sink import (
+        DeltaLogSink,
+    )
+
+    cl = cl.localCheckpoint(eager=True)
+    max_seq = cl.agg(F.max("seq_no")).first()[0]
+    n = cl.count()
+    c1, c2, c3 = max_seq // 2, (3 * max_seq) // 4, (95 * max_seq) // 100
+
+    work = os.path.join(tempfile.gettempdir(), f"deltabench-{uuid.uuid4().hex[:8]}")
+    sink = DeltaLogSink(cl.sparkSession, os.path.join(work, "t"), n_buckets=N_BUCKETS)
+    try:
+        sink.init(fold_changelog(cl.where(F.col("seq_no") <= c1)))
+        sink.apply_batch(cl.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2)))
+        sink.apply_batch(cl.where((F.col("seq_no") > c2) & (F.col("seq_no") <= c3)))
+        tail = cl.where(F.col("seq_no") > c3).localCheckpoint(eager=True)
+
+        t_commit = timed(lambda: sink.apply_batch(tail))
+        t_read = timed(
+            lambda: sink.snapshot(2).write.format("noop").mode("overwrite").save()
+        )
+        t_feed = timed(
+            lambda: sink.changes_between(2, sink.latest_version())
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        print(
+            f"{tag}: rows={n} commit_tail5pct={t_commit:.3f}s "
+            f"timetravel_read={t_read:.3f}s changefeed={t_feed:.3f}s"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark("sink-scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -153,6 +193,8 @@ def main() -> None:
     bench("sf0.1", cl1)
     bench(f"sf0.1 x{REPLICAS}", replicate(cl1, REPLICAS))
     bench_wide(cl1)
+    bench_delta("delta sf0.1", cl1)
+    bench_delta(f"delta sf0.1 x{REPLICAS}", replicate(cl1, REPLICAS))
 
 
 if __name__ == "__main__":
