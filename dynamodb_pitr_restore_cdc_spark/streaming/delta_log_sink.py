@@ -352,8 +352,14 @@ class DeltaLogSink:
         Same loser-retry as apply_batch: a concurrent MERGE that wins
         our version may have replaced candidate files, so the retry
         recomputes the candidate set (and the exact emptiness check)
-        from the new state instead of publishing stale removes."""
+        from the new state instead of publishing stale removes. The
+        version is pinned BEFORE the state read: a commit landing
+        anywhere after the pin (including during the emptiness-check
+        job) claims our slot and forces EEXIST — pinning after the
+        read would let such a commit slip past the retry and publish
+        a stale remove set (duplicate/resurrected rows)."""
         for _ in range(max_attempts):
+            v = self.latest_version() + 1
             schema_json, active = self._state()
 
             def may_hold_settled(a: dict) -> bool:
@@ -378,7 +384,6 @@ class DeltaLogSink:
             if cur.where(settled).limit(1).count() == 0:
                 return
             kept = cur.where(~settled)
-            v = self.latest_version() + 1
             adds = self._write_data(
                 kept.withColumn("bucket", self._bucket(F.col("key"))), v
             )

@@ -98,12 +98,16 @@ def _merge_session_intervals(sessions: DataFrame) -> DataFrame:
 
 
 def _set_pointer(pointer: str, path: str) -> None:
-    """Atomic `_LATEST` update (tmp + rename): a crash mid-write must
-    leave the previous pointer intact, never a torn file that wedges
-    every subsequent resume — the same discipline as the Delta-log
-    sink's `_last_checkpoint`."""
+    """Atomic `_LATEST` update (tmp + fsync + rename): a crash
+    mid-write must leave the previous pointer intact, never a torn
+    file that wedges every subsequent resume — the same discipline as
+    the Delta-log sink's `_last_checkpoint`. The fsync matters: a
+    journaled rename can otherwise outlive a power loss whose unflushed
+    data blocks never hit disk, yielding an empty `_LATEST`."""
     with open(pointer + ".tmp", "w") as fh:
         fh.write(path)
+        fh.flush()
+        os.fsync(fh.fileno())
     os.replace(pointer + ".tmp", pointer)
 
 
@@ -590,17 +594,27 @@ def run_ewma_stream(spark: SparkSession, src: str, work: str, out: str) -> None:
 
 def _read_emitted(spark: SparkSession, out: str, schema: str) -> DataFrame:
     """Union per-epoch emission directories under `out` (empty run ->
-    empty typed frame via the zero-job WHERE FALSE idiom)."""
+    empty typed frame via the zero-job WHERE FALSE idiom). The schema
+    is parsed properly, not string-split, so complex column types
+    (STRUCT/MAP/DECIMAL — commas inside a type) stay valid."""
+    from pyspark.sql.types import _parse_datatype_string
+
     epoch_dirs = [
         os.path.join(out, e)
         for e in sorted(os.listdir(out)) if e.startswith("e")
     ] if os.path.isdir(out) else []
     if not epoch_dirs:
-        cols = ", ".join(
-            f"CAST(NULL AS {c.rsplit(' ', 1)[1]}) AS {c.rsplit(' ', 1)[0]}"
-            for c in (s.strip() for s in schema.split(","))
+        fields = _parse_datatype_string(schema).fields
+        return (
+            spark.range(1)
+            .select(
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in fields
+                ]
+            )
+            .where(F.lit(False))
         )
-        return spark.sql(f"SELECT {cols} WHERE FALSE")
     return spark.read.schema(schema).parquet(*epoch_dirs)
 
 
@@ -951,25 +965,29 @@ def run_hw_stream(
             F.lag("level_c", 1).over(w).alias("prev_level"),
             F.lag("tr3", 1).over(w).alias("prev_tr3"),
         ).persist()
-        emitted = fin.where(F.col("is_new") == 1).select(
-            "user_id",
-            F.col("hus").alias("hour_us"),
-            (F.col("vc") / F.lit(1e2)).alias("hour_value"),
-            (F.col("seas_c") / F.lit(1e2)).alias("seasonal"),
-            (F.col("level_c") / F.lit(1e2)).alias("level"),
-            (F.col("tr3") / F.lit(3e2)).alias("trend"),
-            F.expr(s["fc"]).alias("forecast"),
-        )
-        # per-epoch OVERWRITE, never a shared append (crash replay)
-        emitted.write.mode("overwrite").parquet(os.path.join(out, f"e{epoch_id}"))
-        wd = W.partitionBy("user_id").orderBy(F.desc("hus"))
-        new_tail = (
-            fin.withColumn("rn", F.row_number().over(wd))
-            .where(F.col("rn") <= EWMA_LAGS)
-            .select("user_id", "hus", "vc", "s1_c", "level_c", "tr3")
-        )
-        new_tail.write.mode("overwrite").parquet(new_path)
-        fin.unpersist()
+        try:
+            emitted = fin.where(F.col("is_new") == 1).select(
+                "user_id",
+                F.col("hus").alias("hour_us"),
+                (F.col("vc") / F.lit(1e2)).alias("hour_value"),
+                (F.col("seas_c") / F.lit(1e2)).alias("seasonal"),
+                (F.col("level_c") / F.lit(1e2)).alias("level"),
+                (F.col("tr3") / F.lit(3e2)).alias("trend"),
+                F.expr(s["fc"]).alias("forecast"),
+            )
+            # per-epoch OVERWRITE, never a shared append (crash replay)
+            emitted.write.mode("overwrite").parquet(
+                os.path.join(out, f"e{epoch_id}")
+            )
+            wd = W.partitionBy("user_id").orderBy(F.desc("hus"))
+            new_tail = (
+                fin.withColumn("rn", F.row_number().over(wd))
+                .where(F.col("rn") <= EWMA_LAGS)
+                .select("user_id", "hus", "vc", "s1_c", "level_c", "tr3")
+            )
+            new_tail.write.mode("overwrite").parquet(new_path)
+        finally:
+            fin.unpersist()  # a failed write must not leak the cache
         state["path"] = new_path
         _set_pointer(pointer, new_path)  # pointer AFTER data (crash replay)
 

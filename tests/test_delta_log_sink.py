@@ -211,9 +211,11 @@ def test_lost_race_remerges_against_winner_state(sink, spark):
     loser._commit = racing_commit
     loser.apply_batch(_batch(spark, [(1, 21, "MODIFY", 8.0), (2, 21, "REMOVE", None)]))
     assert sink.latest_version() == v0 + 2  # winner v0+1, loser retried at v0+2
-    rows = {r.key: r.payload_value for r in sink.visible().collect()}
-    assert rows[1] == 8.0 and 2 not in rows  # seq 21 beats the winner's 20
-    assert len([k for k in rows if k == 1]) == 1  # no resurrected duplicate
+    rows = sink.visible().collect()  # ROW list, not a dict — duplicates count
+    assert [(r.key, r.payload_value) for r in rows if r.key == 1] == [(1, 8.0)]
+    assert not [r for r in rows if r.key == 2]  # seq-21 REMOVE survived
+    keys = [r.key for r in rows]
+    assert len(keys) == len(set(keys))  # no resurrected duplicate anywhere
     # the retry's remove set names the WINNER's file for key 1's bucket,
     # so replay keeps exactly one live add per path
     _schema, active = sink._state()
@@ -236,8 +238,36 @@ def test_optimize_lost_race_recomputes_candidates(sink, spark):
 
     sink._commit = racing_commit
     sink.compact(reorder_horizon_seq=31)
-    rows = {r.key: r.payload_value for r in sink.visible().collect()}
-    assert rows[3] == 3.5  # the winner's re-insert survived the retry
+    rows = sink.visible().collect()  # ROW list, not a dict — duplicates count
+    assert [(r.key, r.payload_value) for r in rows if r.key == 3] == [(3, 3.5)]
+    keys = [r.key for r in rows]
+    assert len(keys) == len(set(keys))  # the stale-remove bug duplicates rows
     _schema, active = sink._state()
     for a in active.values():  # every live add names an existing file
         assert os.path.exists(os.path.join(sink.path, a["path"]))
+
+
+def test_optimize_race_inside_state_read_still_retries(sink, spark):
+    # the narrower window: a MERGE that lands AFTER compact reads state
+    # but BEFORE it commits (e.g. during the exact emptiness check).
+    # Because compact pins its version BEFORE the state read, the
+    # interloper claims that slot and compact must hit EEXIST and
+    # recompute — pinning after the read let this commit slip through
+    # with a stale remove set (reproduced: duplicated live rows)
+    sink.apply_batch(_batch(spark, [(3, 30, "REMOVE", None)]))
+    other = DeltaLogSink(spark, sink.path, n_buckets=4)
+    orig_state, fired = sink._state, {}
+
+    def racing_state(*a, **k):
+        out = orig_state(*a, **k)
+        if not fired:
+            fired["x"] = True
+            other.apply_batch(_batch(spark, [(3, 31, "MODIFY", 3.5)]))
+        return out
+
+    sink._state = racing_state
+    sink.compact(reorder_horizon_seq=31)
+    rows = sink.visible().collect()
+    assert [(r.key, r.payload_value) for r in rows if r.key == 3] == [(3, 3.5)]
+    keys = [r.key for r in rows]
+    assert len(keys) == len(set(keys))
