@@ -4,6 +4,7 @@ equal the naive sequential fold for random op sequences over random
 batch splits — the integration-level version of the merge properties."""
 
 import pandas as pd
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -123,3 +124,87 @@ def test_delta_sink_equals_fold_and_feed_equals_state_diff(
         for r in sink.changes_between(2, 3).collect()
     }
     assert feed == expect
+
+
+@settings(max_examples=3, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_delta_maintenance_interleaving_preserves_history(
+    spark, tmp_path_factory, data
+):
+    """Random merge/compact/expire interleavings: after every commit,
+    visible() equals the sequential fold, every RETAINED version's
+    snapshot equals the fold recorded when that version was published
+    (compaction commits change no visible state), and every EXPIRED
+    version raises loudly. Batches are seq-contiguous so a compaction
+    horizon can never outrun an in-flight stale row."""
+    from dynamodb_pitr_restore_cdc_spark.streaming.delta_log_sink import (
+        DeltaLogSink,
+    )
+
+    n = data.draw(st.integers(3, 12))
+    ops = [
+        (
+            data.draw(st.integers(0, 4)),
+            data.draw(st.sampled_from(["INSERT", "MODIFY", "REMOVE"])),
+            float(data.draw(st.integers(0, 99))),
+        )
+        for _ in range(n)
+    ]
+    cut1 = data.draw(st.integers(1, n - 1))
+    cut2 = data.draw(st.integers(cut1, n))
+    batches = [
+        [(key, seq, op, val) for seq, (key, op, val) in enumerate(ops)][a:b]
+        for a, b in ((0, cut1), (cut1, cut2), (cut2, n))
+    ]
+
+    def fold(rows):
+        state = {}
+        for key, seq, op, val in rows:
+            if op == "REMOVE":
+                state.pop(key, None)
+            else:
+                state[key] = (seq, val)
+        return state
+
+    path = str(tmp_path_factory.mktemp("deltamaint"))
+    sink = DeltaLogSink(spark, path + "/d", n_buckets=4)
+    sink.init(
+        to_batch(spark, []).selectExpr(
+            "key", "seq_no as last_seq", "op", "payload_value"
+        )
+    )
+    applied: list = []
+    hist = [(1, {})]  # (published version, expected fold at publication)
+    dropped: list[int] = []
+    for rows in batches:
+        if rows:
+            sink.apply_batch(to_batch(spark, rows))
+            applied += rows
+            hist.append((sink.latest_version(), fold(applied)))
+        if data.draw(st.booleans()):
+            v_before = sink.latest_version()
+            horizon = max((r[1] for r in applied), default=0) + 1
+            sink.compact(reorder_horizon_seq=horizon)
+            if sink.latest_version() != v_before:  # a real OPTIMIZE commit
+                hist.append((sink.latest_version(), fold(applied)))
+        if data.draw(st.booleans()):
+            keep = data.draw(st.integers(1, 3))
+            expired = sink.expire_versions(keep_last=keep, sweep_orphans=True)
+            dropped += expired
+            hist = [(v, s) for (v, s) in hist if v not in set(expired)]
+
+    from dynamodb_pitr_restore_cdc_spark.operators.cdc import visible
+
+    got = {r.key: (r.last_seq, r.payload_value) for r in sink.visible().collect()}
+    assert got == fold(applied)
+    for v, s in hist:
+        # snapshot(v) is the TOMBSTONED physical state; the model folds
+        # away removes, so compare through the visible filter
+        at_v = {
+            r.key: (r.last_seq, r.payload_value)
+            for r in visible(sink.snapshot(v)).collect()
+        }
+        assert at_v == s, f"snapshot({v}) diverged from the recorded fold"
+    for v in dropped:
+        with pytest.raises(ValueError, match="expired"):
+            sink.snapshot(v)
