@@ -311,6 +311,10 @@ _REVERIFY_R06: frozenset[str] = frozenset(
         # round-6 cont.: connected_components lineage cut (the
         # exponential-plan OOM fix) re-implements the CC interior
         "q_llm_dedup_clusters",
+        # round-6 cont. #3: resume pointers now atomic (tmp+fsync+rename)
+        # in the redrive store and run_cdc_apply — crash machinery only,
+        # but the impl changed, so the driver re-checks
+        "q_cdc_dlq_redrive", "q_stream_foreachbatch_cdc",
     }
 )
 

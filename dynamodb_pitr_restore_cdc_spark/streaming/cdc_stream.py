@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.cdc import cdc_merge
+from .util import atomic_write_text
 
 CHANGELOG_STREAM_SCHEMA = T.StructType(
     [
@@ -152,8 +153,7 @@ def run_cdc_apply(
     else:
         snap_path = os.path.join(work_dir, "v_init")
         snapshot.write.mode("overwrite").parquet(snap_path)
-        with open(pointer, "w") as fh:
-            fh.write(snap_path)
+        atomic_write_text(pointer, snap_path)
     state = {"path": snap_path}
 
     stream = read_changelog_stream(spark, src_dir)
@@ -175,9 +175,9 @@ def run_cdc_apply(
         state["path"] = new_path
         # pointer write AFTER the data write: a crash between the two
         # replays the epoch, which overwrites v{epoch} idempotently from
-        # the still-prior pointer
-        with open(pointer, "w") as fh:
-            fh.write(new_path)
+        # the still-prior pointer (atomic: a torn pointer would wedge
+        # every resume)
+        atomic_write_text(pointer, new_path)
 
     q = (
         ok.writeStream.foreachBatch(apply_batch)

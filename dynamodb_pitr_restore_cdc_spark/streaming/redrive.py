@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..operators.cdc import cdc_merge, changelog, with_changelog
 from ..registry import register, tracked_persist
+from .util import atomic_write_text
 
 MAX_RECEIVES = 5  # cdk-stack.ts:53
 RECEIVE_COUNT_COL = "receive_count"  # SQS ApproximateReceiveCount analog
@@ -183,8 +184,10 @@ class RedriveStore:
         accepted.write.mode("overwrite").parquet(accepted_path)
         new_retry = os.path.join(self.root, f"retry_v{version}")
         still_retryable.write.mode("overwrite").parquet(new_retry)
-        with open(self._pointer, "w") as fh:
-            json.dump({"path": new_retry, "version": version, "epoch": epoch_id}, fh)
+        atomic_write_text(
+            self._pointer,
+            json.dumps({"path": new_retry, "version": version, "epoch": epoch_id}),
+        )  # torn pointer = wedged store (util.atomic_write_text rationale)
         self._version = version
         # superseded snapshots are unreferenced once the pointer moved on,
         # keeping the store O(currently-failing), not O(stream). Contract:
@@ -225,8 +228,7 @@ def run_cdc_apply_redrive(
     else:
         snap_path = os.path.join(work_dir, "v_init")
         snapshot.write.mode("overwrite").parquet(snap_path)
-        with open(pointer, "w") as fh:
-            fh.write(snap_path)
+        atomic_write_text(pointer, snap_path)
     state = {"path": snap_path}
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -244,8 +246,7 @@ def run_cdc_apply_redrive(
         merged = cdc_merge(snap, accepted)
         merged.write.mode("overwrite").parquet(new_path)
         state["path"] = new_path
-        with open(pointer, "w") as fh:
-            fh.write(new_path)
+        atomic_write_text(pointer, new_path)
 
     q = (
         read_changelog_stream(spark, src_dir)

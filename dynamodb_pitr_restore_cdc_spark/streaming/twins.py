@@ -53,6 +53,7 @@ from ..operators.behavior import (
 from ..registry import register, tracked_persist
 from ..sources import table
 from .stream_queries import _fresh_dir, _ts_tertiles, _write_split_files
+from .util import atomic_write_text
 
 
 def _sessionize_events(batch: DataFrame) -> DataFrame:
@@ -98,17 +99,10 @@ def _merge_session_intervals(sessions: DataFrame) -> DataFrame:
 
 
 def _set_pointer(pointer: str, path: str) -> None:
-    """Atomic `_LATEST` update (tmp + fsync + rename): a crash
-    mid-write must leave the previous pointer intact, never a torn
-    file that wedges every subsequent resume — the same discipline as
-    the Delta-log sink's `_last_checkpoint`. The fsync matters: a
-    journaled rename can otherwise outlive a power loss whose unflushed
-    data blocks never hit disk, yielding an empty `_LATEST`."""
-    with open(pointer + ".tmp", "w") as fh:
-        fh.write(path)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(pointer + ".tmp", pointer)
+    """Atomic `_LATEST` update: a crash mid-write must leave the
+    previous pointer intact, never a torn file that wedges every
+    subsequent resume (util.atomic_write_text rationale)."""
+    atomic_write_text(pointer, path)
 
 
 def run_session_stream(spark: SparkSession, src: str, work: str) -> str:

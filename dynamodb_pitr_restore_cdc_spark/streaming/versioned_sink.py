@@ -198,6 +198,9 @@ class LocalPointerStore:
             tmp = self.path + ".tmp"
             with open(tmp, "w") as fh:
                 fh.write(new)
+                fh.flush()
+                os.fsync(fh.fileno())  # rename alone can outlive a power
+                # loss whose data blocks never hit disk (empty pointer)
             os.replace(tmp, self.path)
             return True
         finally:
