@@ -110,6 +110,9 @@ class DeltaLogSink:
         with open(tmp, "w") as fh:
             for a in actions:
                 fh.write(json.dumps(a) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())  # the link IS publication: a commit
+            # whose data blocks never hit disk would corrupt the log
         try:
             os.link(tmp, self._log_path(v))
         finally:
@@ -497,12 +500,17 @@ class DeltaLogSink:
             )
             for a in active_at_horizon.values():
                 fh.write(json.dumps({"add": a}) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())  # an empty checkpoint after the
+            # expired commits are gone replays to an EMPTY active set
         os.replace(ck + ".tmp", ck)
         # pointer write is torn-read-safe: tmp + atomic rename (readers
         # additionally tolerate a corrupt pointer, _newest_checkpoint_at_most)
         lc = os.path.join(self._log_dir(), "_last_checkpoint")
         with open(lc + ".tmp", "w") as fh:
             json.dump({"version": horizon}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
         os.replace(lc + ".tmp", lc)
         # superseded checkpoints must go WITH their commits: a stale
         # checkpoint below the horizon would let _state resolve an

@@ -157,8 +157,9 @@ class RedriveStore:
         if self._schema is None:
             self._schema = incoming.schema
         if not os.path.exists(self._schema_file):
-            with open(self._schema_file, "w") as fh:
-                json.dump(self._schema.jsonValue(), fh)
+            # atomic: a torn schema file would make __post_init__ throw
+            # on every restart, leaving the store unconstructable
+            atomic_write_text(self._schema_file, json.dumps(self._schema.jsonValue()))
 
         # one pass decides accepted/rejected; materialize the cycle once
         # (incoming feeds three branches and Catalyst has no cross-branch

@@ -383,8 +383,11 @@ def run_alert_stream(spark: SparkSession, src: str, work: str, out: str) -> None
             v_from = _chain_tail(epoch_id)
             sink.apply_batch(batch_df)
             v_to = sink.latest_version()
-            with open(_marker(epoch_id), "w") as fh:
-                fh.write(json.dumps({"v_from": v_from, "v_to": v_to}))
+            # atomic: a torn marker would wedge this epoch's replay AND
+            # every later epoch's _chain_tail read, permanently
+            atomic_write_text(
+                _marker(epoch_id), json.dumps({"v_from": v_from, "v_to": v_to})
+            )
         feed = sink.changes_between(v_from, v_to)
         delta_c = F.coalesce(
             F.round(F.col("payload_value") * 100).cast("bigint"), F.lit(0)

@@ -195,13 +195,7 @@ class LocalPointerStore:
             fcntl.flock(fd, fcntl.LOCK_EX)
             if self.read() != expected:
                 return False
-            tmp = self.path + ".tmp"
-            with open(tmp, "w") as fh:
-                fh.write(new)
-                fh.flush()
-                os.fsync(fh.fileno())  # rename alone can outlive a power
-                # loss whose data blocks never hit disk (empty pointer)
-            os.replace(tmp, self.path)
+            atomic_write_text(self.path, new)
             return True
         finally:
             fcntl.flock(fd, fcntl.LOCK_UN)
@@ -355,10 +349,9 @@ class VersionedCdcSink:
                 if os.path.exists(staged):
                     with open(staged) as fh:
                         raw = json.load(fh)
-                    tmp = self._root_path(version) + ".tmp"
-                    with open(tmp, "w") as fh:
-                        json.dump(raw, fh)
-                    os.replace(tmp, self._root_path(version))  # roll-forward
+                    # roll-forward (fsync'd: an empty manifest after a
+                    # power loss would be unrecoverable)
+                    atomic_write_text(self._root_path(version), json.dumps(raw))
                     return {int(s): t for s, t in raw["shards"].items()}
             raise FileNotFoundError(
                 f"no manifest for version {version} under {self.path}: "
@@ -402,8 +395,12 @@ class VersionedCdcSink:
                 continue
             tok = self._new_token()
             spath = self._shard_path(tok)
-            with open(spath, "w") as fh:
-                json.dump({"buckets": {str(b): t for b, t in m.items()}}, fh)
+            # fsync'd: these outlive the CAS (read post-commit), so a
+            # power loss must not leave an empty staged file behind a
+            # durable pointer
+            atomic_write_text(
+                spath, json.dumps({"buckets": {str(b): t for b, t in m.items()}})
+            )
             staged.append(spath)
             shards[sid] = tok
         root_token = self._new_token()
@@ -412,8 +409,7 @@ class VersionedCdcSink:
             "shards": {str(s): t for s, t in shards.items()},
         }
         rpath = self._staged_root_path(root_token)
-        with open(rpath, "w") as fh:
-            json.dump(root_doc, fh)
+        atomic_write_text(rpath, json.dumps(root_doc))  # same durability bar
         if self._pre_commit_hook is not None:
             self._pre_commit_hook()
         try:
@@ -572,17 +568,17 @@ class VersionedCdcSink:
                 bits[p // 8] |= 1 << (p % 8)
             blooms[str(r.bucket)] = bits.hex()
         bpath = os.path.join(token_dir, "bloom.json")
-        with open(bpath + ".tmp", "w") as fh:
-            json.dump(
+        atomic_write_text(  # never a half-written (or power-lost) sidecar
+            bpath,
+            json.dumps(
                 {
                     "m": self.BLOOM_BITS,
                     "k": self.BLOOM_HASHES,
                     "algo": self._BLOOM_ALGO,
                     "buckets": blooms,
-                },
-                fh,
-            )
-        os.replace(bpath + ".tmp", bpath)  # never a half-written sidecar
+                }
+            ),
+        )
 
     def _bloom_might_contain(self, token: str, bucket: int, positions) -> bool:
         """False only when the sidecar PROVES the key absent; missing or
@@ -914,6 +910,7 @@ from ..operators.cdc import (  # noqa: E402
     with_changelog,
 )
 from ..registry import register, tracked_persist  # noqa: E402
+from .util import atomic_write_text
 
 # One 3-commit sink per (session, corpus), shared by the time-travel /
 # changefeed / incremental-agg queries — the dedup.py band-artifact

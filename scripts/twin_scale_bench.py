@@ -87,7 +87,7 @@ def main() -> None:
         "user_id",
         F.unix_micros("ts").alias("us"),
         F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
-    )
+    ).localCheckpoint(eager=True)  # one scan feeds the 10 union branches
     run("sf0.1 short", e, 3)
     run("sf0.1 long", e, 12)
     from functools import reduce
