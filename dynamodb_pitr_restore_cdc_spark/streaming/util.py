@@ -13,13 +13,23 @@ content, never a prefix.
 from __future__ import annotations
 
 import os
+import uuid
 
 
 def atomic_write_text(path: str, text: str) -> None:
-    """Atomically replace `path` with `text` (tmp + fsync + rename)."""
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(text)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, path)
+    """Atomically replace `path` with `text` (tmp + fsync + rename).
+
+    The temp name is unique per call: with a FIXED suffix, two writers
+    racing on the same target could truncate each other's temp file
+    mid-write and one would rename the other's partial content — the
+    exact torn outcome this helper exists to rule out."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:12]}"
+    try:
+        with open(tmp, "w") as fh:
+            fh.write(text)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):  # failed before the rename
+            os.remove(tmp)
