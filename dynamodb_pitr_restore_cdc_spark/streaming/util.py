@@ -22,7 +22,20 @@ def atomic_write_text(path: str, text: str) -> None:
     The temp name is unique per call: with a FIXED suffix, two writers
     racing on the same target could truncate each other's temp file
     mid-write and one would rename the other's partial content — the
-    exact torn outcome this helper exists to rule out."""
+    exact torn outcome this helper exists to rule out. Hard-crash
+    debris (`<name>.tmp-*` left by a kill between open and rename) is
+    swept on the next write to the same target, so long-lived store
+    directories stay bounded; writers to one target are serialized by
+    their callers (flock in the pointer CAS, single-maintainer
+    elsewhere), so the sweep never races a live temp file."""
+    import contextlib
+
+    base = os.path.basename(path)
+    parent = os.path.dirname(path) or "."
+    for f in os.listdir(parent):
+        if f.startswith(base + ".tmp-"):
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(parent, f))
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:12]}"
     try:
         with open(tmp, "w") as fh:
@@ -30,6 +43,8 @@ def atomic_write_text(path: str, text: str) -> None:
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, path)
-    finally:
-        if os.path.exists(tmp):  # failed before the rename
+    except BaseException:
+        # surface the WRITE/RENAME error, never a cleanup error
+        with contextlib.suppress(OSError):
             os.remove(tmp)
+        raise

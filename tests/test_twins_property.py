@@ -495,10 +495,16 @@ def test_hw_stream_resume_survives_torn_pointer_attempt(spark, tmp_path):
     os.makedirs(src)
     _write_one_split(ev(splits[0]), src, 0)
     run_hw_stream(spark, src, work, out, seas)
-    with open(os.path.join(work, "_LATEST.tmp"), "w") as fh:
-        fh.write(os.path.join(work, "v9"))  # torn attempt: garbage path
+    # hard-crash debris in the shape atomic_write_text actually leaves
+    # (kill between open and rename): a unique-suffix temp with a
+    # garbage path — resume must ignore it, and the next pointer write
+    # must sweep it
+    debris = os.path.join(work, "_LATEST.tmp-deadbeef0123")
+    with open(debris, "w") as fh:
+        fh.write(os.path.join(work, "v9"))
     _write_one_split(ev(splits[1]), src, 1)
     run_hw_stream(spark, src, work, out, seas)
+    assert not os.path.exists(debris)  # swept by the resumed run's writes
     got = sorted(map(tuple, read_emitted_hw(spark, out).collect()))
 
     src1, work1, out1 = (str(tmp_path / d) for d in ("s1", "w1", "o1"))
