@@ -271,3 +271,26 @@ def test_optimize_race_inside_state_read_still_retries(sink, spark):
     assert [(r.key, r.payload_value) for r in rows if r.key == 3] == [(3, 3.5)]
     keys = [r.key for r in rows]
     assert len(keys) == len(set(keys))
+
+
+def test_vacuum_sweeps_crashed_attempt_orphans(sink, spark):
+    # a crashed MERGE attempt leaves attempt-scoped data files with no
+    # log reference; sweep_orphans must reclaim them while every live
+    # file survives
+    orphan_adds = sink._write_data(
+        _batch(spark, [(1, 10, "MODIFY", 5.0)])
+        .withColumnRenamed("seq_no", "last_seq")
+        .withColumn("bucket", sink._bucket(F.col("key"))),
+        sink.latest_version() + 1,
+    )
+    orphans = [os.path.join(sink.path, a["path"]) for a in orphan_adds]
+    assert orphans and all(os.path.exists(p) for p in orphans)
+    sink.apply_batch(_batch(spark, [(1, 10, "MODIFY", 5.0)]))
+    sink.apply_batch(_batch(spark, [(2, 11, "MODIFY", 6.0)]))
+    sink.expire_versions(keep_last=1, sweep_orphans=True)
+    assert not any(os.path.exists(p) for p in orphans)
+    _schema, active = sink._state()
+    for a in active.values():
+        assert os.path.exists(os.path.join(sink.path, a["path"]))
+    rows = {r.key: r.payload_value for r in sink.visible().collect()}
+    assert rows[1] == 5.0 and rows[2] == 6.0
