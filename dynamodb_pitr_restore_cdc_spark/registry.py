@@ -369,6 +369,7 @@ def all_queries() -> dict[str, QuerySpec]:
     )
     from .streaming import (  # noqa: F401
         control,
+        delta_log_sink,
         redrive,
         stateful,
         stream_queries,

@@ -533,3 +533,67 @@ class DeltaLogSink:
                     if fn.endswith(".parquet") and rel not in keep_files:
                         os.remove(full)
         return expired
+
+
+# ---------------------------------------------------------------------------
+# registered query: the whole protocol under one oracle hash
+# ---------------------------------------------------------------------------
+
+
+def _register_delta_fold() -> None:
+    """Deferred import so the module stays importable without the
+    registry side effects it feeds (registry imports THIS module)."""
+    import shutil
+    import tempfile
+
+    from ..operators.cdc import changelog, fold_changelog, with_changelog
+    from ..registry import register, tracked_persist
+
+    @register(
+        "q_cdc_delta_log_fold",
+        oracle=with_changelog(
+            """
+SELECT key, seq_no AS last_seq, payload_value
+FROM (
+    SELECT key, seq_no, op, payload_value,
+           row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
+    FROM changelog
+) WHERE rn = 1 AND op <> 'REMOVE'
+"""
+        ),
+    )
+    def q_cdc_delta_log_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The Delta-protocol table format end to end under one oracle
+        hash: init = fold of the changelog's first third, two MERGE
+        commits (bucket-pruned, loser-retry protocol), an OPTIMIZE past
+        the full reorder horizon (settled tombstones rewritten away),
+        then retention to the last two versions (checkpoint + commit
+        truncation + vacuum with orphan sweep). What survives all four
+        maintenance operations must still equal the plain changelog
+        fold — the PITR identity (`state-machine.json` restore path)
+        expressed through the log-structured format rather than the
+        manifest format (q_cdc_snapshot_rebuild / q_cdc_time_travel
+        twins)."""
+        cl = changelog(spark, sf_dir).select(
+            "seq_no", "op", "key", "payload_value"
+        )
+        max_seq = cl.agg(F.max("seq_no")).first()[0]  # orchestration scalar
+        c1, c2 = max_seq // 3, (2 * max_seq) // 3
+        base = tempfile.mkdtemp(prefix="deltafold-")
+        sink = DeltaLogSink(spark, os.path.join(base, "t"))
+        sink.init(fold_changelog(cl.where(F.col("seq_no") <= c1)))
+        sink.apply_batch(
+            cl.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2))
+        )
+        sink.apply_batch(cl.where(F.col("seq_no") > c2))
+        sink.compact(reorder_horizon_seq=int(max_seq) + 1)
+        sink.expire_versions(keep_last=2, sweep_orphans=True)
+        result = tracked_persist(
+            sink.visible().select("key", "last_seq", "payload_value")
+        )
+        result.count()  # materialize before the backing dirs go away
+        shutil.rmtree(base, ignore_errors=True)
+        return result
+
+
+_register_delta_fold()
