@@ -318,6 +318,47 @@ _REVERIFY_R06: frozenset[str] = frozenset(
     }
 )
 
+# Queries with a green row in CORRECTNESS_r06.json (50/50 hash-match:
+# the r5/r6 additions that had never been driver-checked plus the whole
+# _REVERIFY_R06 set — every registered query now has a green driver row
+# in the union of r01–r06).
+_DRIVER_VERIFIED_R06: frozenset[str] = frozenset(
+    {
+        "q_join_asof_tolerance", "q_ts_rolling_median",
+        "q_ts_forecast_backtest", "q_ts_stl_decompose", "q_ts_holt_winters",
+        "q_win_trailing_hour", "q_llm_dedup_report", "q_llm_ann_recall",
+        "q_stream_semantic_neardup", "q_llm_semantic_dedup",
+        "q_llm_length_percentiles", "q_llm_vocab_growth",
+        "q_llm_token_budget_sample", "q_llm_bigram_logprob",
+        "q_stream_paragraph_dedup", "q_cdc_point_lookup", "q_cdc_alerting",
+        "q_cdc_restore_drill", "q_cdc_branch_merge", "q_cdc_history",
+        "q_cdc_delta_log_fold", "q_stream_anomaly", "q_stream_sessionize",
+        "q_stream_anomaly_zscore", "q_stream_alert_routing",
+        "q_stream_ewma", "q_stream_cusum", "q_stream_holt_winters",
+        "q_ts_interpolate_linear", "q_join_asof", "q_sink_roundtrip",
+        "q_llm_near_dedup", "q_llm_dedup_clusters", "q_llm_ann_lsh",
+        "q_llm_decontaminate", "q_llm_domain_mix", "q_llm_repetition_filter",
+        "q_llm_leakage_audit", "q_llm_tfidf_search", "q_llm_paragraph_dedup",
+        "q_cdc_time_travel", "q_stream_versioned_sink", "q_cdc_changefeed",
+        "q_cdc_incremental_agg", "q_cdc_dlq_redrive", "q_stream_sliding",
+        "q_stream_watermark_late", "q_stream_foreachbatch_cdc",
+        "q_stream_stateful_sessions", "q_unpivot_prices",
+    }
+)
+
+# Queries whose implementation or oracle text changes in round 7 —
+# fronted right after the never-checked tier so the driver re-verifies
+# them (local parity is otherwise their only guard).
+_REVERIFY_R07: frozenset[str] = frozenset(
+    {
+        # round-7: q_cdc_delta_log_fold now runs format-parametrized
+        # (Delta + Iceberg logs through the same sink seam); the shared
+        # fold surface changed, so the driver re-checks the Delta one
+        # alongside the new Iceberg query.
+        "q_cdc_delta_log_fold",
+    }
+)
+
 
 def all_queries() -> dict[str, QuerySpec]:
     """Import all operator modules (side-effect: registration) and return the registry.
@@ -326,7 +367,7 @@ def all_queries() -> dict[str, QuerySpec]:
     only a ~50-entry window, so ordering IS the coverage policy):
 
     1. queries with no driver row in any round (never checked);
-    2. queries re-implemented this round (``_REVERIFY_R06``) — the
+    2. queries re-implemented this round (``_REVERIFY_R07``) — the
        local parity suite is otherwise their only guard;
     3. everything else by ASCENDING last-verified round (oldest
        evidence first, registration order within a round) — a rotation
@@ -383,14 +424,15 @@ def all_queries() -> dict[str, QuerySpec]:
         _DRIVER_VERIFIED_R03,
         _DRIVER_VERIFIED_R04,
         _DRIVER_VERIFIED_R05,
+        _DRIVER_VERIFIED_R06,
     )
 
     def last_checked(n: str) -> int:
         return max((i for i, s in enumerate(rounds, start=1) if n in s), default=0)
 
     order = list(_REGISTRY)
-    fresh = [n for n in order if last_checked(n) == 0 and n not in _REVERIFY_R06]
-    recheck = [n for n in order if n in _REVERIFY_R06]
+    fresh = [n for n in order if last_checked(n) == 0 and n not in _REVERIFY_R07]
+    recheck = [n for n in order if n in _REVERIFY_R07]
     head = set(fresh) | set(recheck)
     rest = sorted(
         (n for n in order if n not in head),

@@ -15,9 +15,11 @@ plain parquet + JSON — not a toy marker file, the actual mechanics:
   to a NEW file, so no read-then-overwrite hazard exists anywhere.
 - **Put-if-absent commits**: a commit is a hard-linked rename into
   ``<version>.json``; ``os.link`` raises EEXIST if the version was
-  already claimed — Delta's optimistic-concurrency rule (the mutex
-  the reference delegates to DynamoDB conditional writes,
-  `restore-handler.py` idempotency token).
+  already claimed — Delta's optimistic-concurrency rule. (The
+  reference never races writers at all: its restore path is
+  serialized through a single Step Functions execution,
+  `state-machine.json:10-53` wait/poll loop, so this log supplies
+  the concurrency story the reference sidesteps.)
 - **File skipping via partitionValues + stats**: data is hash-
   bucketed by key (``bucket = pmod(hash(key), N)``, directory
   partition ``bucket=K``), each add action records its bucket and a

@@ -1285,10 +1285,10 @@ def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     must come back empty after reading only its one bucket). Each
     lookup hashes the key to its bucket, loads one manifest shard, and
     lists exactly one bucket directory — O(1) in table size, the
-    reference's per-item DynamoDB access pattern
-    (`lambda-restore/main.py` item-level restore identity) served by
-    manifest pruning. Oracle: the changelog fold restricted to those
-    keys."""
+    reference's per-item DynamoDB access pattern (the keyed
+    PutRequest/DeleteRequest items of `lambda-backfill/main.py:33-39`
+    read back item-by-item) served by manifest pruning. Oracle: the
+    changelog fold restricted to those keys."""
     sink, _, _ = shared_sink(spark, sf_dir)
     cl = changelog(spark, sf_dir)
     row = cl.agg(F.min("key").alias("lo"), F.max("key").alias("hi")).first()
