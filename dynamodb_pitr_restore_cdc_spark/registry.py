@@ -348,16 +348,14 @@ _DRIVER_VERIFIED_R06: frozenset[str] = frozenset(
 
 # Queries whose implementation or oracle text changes in round 7 —
 # fronted right after the never-checked tier so the driver re-verifies
-# them (local parity is otherwise their only guard).
-_REVERIFY_R07: frozenset[str] = frozenset(
-    {
-        # round-7: q_cdc_delta_log_fold now runs format-parametrized
-        # (Delta + Iceberg logs through the same sink seam); the shared
-        # fold surface changed, so the driver re-checks the Delta one
-        # alongside the new Iceberg query.
-        "q_cdc_delta_log_fold",
-    }
-)
+# them (local parity is otherwise their only guard). Round 7's new
+# surface (the Iceberg-shaped log, the optimize-policy query, the
+# heavy-hitters twin, the real-codec media probe) is all NEW
+# registrations — they enter through the never-checked tier — and the
+# only edits to existing queries were docstring citations, so nothing
+# needs a re-check slot; the whole remaining window rotates the stale
+# r01/r02 evidence.
+_REVERIFY_R07: frozenset[str] = frozenset()
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -411,6 +409,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from .streaming import (  # noqa: F401
         control,
         delta_log_sink,
+        iceberg_log_sink,
         redrive,
         stateful,
         stream_queries,

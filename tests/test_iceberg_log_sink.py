@@ -1,0 +1,271 @@
+"""Iceberg-spec mechanics of IcebergLogSink (what the seam suite can't
+see: metadata-tree layout, put-if-absent commits via version files,
+manifest reuse, bounds-based pruning, snapshot expiry + GC, the
+version-hint recovery paths)."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dynamodb_pitr_restore_cdc_spark.streaming.iceberg_log_sink import (
+    META_DIR,
+    IcebergLogSink,
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["key", "seq_no", "op", "payload_value"]),
+        schema="key long, seq_no long, op string, payload_value double",
+    )
+
+
+def _snapshot(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["key", "last_seq", "payload_value"]),
+        schema="key long, last_seq long, payload_value double",
+    )
+
+
+@pytest.fixture()
+def sink(spark, tmp_path):
+    s = IcebergLogSink(spark, str(tmp_path / "tbl"), n_buckets=4)
+    # keys 0..7 cover several of the 4 buckets
+    s.init(_snapshot(spark, [(k, 0, float(k)) for k in range(8)]))
+    return s
+
+
+def _meta(sink):
+    return sink._current_meta()
+
+
+def _cursnap(sink):
+    m = _meta(sink)
+    return next(
+        s for s in m["snapshots"] if s["snapshot-id"] == m["current-snapshot-id"]
+    )
+
+
+def test_metadata_tree_layout(sink):
+    m = _meta(sink)
+    assert m["format-version"] == 2
+    assert m["partition-spec"][0]["transform"] == "bucket[4]"
+    snap = _cursnap(sink)
+    assert snap["sequence-number"] == 1
+    assert snap["summary"]["operation"] == "append"
+    for ml in sink._manifest_list(snap):
+        p = ml["partitions"]["bucket"]
+        assert 0 <= p["lower"] <= p["upper"] <= 3
+        for e in sink._read_ndjson(ml["manifest_path"]):
+            df = e["data_file"]
+            assert e["status"] == "ADDED"
+            assert df["record_count"] >= 1
+            assert "key" in df["lower_bounds"] and "last_seq" in df["upper_bounds"]
+            # directory-partitioned writes put exactly one bucket per file
+            assert f"bucket={df['partition']['bucket']}" in df["file_path"]
+
+
+def test_merge_prunes_and_reuses_manifests(sink, spark):
+    files_before = {
+        e["data_file"]["file_path"]: e["data_file"]["partition"]["bucket"]
+        for e in sink._entries(_cursnap(sink))
+    }
+    # one-key batch: its bucket is the ONLY one the MERGE may touch
+    sink.apply_batch(_batch(spark, [(3, 10, "MODIFY", 3.5)]))
+    b3 = F.pmod(F.hash(F.lit(3).cast("long")), F.lit(4))
+    touched = spark.range(1).select(b3.alias("b")).first().b
+    after = {
+        e["data_file"]["file_path"]: e["data_file"]["partition"]["bucket"]
+        for e in sink._entries(_cursnap(sink))
+    }
+    removed = set(files_before) - set(after)
+    assert removed and all(files_before[p] == touched for p in removed)
+    added = set(after) - set(files_before)
+    assert added and all(after[p] == touched for p in added)
+    # a second merge on a DIFFERENT bucket must reuse the first merge's
+    # manifest by identical path (init's single manifest necessarily
+    # gets rewritten both times — it holds every bucket)
+    ml_mid = {ml["manifest_path"] for ml in sink._manifest_list(_cursnap(sink))}
+    sink.apply_batch(_batch(spark, [(0, 11, "MODIFY", 0.5)]))
+    b0 = F.pmod(F.hash(F.lit(0).cast("long")), F.lit(4))
+    touched0 = spark.range(1).select(b0.alias("b")).first().b
+    assert touched0 != touched  # keys 0 and 3 land in different buckets
+    ml_after = {ml["manifest_path"] for ml in sink._manifest_list(_cursnap(sink))}
+    assert ml_mid & ml_after, "commit must not rewrite untouched manifests"
+
+
+def test_data_files_are_immutable(sink, spark):
+    sigs = {
+        e["data_file"]["file_path"]: os.path.getmtime(
+            os.path.join(sink.path, e["data_file"]["file_path"])
+        )
+        for e in sink._entries(_cursnap(sink))
+    }
+    sink.apply_batch(_batch(spark, [(1, 10, "MODIFY", 9.9)]))
+    for p, mtime in sigs.items():
+        full = os.path.join(sink.path, p)
+        assert os.path.exists(full)
+        assert os.path.getmtime(full) == mtime  # never rewritten in place
+
+
+def test_commit_is_put_if_absent(sink):
+    with pytest.raises(FileExistsError):
+        sink._commit_meta(1, {"snapshots": []})
+
+
+def test_stale_and_corrupt_version_hint_recover(sink, spark):
+    sink.apply_batch(_batch(spark, [(1, 10, "MODIFY", 1.5)]))
+    hint = os.path.join(sink.path, META_DIR, "version-hint.text")
+    with open(hint, "w") as fh:
+        fh.write("1")  # stale: crash between link and hint rename
+    assert sink._latest_meta_num() == 2  # forward probe recovers
+    with open(hint, "w") as fh:
+        fh.write('{"ver')  # torn mid-write
+    assert sink._latest_meta_num() == 2  # listing fallback recovers
+    rows = {r.key: r.payload_value for r in sink.visible().collect()}
+    assert rows[1] == 1.5
+
+
+def test_expiry_gc_and_expired_reads_fail_loudly(sink, spark):
+    sink.apply_batch(_batch(spark, [(1, 10, "MODIFY", 1.5)]))
+    sink.apply_batch(_batch(spark, [(2, 20, "REMOVE", None)]))
+    before = sorted((r.key, r.payload_value) for r in sink.visible().collect())
+    meta_before = _meta(sink)
+    dead_lists = [
+        s["manifest-list"]
+        for s in meta_before["snapshots"]
+        if s["sequence-number"] < 3
+    ]
+    assert sink.expire_versions(keep_last=1) == [1, 2]
+    after = sorted((r.key, r.payload_value) for r in sink.visible().collect())
+    assert after == before
+    assert len(_meta(sink)["snapshots"]) == 1
+    for rel in dead_lists:  # expired snapshots' manifest lists are GC'd
+        assert not os.path.exists(os.path.join(sink.path, rel))
+    with pytest.raises(ValueError, match="expired"):
+        sink.snapshot(1)
+    with pytest.raises(ValueError, match="out of range"):
+        sink.snapshot(9)
+
+
+def test_gc_deletes_only_unreferenced_data_files(sink, spark):
+    v1_files = {e["data_file"]["file_path"] for e in sink._entries(_cursnap(sink))}
+    sink.apply_batch(_batch(spark, [(3, 10, "MODIFY", 3.5)]))
+    v2_files = {e["data_file"]["file_path"] for e in sink._entries(_cursnap(sink))}
+    replaced = v1_files - v2_files
+    survivors = v1_files & v2_files
+    assert replaced and survivors  # untouched buckets' files carry over
+    sink.expire_versions(keep_last=1, sweep_orphans=True)
+    for p in replaced:
+        assert not os.path.exists(os.path.join(sink.path, p))
+    for p in survivors:
+        assert os.path.exists(os.path.join(sink.path, p))
+
+
+def test_second_expiry_cycle_expires_loudly(sink, spark):
+    sink.apply_batch(_batch(spark, [(1, 10, "MODIFY", 1.1)]))
+    sink.apply_batch(_batch(spark, [(1, 11, "MODIFY", 1.2)]))
+    sink.expire_versions(keep_last=1)  # drops 1-2
+    sink.apply_batch(_batch(spark, [(1, 12, "MODIFY", 1.3)]))
+    sink.apply_batch(_batch(spark, [(1, 13, "MODIFY", 1.4)]))
+    assert sink.expire_versions(keep_last=1) == [3, 4]
+    for v in (1, 2, 3, 4):
+        with pytest.raises(ValueError, match="expired"):
+            sink.snapshot(v)
+    assert sorted(
+        (r.key, r.payload_value) for r in sink.visible().collect()
+    )[1] == (1, 1.4)
+
+
+def test_rewrite_uses_bounds_and_converges(sink, spark):
+    sink.apply_batch(_batch(spark, [(5, 10, "REMOVE", None)]))
+    sink.compact(reorder_horizon_seq=11)
+    assert sink.snapshot().where(F.col("op") == "REMOVE").count() == 0
+    v_after = sink.latest_version()
+    # second pass: bounds prove every file clean -> no new snapshot
+    sink.compact(reorder_horizon_seq=11)
+    assert sink.latest_version() == v_after
+    # fresh (unsettled) tombstone: bounds admit the file forever, the
+    # exact emptiness check must suppress the no-op snapshot
+    sink.apply_batch(_batch(spark, [(0, 50, "REMOVE", None)]))
+    v = sink.latest_version()
+    sink.compact(reorder_horizon_seq=10)
+    assert sink.latest_version() == v
+
+
+def test_crashed_write_attempt_does_not_wedge(sink, spark):
+    # simulate a crash between data write and metadata publication:
+    # the attempt-scoped data dir must not collide with the retry
+    seq = sink.latest_version() + 1
+    orphan = sink._write_data(
+        _batch(spark, [(1, 10, "MODIFY", 5.0)])
+        .withColumnRenamed("seq_no", "last_seq")
+        .withColumn("bucket", sink._bucket(F.col("key"))),
+        seq,
+    )  # files exist, commit never happens
+    assert orphan
+    orphans = [os.path.join(sink.path, e["data_file"]["file_path"]) for e in orphan]
+    sink.apply_batch(_batch(spark, [(1, 10, "MODIFY", 5.0)]))  # retry works
+    assert sink.latest_version() == seq
+    rows = {r.key: r.payload_value for r in sink.visible().collect()}
+    assert rows[1] == 5.0
+    sink.apply_batch(_batch(spark, [(2, 11, "MODIFY", 6.0)]))
+    sink.expire_versions(keep_last=1, sweep_orphans=True)
+    assert not any(os.path.exists(p) for p in orphans)  # debris reclaimed
+    for e in sink._entries(_cursnap(sink)):  # every live file survives
+        assert os.path.exists(os.path.join(sink.path, e["data_file"]["file_path"]))
+
+
+def test_lost_race_remerges_against_winner_state(sink, spark):
+    # two writers target the same next metadata number; the loser must
+    # re-read the winner's state before retrying — a stale retry would
+    # drop the winner's files from its snapshot and resurrect rows
+    winner = IcebergLogSink(spark, sink.path, n_buckets=4)
+    v0 = sink.latest_version()
+    orig, fired = sink._commit_meta, {}
+
+    def racing_commit(n, meta):
+        if not fired:
+            fired["x"] = True  # interleave: winner publishes first
+            winner.apply_batch(_batch(spark, [(1, 20, "MODIFY", 7.0)]))
+        orig(n, meta)
+
+    sink._commit_meta = racing_commit
+    sink.apply_batch(
+        _batch(spark, [(1, 21, "MODIFY", 8.0), (2, 21, "REMOVE", None)])
+    )
+    assert sink.latest_version() == v0 + 2  # winner then retried loser
+    rows = sink.visible().collect()  # ROW list, not a dict — duplicates count
+    assert [(r.key, r.payload_value) for r in rows if r.key == 1] == [(1, 8.0)]
+    assert not [r for r in rows if r.key == 2]  # seq-21 REMOVE survived
+    keys = [r.key for r in rows]
+    assert len(keys) == len(set(keys))  # no resurrected duplicate anywhere
+
+
+def test_rewrite_race_inside_state_read_still_retries(sink, spark):
+    # the narrow window: a MERGE lands AFTER compact reads state but
+    # BEFORE it commits. Because compact pins its metadata number
+    # BEFORE the state read, the interloper claims that number and
+    # compact must hit EEXIST and recompute candidates
+    sink.apply_batch(_batch(spark, [(3, 30, "REMOVE", None)]))
+    other = IcebergLogSink(spark, sink.path, n_buckets=4)
+    orig_load, fired = sink._load_meta, {}
+
+    def racing_load(n):
+        out = orig_load(n)
+        if not fired:
+            fired["x"] = True
+            other.apply_batch(_batch(spark, [(3, 31, "MODIFY", 3.5)]))
+        return out
+
+    sink._load_meta = racing_load
+    sink.compact(reorder_horizon_seq=31)
+    rows = sink.visible().collect()
+    assert [(r.key, r.payload_value) for r in rows if r.key == 3] == [(3, 3.5)]
+    keys = [r.key for r in rows]
+    assert len(keys) == len(set(keys))
+    for e in sink._entries(_cursnap(sink)):  # every live entry resolvable
+        assert os.path.exists(os.path.join(sink.path, e["data_file"]["file_path"]))

@@ -21,6 +21,7 @@ from dynamodb_pitr_restore_cdc_spark.streaming.sink_format import (
     VersionedSinkFormat,
 )
 from dynamodb_pitr_restore_cdc_spark.streaming.delta_log_sink import DeltaLogSink
+from dynamodb_pitr_restore_cdc_spark.streaming.iceberg_log_sink import IcebergLogSink
 from dynamodb_pitr_restore_cdc_spark.streaming.versioned_sink import VersionedCdcSink
 
 
@@ -48,9 +49,12 @@ FACTORIES = {
     # the Delta-protocol-shaped format (delta_log_sink.py): the proof
     # that a transaction-log table format drops in behind the seam
     "delta": lambda spark, path: DeltaLogSink(spark, path, n_buckets=4),
+    # the Iceberg-shaped format (iceberg_log_sink.py): the proof the
+    # seam generalizes beyond one metadata design (snapshot tree vs log)
+    "iceberg": lambda spark, path: IcebergLogSink(spark, path, n_buckets=4),
 }
-VERSIONED = ["versioned", "delta"]
-COMPACTING = ["bucketed", "delta"]
+VERSIONED = ["versioned", "delta", "iceberg"]
+COMPACTING = ["bucketed", "delta", "iceberg"]
 
 
 def test_structural_conformance():
@@ -65,6 +69,10 @@ def test_structural_conformance():
     assert issubclass(DeltaLogSink, SinkFormat)
     assert issubclass(DeltaLogSink, CompactingSinkFormat)
     assert issubclass(DeltaLogSink, VersionedSinkFormat)
+    # ...and so does the Iceberg-shaped metadata tree
+    assert issubclass(IcebergLogSink, SinkFormat)
+    assert issubclass(IcebergLogSink, CompactingSinkFormat)
+    assert issubclass(IcebergLogSink, VersionedSinkFormat)
 
 
 def _drive(sink: SinkFormat, spark) -> None:
