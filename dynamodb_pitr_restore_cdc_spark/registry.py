@@ -351,11 +351,12 @@ _DRIVER_VERIFIED_R06: frozenset[str] = frozenset(
 # them (local parity is otherwise their only guard). Round 7's new
 # surface (the Iceberg-shaped log, the optimize-policy query, the
 # heavy-hitters twin, the real-codec media probe) is all NEW
-# registrations — they enter through the never-checked tier — and the
-# only edits to existing queries were docstring citations, so nothing
-# needs a re-check slot; the whole remaining window rotates the stale
-# r01/r02 evidence.
-_REVERIFY_R07: frozenset[str] = frozenset()
+# registrations entering through the never-checked tier; the one
+# re-check is the Delta fold, whose sink grew the merge-on-read lane
+# (visible/apply_batch/compact now route through the mor-aware
+# _fold_adds — behavior-neutral for copy-on-write tables, but the impl
+# changed, so the driver re-checks).
+_REVERIFY_R07: frozenset[str] = frozenset({"q_cdc_delta_log_fold"})
 
 
 def all_queries() -> dict[str, QuerySpec]:

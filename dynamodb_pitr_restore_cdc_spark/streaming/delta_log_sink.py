@@ -27,6 +27,18 @@ plain parquet + JSON — not a toy marker file, the actual mechanics:
   MERGE reads only the files of touched buckets; OPTIMIZE selects
   candidate files from stats alone — both prune driver-side with ZERO
   data reads, exactly Delta's data-skipping contract.
+- **Merge-on-read ingest lane (round 7)**: ``append`` lands a
+  changelog batch as immutable delta files in one always-compatible
+  commit (no read, no removes — Delta's blind-append WRITE), tagged
+  ``mor`` with a ``numRemoves`` stat. Readers fold delta entries over
+  the base at read time (the per-key max-seq reduction is associative,
+  so read-time folding ≡ write-time merging); ``optimize_plan`` turns
+  the add-action stats into a per-bucket COMPACT/SKIP decision
+  (small-file count + tombstone-ratio thresholds, zero data reads) and
+  ``compact_mor`` executes it. At 100 TB this is the ingest shape that
+  avoids rewrite amplification: appends are O(batch), and bucket
+  rewrite cost is paid only when the policy says the read-side merge
+  fan-in or tombstone debt justifies it.
 - **Checkpoint + _last_checkpoint**: retention (`expire_versions`)
   first writes ``<v>.checkpoint.json`` capturing the full action
   state at the horizon and points ``_last_checkpoint`` at it, then
@@ -72,11 +84,20 @@ class DeltaLogSink:
     transaction log. See module docstring for the protocol."""
 
     def __init__(
-        self, spark: SparkSession, path: str, n_buckets: int = N_BUCKETS_DEFAULT
+        self,
+        spark: SparkSession,
+        path: str,
+        n_buckets: int = N_BUCKETS_DEFAULT,
+        bucket_of=None,
     ):
+        """`bucket_of` (optional, Column -> Column) picks the partition
+        transform, Iceberg-spec style (bucket[N] hash by default; an
+        identity-mod transform makes layouts reproducible by external
+        engines — the optimize-plan oracle uses key % N)."""
         self.spark = spark
         self.path = path
         self.n_buckets = n_buckets
+        self._bucket_of = bucket_of
         os.makedirs(os.path.join(path, LOG_DIR), exist_ok=True)
 
     # -- log plumbing ----------------------------------------------------
@@ -181,7 +202,30 @@ class DeltaLogSink:
     # -- data plumbing ---------------------------------------------------
 
     def _bucket(self, key_col):
+        if self._bucket_of is not None:
+            return self._bucket_of(key_col).alias("bucket")
         return F.pmod(F.hash(key_col), F.lit(self.n_buckets)).alias("bucket")
+
+    @staticmethod
+    def _is_mor(add: dict) -> bool:
+        return add.get("tags", {}).get("mor") == "true"
+
+    def _fold_adds(self, adds: list[dict], schema_json: str) -> DataFrame:
+        """Tombstoned state of a set of adds, folding merge-on-read
+        delta files over the base files at read time. With no mor files
+        this is a plain read (zero overhead for copy-on-write tables)."""
+        base = [a for a in adds if not self._is_mor(a)]
+        mor = [a for a in adds if self._is_mor(a)]
+        cur = self._read_adds(base, schema_json)
+        if not mor:
+            return cur
+        entries = self._read_adds(mor, schema_json).withColumnRenamed(
+            "last_seq", "seq_no"
+        )
+        # the per-key max-seq reduction is associative/commutative, so
+        # folding ALL pending entries in one merge ≡ applying their
+        # commits one by one (tests/test_cdc_property.py)
+        return cdc_merge_tombstone(cur, entries)
 
     def _write_data(self, bucketed: DataFrame, v: int) -> list[dict]:
         """Write one commit ATTEMPT's data files (immutable, attempt-
@@ -312,7 +356,10 @@ class DeltaLogSink:
                 for a in active.values()
                 if int(a["partitionValues"]["bucket"]) in touched
             ]
-            current = self._read_adds(cand, schema_json)
+            # _fold_adds (not a raw read): a touched bucket may carry
+            # pending merge-on-read delta files, which this commit
+            # retires by folding them into the rewritten base files
+            current = self._fold_adds(cand, schema_json)
             merged = cdc_merge_tombstone(current, batch.drop("bucket"), key=key)
             adds = self._write_data(
                 merged.withColumn("bucket", self._bucket(F.col(key))), v
@@ -343,7 +390,8 @@ class DeltaLogSink:
         return self._read_adds(list(active.values()), schema_json)
 
     def visible(self) -> DataFrame:
-        return visible(self.snapshot())
+        schema_json, active = self._state()
+        return visible(self._fold_adds(list(active.values()), schema_json))
 
     # -- CompactingSinkFormat -------------------------------------------
 
@@ -368,6 +416,13 @@ class DeltaLogSink:
             schema_json, active = self._state()
 
             def may_hold_settled(a: dict) -> bool:
+                if self._is_mor(a):
+                    # a REMOVE row in a delta file is a changelog ENTRY,
+                    # not a folded tombstone: dropping it would resurrect
+                    # the key's older base row. MOR files are reclaimed by
+                    # compact_mor (fold into base), after which the folded
+                    # tombstone becomes reachable by this path.
+                    return False
                 s = json.loads(a["stats"]) if a.get("stats") else None
                 if not s or "op" not in s.get("minValues", {}):
                     return True  # no stats: conservative
@@ -411,6 +466,162 @@ class DeltaLogSink:
             f"OPTIMIZE lost the commit race {max_attempts} times at {self.path}"
         )
 
+    # -- merge-on-read ingest lane ----------------------------------------
+
+    def append(self, batch: DataFrame, key: str = "key", max_attempts: int = 5) -> None:
+        """Blind-append ingest: the batch's changelog entries (key,
+        seq_no, op, payload_value) land as immutable delta files tagged
+        ``mor``, in one commit with NO reads and NO removes — Delta's
+        always-compatible append, O(batch) regardless of table size.
+        Each add's stats carry ``numRemoves`` (one file per bucket per
+        commit — repartition("bucket") — so the batch's per-bucket
+        remove counts ARE per-file counts), which optimize_plan reads.
+        Append commits never conflict semantically, so a lost race
+        retries at the next version without recomputing anything."""
+        rows = batch.select(
+            F.col(key),
+            F.col("seq_no").alias("last_seq"),
+            F.col("payload_value"),
+            F.col("op"),
+        ).withColumn("bucket", self._bucket(F.col(key)))
+        counts = {
+            r.bucket: int(r.removes)
+            for r in rows.groupBy("bucket")
+            .agg(F.sum((F.col("op") == "REMOVE").cast("long")).alias("removes"))
+            .collect()
+        }  # ≤ N ints: orchestration, not data
+        v = self.latest_version() + 1
+        adds = self._write_data(rows, v)
+        for a in adds:
+            a["tags"] = {"mor": "true"}
+            st = json.loads(a["stats"])
+            st["numRemoves"] = counts.get(int(a["partitionValues"]["bucket"]), 0)
+            a["stats"] = json.dumps(st)
+        for _ in range(max_attempts):
+            try:
+                self._commit(
+                    v,
+                    [
+                        {"commitInfo": {"operation": "WRITE"}},
+                        *({"add": a} for a in adds),
+                    ],
+                )
+                return
+            except FileExistsError:
+                v = self.latest_version() + 1  # appends never conflict
+        raise RuntimeError(
+            f"WRITE lost the commit race {max_attempts} times at {self.path}"
+        )
+
+    def optimize_plan(
+        self,
+        small_file_rows: int,
+        min_small_files: int,
+        tombstone_pct: int,
+    ) -> DataFrame:
+        """Maintenance policy: per bucket, decide COMPACT or SKIP from
+        add-action STATS alone (the same metadata the skipping uses —
+        zero data reads, O(files) driver work exactly like MERGE/
+        OPTIMIZE candidate selection). COMPACT when the read-side merge
+        fan-in has grown (≥ min_small_files delta files under
+        small_file_rows rows) or the tombstone debt has (delta REMOVE
+        entries exceed tombstone_pct% of the bucket's rows). Inputs and
+        outputs are integers, so the decision is oracle-expressible.
+
+        This is the data-driven form of the reference's operational
+        constants (batch size 25 `lambda-backfill/main.py:22`,
+        maxReceiveCount 5 `cdk-stack.ts:52-63`): thresholds turned into
+        per-bucket decisions off observed stats."""
+        import pandas as pd
+
+        _, active = self._state()
+        per_bucket: dict[int, dict] = {}
+        for a in active.values():
+            b = int(a["partitionValues"]["bucket"])
+            st = json.loads(a["stats"])
+            d = per_bucket.setdefault(
+                b,
+                {
+                    "bucket": b,
+                    "base_files": 0,
+                    "base_records": 0,
+                    "delta_files": 0,
+                    "delta_records": 0,
+                    "delta_removes": 0,
+                    "small_delta_files": 0,
+                },
+            )
+            if self._is_mor(a):
+                d["delta_files"] += 1
+                d["delta_records"] += st["numRecords"]
+                d["delta_removes"] += st.get("numRemoves", 0)
+                if st["numRecords"] < small_file_rows:
+                    d["small_delta_files"] += 1
+            else:
+                d["base_files"] += 1
+                d["base_records"] += st["numRecords"]
+        rows = []
+        for d in sorted(per_bucket.values(), key=lambda r: r["bucket"]):
+            compact = d["small_delta_files"] >= min_small_files or (
+                100 * d["delta_removes"]
+                > tombstone_pct * (d["base_records"] + d["delta_records"])
+            )
+            rows.append({**d, "decision": "COMPACT" if compact else "SKIP"})
+        cols = [
+            "bucket", "base_files", "base_records", "delta_files",
+            "delta_records", "delta_removes", "small_delta_files", "decision",
+        ]
+        return self.spark.createDataFrame(
+            pd.DataFrame(rows, columns=cols),
+            schema=(
+                "bucket long, base_files long, base_records long, "
+                "delta_files long, delta_records long, delta_removes long, "
+                "small_delta_files long, decision string"
+            ),
+        )
+
+    def compact_mor(
+        self, buckets: set[int], key: str = "key", max_attempts: int = 5
+    ) -> None:
+        """Execute an optimize_plan decision: fold the selected
+        buckets' pending delta files into rewritten base files (one
+        commit, loser-retry like compact — the retry recomputes the
+        candidate set from the winner's state). Folded REMOVE entries
+        become base tombstones, which the settled-tombstone OPTIMIZE
+        (compact) reclaims once the reorder horizon passes."""
+        for _ in range(max_attempts):
+            v = self.latest_version() + 1
+            schema_json, active = self._state()
+            cand = [
+                a
+                for a in active.values()
+                if int(a["partitionValues"]["bucket"]) in buckets
+            ]
+            if not any(self._is_mor(a) for a in cand):
+                return  # nothing pending: no no-op commit
+            folded = self._fold_adds(cand, schema_json)
+            adds = self._write_data(
+                folded.withColumn("bucket", self._bucket(F.col(key))), v
+            )
+            try:
+                self._commit(
+                    v,
+                    [
+                        {"commitInfo": {"operation": "OPTIMIZE"}},
+                        *(
+                            {"remove": {"path": a["path"], "dataChange": False}}
+                            for a in cand
+                        ),
+                        *({"add": a} for a in adds),
+                    ],
+                )
+                return
+            except FileExistsError:
+                continue  # lost the race: recompute candidates
+        raise RuntimeError(
+            f"MOR OPTIMIZE lost the commit race {max_attempts} times at {self.path}"
+        )
+
     # -- VersionedSinkFormat --------------------------------------------
 
     def changes_between(self, v_from: int, v_to: int) -> DataFrame:
@@ -438,8 +649,8 @@ class DeltaLogSink:
                      if int(a["partitionValues"]["bucket"]) in changed]
         side_to = [a for a in a_to.values()
                    if int(a["partitionValues"]["bucket"]) in changed]
-        a = visible(self._read_adds(side_from, s_from))
-        b = visible(self._read_adds(side_to, s_to))
+        a = visible(self._fold_adds(side_from, s_from))
+        b = visible(self._fold_adds(side_to, s_to))
         return diff_states(a, b)
 
     def expire_versions(
@@ -596,6 +807,98 @@ FROM (
         result.count()  # materialize before the backing dirs go away
         shutil.rmtree(base, ignore_errors=True)
         return result
+
+    @register(
+        "q_cdc_optimize_plan",
+        oracle=with_changelog(
+            """
+, p AS (SELECT max(seq_no) AS mx, max(seq_no) // 3 AS c1 FROM changelog)
+, base AS (
+    SELECT key % 8 AS bucket, CAST(count(*) AS BIGINT) AS base_records
+    FROM (
+        SELECT key, op,
+               row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
+        FROM changelog, p WHERE seq_no <= c1
+    ) WHERE rn = 1 AND op <> 'REMOVE'
+    GROUP BY 1)
+, files AS (
+    SELECT key % 8 AS bucket,
+           CASE WHEN seq_no <= c1 + (1 * (mx - c1)) // 6 THEN 1
+                WHEN seq_no <= c1 + (2 * (mx - c1)) // 6 THEN 2
+                WHEN seq_no <= c1 + (3 * (mx - c1)) // 6 THEN 3
+                WHEN seq_no <= c1 + (4 * (mx - c1)) // 6 THEN 4
+                WHEN seq_no <= c1 + (5 * (mx - c1)) // 6 THEN 5
+                ELSE 6 END AS commit_i,
+           CAST(count(*) AS BIGINT) AS recs,
+           CAST(sum(CASE WHEN op = 'REMOVE' THEN 1 ELSE 0 END) AS BIGINT) AS removes
+    FROM changelog, p WHERE seq_no > c1
+    GROUP BY 1, 2)
+, deltas AS (
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS delta_files,
+           CAST(sum(recs) AS BIGINT) AS delta_records,
+           CAST(sum(removes) AS BIGINT) AS delta_removes,
+           CAST(sum(CASE WHEN recs < 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS small_delta_files
+    FROM files GROUP BY 1)
+SELECT COALESCE(b.bucket, d.bucket) AS bucket,
+       CAST(CASE WHEN b.bucket IS NULL THEN 0 ELSE 1 END AS BIGINT) AS base_files,
+       COALESCE(b.base_records, 0) AS base_records,
+       COALESCE(d.delta_files, 0) AS delta_files,
+       COALESCE(d.delta_records, 0) AS delta_records,
+       COALESCE(d.delta_removes, 0) AS delta_removes,
+       COALESCE(d.small_delta_files, 0) AS small_delta_files,
+       CASE WHEN COALESCE(d.small_delta_files, 0) >= 3
+              OR 100 * COALESCE(d.delta_removes, 0)
+                 > 15 * (COALESCE(b.base_records, 0) + COALESCE(d.delta_records, 0))
+            THEN 'COMPACT' ELSE 'SKIP' END AS decision
+FROM base b FULL OUTER JOIN deltas d ON b.bucket = d.bucket
+"""
+        ),
+    )
+    def q_cdc_optimize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The maintenance-policy layer under one oracle hash: init =
+        fold of the changelog's first third, then SIX blind-append
+        commits (the merge-on-read ingest lane — each lands one delta
+        file per touched bucket), then optimize_plan reads the
+        add-action stats and emits the per-bucket COMPACT/SKIP decision
+        (small-file fan-in ≥ 3 files under 100 rows, or tombstone debt
+        > 15% of bucket rows). The oracle reproduces the exact physical
+        layout arithmetic — identity-mod bucketing (key % 8) and the
+        integer seq-range commit boundaries — so file counts, record
+        counts, remove counts and the decision are all hash-checked.
+        The sink-side drill additionally executes the plan
+        (compact_mor) and asserts the fold identity in the unit suite;
+        the registered surface is the decision table itself."""
+        cl = changelog(spark, sf_dir).select(
+            "seq_no", "op", "key", "payload_value"
+        )
+        max_seq = int(cl.agg(F.max("seq_no")).first()[0])  # orchestration scalar
+        c1, d = max_seq // 3, max_seq - max_seq // 3
+        base = tempfile.mkdtemp(prefix="optplan-")
+        sink = DeltaLogSink(
+            spark,
+            os.path.join(base, "t"),
+            n_buckets=8,
+            bucket_of=lambda k: F.pmod(k, F.lit(8)),
+        )
+        sink.init(fold_changelog(cl.where(F.col("seq_no") <= c1)))
+        bounds = [c1 + (i * d) // 6 for i in range(7)]
+        for i in range(1, 7):
+            sink.append(
+                cl.where(
+                    (F.col("seq_no") > bounds[i - 1])
+                    & (F.col("seq_no") <= bounds[i])
+                )
+            )
+        plan = tracked_persist(
+            sink.optimize_plan(
+                small_file_rows=100, min_small_files=3, tombstone_pct=15
+            )
+        )
+        plan.count()  # materialize before the backing dirs go away
+        shutil.rmtree(base, ignore_errors=True)
+        return plan
 
 
 _register_delta_fold()

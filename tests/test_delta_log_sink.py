@@ -294,3 +294,111 @@ def test_vacuum_sweeps_crashed_attempt_orphans(sink, spark):
         assert os.path.exists(os.path.join(sink.path, a["path"]))
     rows = {r.key: r.payload_value for r in sink.visible().collect()}
     assert rows[1] == 5.0 and rows[2] == 6.0
+
+
+# -- merge-on-read ingest lane (append / optimize_plan / compact_mor) -----
+
+
+def test_append_is_mor_tagged_with_remove_counts(sink, spark):
+    sink.append(_batch(spark, [(1, 10, "MODIFY", 1.5), (1, 11, "REMOVE", None),
+                               (2, 12, "REMOVE", None)]))
+    acts = _actions(sink, 2)
+    assert acts[0]["commitInfo"]["operation"] == "WRITE"
+    assert not any("remove" in a for a in acts)  # blind append: no removes
+    adds = [a["add"] for a in acts if "add" in a]
+    assert adds and all(a["tags"]["mor"] == "true" for a in adds)
+    by_bucket = {
+        int(a["partitionValues"]["bucket"]): json.loads(a["stats"]) for a in adds
+    }
+    # keys 1,2 may share a bucket or not; total counts must reconcile
+    assert sum(s["numRecords"] for s in by_bucket.values()) == 3
+    assert sum(s["numRemoves"] for s in by_bucket.values()) == 2
+
+
+def test_visible_folds_mor_entries(sink, spark):
+    # init has keys 0..7 at seq 0. Appends: newer MODIFY, REMOVE, brand
+    # new key, and a STALE entry below the base seq
+    sink.apply_batch(_batch(spark, [(4, 5, "MODIFY", 4.4)]))  # base at seq 5
+    sink.append(_batch(spark, [(1, 10, "MODIFY", 1.5), (9, 11, "INSERT", 9.0)]))
+    sink.append(_batch(spark, [(2, 12, "REMOVE", None), (4, 3, "MODIFY", 0.1)]))
+    rows = {r.key: (r.last_seq, r.payload_value) for r in sink.visible().collect()}
+    assert rows[1] == (10, 1.5)      # delta entry wins over base
+    assert 2 not in rows             # delta REMOVE hides the base row
+    assert rows[9] == (11, 9.0)      # delta-only key appears
+    assert rows[4] == (5, 4.4)       # stale delta entry loses to base
+    assert rows[0] == (0, 0.0)       # untouched base rows unaffected
+
+
+def test_merge_retires_touched_buckets_mor_files(sink, spark):
+    sink.append(_batch(spark, [(3, 10, "MODIFY", 3.5)]))
+    _, active = sink._state()
+    mor_paths = {p for p, a in active.items() if DeltaLogSink._is_mor(a)}
+    assert mor_paths
+    # a MERGE touching key 3's bucket must fold + retire its mor files
+    sink.apply_batch(_batch(spark, [(3, 11, "MODIFY", 3.6)]))
+    _, active2 = sink._state()
+    assert not (mor_paths & set(active2)), "merge must retire folded mor files"
+    rows = {r.key: r.payload_value for r in sink.visible().collect()}
+    assert rows[3] == 3.6
+
+
+def test_compact_never_drops_mor_remove_entries(sink, spark):
+    # a settled REMOVE living in a DELTA file is a changelog entry:
+    # OPTIMIZE rewriting it away would resurrect the base row
+    sink.append(_batch(spark, [(5, 10, "REMOVE", None)]))
+    sink.compact(reorder_horizon_seq=99)  # seq 10 is "settled"
+    rows = {r.key for r in sink.visible().collect()}
+    assert 5 not in rows  # key stays dead: the entry survived
+
+
+def test_optimize_plan_thresholds_and_execution(sink, spark):
+    # one bucket piles up 3 tiny delta files -> small-file COMPACT;
+    # another gets one delta file whose REMOVE entries exceed 15% of
+    # its rows -> tombstone COMPACT. Pick two keys in provably
+    # DIFFERENT buckets (hash mod 4 collides for small consecutive keys)
+    bucket_of = {
+        r.k: r.b
+        for r in spark.range(8)
+        .select(
+            F.col("id").alias("k"),
+            F.pmod(F.hash(F.col("id").cast("long")), F.lit(4)).alias("b"),
+        )
+        .collect()
+    }
+    ka = 0
+    kb = next(k for k in range(1, 8) if bucket_of[k] != bucket_of[ka])
+    for s in (10, 11, 12):
+        sink.append(_batch(spark, [(ka, s, "MODIFY", float(s))]))
+    sink.append(_batch(spark, [(kb, 13, "REMOVE", None)]))
+    plan = {r.bucket: r for r in sink.optimize_plan(
+        small_file_rows=100, min_small_files=3, tombstone_pct=15
+    ).collect()}
+    k0, k1 = bucket_of[ka], bucket_of[kb]
+    assert plan[k0].decision == "COMPACT" and plan[k0].small_delta_files == 3
+    assert plan[k1].decision == "COMPACT" and plan[k1].delta_removes == 1
+    untouched = [b for b in plan if b not in (k0, k1)]
+    assert untouched and all(plan[b].decision == "SKIP" for b in untouched)
+    assert all(plan[b].delta_files == 0 for b in untouched)
+    # execute: visible unchanged, pending deltas folded, plan goes SKIP
+    before = sorted((r.key, r.payload_value) for r in sink.visible().collect())
+    sink.compact_mor({b for b, r in plan.items() if r.decision == "COMPACT"})
+    after = sorted((r.key, r.payload_value) for r in sink.visible().collect())
+    assert after == before
+    plan2 = {r.bucket: r for r in sink.optimize_plan(
+        small_file_rows=100, min_small_files=3, tombstone_pct=15
+    ).collect()}
+    assert all(r.decision == "SKIP" and r.delta_files == 0 for r in plan2.values())
+    # the folded tombstone is now base-side and reclaimable by OPTIMIZE
+    sink.compact(reorder_horizon_seq=99)
+    assert sink.snapshot().where(F.col("op") == "REMOVE").count() == 0
+
+
+def test_changefeed_classifies_through_mor(sink, spark):
+    v0 = sink.latest_version()
+    sink.append(_batch(spark, [(1, 10, "MODIFY", 1.5), (2, 11, "REMOVE", None),
+                               (9, 12, "INSERT", 9.0)]))
+    feed = {
+        r.key: r.change_type
+        for r in sink.changes_between(v0, sink.latest_version()).collect()
+    }
+    assert feed == {1: "UPDATE", 2: "DELETE", 9: "INSERT"}
