@@ -1083,3 +1083,155 @@ def q_stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in (src, work, out):
         shutil.rmtree(d, ignore_errors=True)
     return result
+
+
+# --- streaming heavy hitters: bounded-state space-saving summary -----------
+
+HH_CAPACITY = 4096  # summary rows kept per stream (state bound)
+HH_TOP = 25         # rows the registered query reports
+
+
+def run_heavy_hitters_stream(
+    spark: SparkSession, src: str, work: str, capacity: int = HH_CAPACITY
+) -> tuple[str, int]:
+    """Drain event splits maintaining a SPACE-SAVING summary (Metwally
+    et al.'s Stream-Summary, in its mergeable-summaries form): state is
+    a capped table of (key, est, err) rows plus one scalar watermark —
+    O(capacity) no matter how long the stream runs or how many distinct
+    keys it carries, which is the whole point at 100 TB (an exact
+    per-key count would be O(distinct)).
+
+    Per micro-batch: exact batch counts (map-side pre-reduced groupBy)
+    full-outer-merge with the summary — keys in both sides add; a key
+    new to the summary enters with est = batch_count + watermark and
+    err = watermark (it may have been counted up to the watermark
+    before an earlier eviction) — then the summary truncates to the
+    top `capacity` rows by (est desc, key asc) and the watermark rises
+    to the largest evicted est. Invariants (unit-tested):
+    est - err <= true <= est, and with capacity >= distinct keys the
+    watermark stays 0, so every estimate is EXACT — which is what lets
+    the registered query share the batch twin's exact-count oracle.
+
+    Durable-pointer resumable like the session/EWMA stores: the
+    `_LATEST` pointer carries {path, wm} in one atomic write, pointer
+    lands AFTER data so a crash replays the epoch idempotently
+    (per-epoch overwrite)."""
+    pointer = os.path.join(work, "_LATEST")
+    if os.path.exists(pointer):
+        with open(pointer) as fh:
+            committed = json.loads(fh.read())
+        state = {"path": committed["path"], "wm": int(committed["wm"])}
+    else:
+        init_path = os.path.join(work, "v_init")
+        spark.range(0).select(
+            F.col("id").alias("key"),
+            F.col("id").alias("est"),
+            F.col("id").alias("err"),
+        ).write.mode("overwrite").parquet(init_path)
+        _set_pointer(pointer, json.dumps({"path": init_path, "wm": 0}))
+        state = {"path": init_path, "wm": 0}
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        new_path = os.path.join(work, f"v{epoch_id}")
+        if new_path == state["path"]:  # replayed epoch
+            return
+        sess = batch_df.sparkSession
+        summary = sess.read.parquet(state["path"])
+        bcounts = batch_df.groupBy(F.col("user_id").alias("key")).agg(
+            F.count("*").alias("bcnt")
+        )
+        wm = F.lit(state["wm"])
+        j = summary.alias("s").join(bcounts.alias("b"), on="key", how="full_outer")
+        new_key = F.col("s.est").isNull()
+        merged = j.select(
+            "key",
+            (
+                F.when(new_key, F.col("b.bcnt") + wm)
+                .otherwise(F.col("s.est") + F.coalesce(F.col("b.bcnt"), F.lit(0)))
+            ).alias("est"),
+            F.when(new_key, wm).otherwise(F.col("s.err")).alias("err"),
+        )
+        ranked = merged.withColumn(
+            "rn",
+            F.row_number().over(W.orderBy(F.desc("est"), F.asc("key"))),
+        )
+        ranked = tracked_persist(ranked)  # referenced twice: kept + evicted
+        ranked.where(F.col("rn") <= capacity).select(
+            "key", "est", "err"
+        ).write.mode("overwrite").parquet(new_path)
+        evicted_max = (
+            ranked.where(F.col("rn") > capacity).agg(F.max("est")).first()[0]
+        )
+        state["path"] = new_path
+        state["wm"] = max(state["wm"], int(evicted_max or 0))
+        # pointer AFTER data: a crash between the two replays the epoch,
+        # which overwrites v{epoch} idempotently from the prior pointer
+        _set_pointer(pointer, json.dumps(state))
+
+    q = (
+        spark.readStream.schema("user_id long, us long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(work, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state["path"], state["wm"]
+
+
+_HH_ORACLE = f"""
+WITH counts AS (
+    SELECT user_id AS key, CAST(count(*) AS BIGINT) AS est_count
+    FROM events GROUP BY 1
+), ranked AS (
+    SELECT key, est_count, CAST(0 AS BIGINT) AS max_err,
+           CAST(row_number() OVER (ORDER BY est_count DESC, key ASC) AS BIGINT)
+               AS rk
+    FROM counts
+)
+SELECT key, est_count, max_err, rk FROM ranked WHERE rk <= {HH_TOP}
+"""
+
+
+@register("q_stream_heavy_hitters", oracle=_HH_ORACLE)
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming heavy hitters ≡ exact batch top-k (same
+    rows, the hash match IS the proof): the event log replays as 3
+    pinned micro-batches through the space-saving summary
+    (run_heavy_hitters_stream). Capacity 4096 exceeds the fixture's
+    distinct-key count at every SF, so the summary's guarantee
+    (est - err <= true <= est) collapses to est == true and err == 0 —
+    exact ≡ approximate is provable, which makes the exact-count SQL a
+    legitimate oracle for the approximate operator. At production
+    cardinalities the same code degrades gracefully to the documented
+    overestimate bound instead of growing state (closes the last batch
+    op with no streaming story — topwords/top-k)."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    p1, p2 = _ts_tertiles(table(spark, sf_dir, "events"), "ts")
+    us = F.col("us")
+    src, work = _fresh_dir("hh-src"), _fresh_dir("hh-work")
+    _write_split_files(e, [us <= p1, (us > p1) & (us <= p2), us > p2], src)
+
+    path, wm = run_heavy_hitters_stream(spark, src, work)
+    summary = spark.read.parquet(path)
+    result = tracked_persist(
+        summary.withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.desc("est"), F.asc("key"))).cast("bigint"),
+        )
+        .where(F.col("rk") <= HH_TOP)
+        .select(
+            "key",
+            F.col("est").alias("est_count"),
+            F.col("err").alias("max_err"),
+            "rk",
+        )
+    )
+    result.count()  # materialize before removing the backing dirs
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return result

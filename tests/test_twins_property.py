@@ -514,3 +514,121 @@ def test_hw_stream_resume_survives_torn_pointer_attempt(spark, tmp_path):
     run_hw_stream(spark, src1, work1, out1, seas)
     want = sorted(map(tuple, read_emitted_hw(spark, out1).collect()))
     assert got == want and len(got) == 24
+
+
+def test_heavy_hitters_exact_when_capacity_exceeds_keys(spark, tmp_path):
+    """capacity >= distinct keys => watermark never rises, every err is
+    0, and every estimate equals the true count (the property that lets
+    the registered query share the exact-count oracle)."""
+    import os
+
+    import pandas as pd
+
+    from dynamodb_pitr_restore_cdc_spark.streaming.stream_queries import (
+        _write_one_split,
+    )
+    from dynamodb_pitr_restore_cdc_spark.streaming.twins import (
+        run_heavy_hitters_stream,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "us"]),
+            schema="user_id long, us long",
+        )
+
+    rows = [(k, i) for i, k in enumerate([0, 1, 0, 2, 0, 1, 3, 0, 2, 0])]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(3):
+        _write_one_split(ev(rows[i::3]), src, i)
+    path, wm = run_heavy_hitters_stream(
+        spark, src, str(tmp_path / "work"), capacity=10
+    )
+    got = {r.key: (r.est, r.err) for r in spark.read.parquet(path).collect()}
+    assert wm == 0
+    assert got == {0: (5, 0), 1: (2, 0), 2: (2, 0), 3: (1, 0)}
+
+
+def test_heavy_hitters_bounds_hold_under_eviction(spark, tmp_path):
+    """capacity < distinct keys: the summary never exceeds capacity,
+    every survivor obeys est - err <= true <= est, and the dominant
+    key is present with its count bracketed."""
+    import os
+    from collections import Counter
+
+    import pandas as pd
+
+    from dynamodb_pitr_restore_cdc_spark.streaming.stream_queries import (
+        _write_one_split,
+    )
+    from dynamodb_pitr_restore_cdc_spark.streaming.twins import (
+        run_heavy_hitters_stream,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "us"]),
+            schema="user_id long, us long",
+        )
+
+    # key 99 dominates (40 of 100 events); keys 0..19 share the rest,
+    # deterministically interleaved so each split carries evictions
+    rows, i = [], 0
+    for rep in range(3):
+        for k in range(20):
+            rows.append((k, i)); i += 1
+    for _ in range(40):
+        rows.append((99, i)); i += 1
+    true = Counter(k for k, _ in rows)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for j in range(3):
+        _write_one_split(ev(rows[j::3]), src, j)
+    path, wm = run_heavy_hitters_stream(
+        spark, src, str(tmp_path / "work"), capacity=8
+    )
+    got = {r.key: (r.est, r.err) for r in spark.read.parquet(path).collect()}
+    assert len(got) <= 8 and wm > 0
+    for k, (est, err) in got.items():
+        assert est - err <= true[k] <= est, (k, est, err, true[k])
+    assert 99 in got  # the heavy hitter always survives
+
+
+def test_heavy_hitters_stream_resumes_from_committed_summary(spark, tmp_path):
+    """Crash-recovery: phase 1 drains two splits and 'crashes'; the
+    restarted run (same dirs) sees one more split. The resumed summary
+    AND watermark must equal the fresh single-run's."""
+    import os
+
+    import pandas as pd
+
+    from dynamodb_pitr_restore_cdc_spark.streaming.stream_queries import (
+        _write_one_split,
+    )
+    from dynamodb_pitr_restore_cdc_spark.streaming.twins import (
+        run_heavy_hitters_stream,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "us"]),
+            schema="user_id long, us long",
+        )
+
+    rows = [(k % 7, i) for i, k in enumerate(range(60))] + [(42, 99)] * 9
+    splits = [rows[0:20], rows[20:40], rows[40:]]
+
+    def run(base, upto, resume_from=None):
+        src, work = str(base / "src"), str(base / "work")
+        if resume_from is None:
+            os.makedirs(src)
+        for i in range(resume_from or 0, upto):
+            _write_one_split(ev(splits[i]), src, i)
+        path, wm = run_heavy_hitters_stream(spark, src, work, capacity=6)
+        return sorted(map(tuple, spark.read.parquet(path).collect())), wm
+
+    run(tmp_path / "tp", 2)                       # phase 1, then "crash"
+    got = run(tmp_path / "tp", 3, resume_from=2)  # restart
+    want = run(tmp_path / "one", 3)               # fresh single run
+    assert got == want
