@@ -289,7 +289,7 @@ def parse_media_blob(blob: bytes) -> dict:
             "n_samples": None,
         }
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
-        pos, channels, bits, rate, n_samples = 12, None, None, None, None
+        pos, channels, bits, rate, data_size = 12, None, None, None, None
         while pos + 8 <= len(blob):
             cid, size = struct.unpack_from("<4sI", blob, pos)
             body = pos + 8
@@ -297,8 +297,16 @@ def parse_media_blob(blob: bytes) -> dict:
                 channels, rate = struct.unpack_from("<HI", blob, body + 2)
                 (bits,) = struct.unpack_from("<H", blob, body + 14)
             elif cid == b"data":
-                n_samples = size // (channels * bits // 8)
+                data_size = size
             pos = body + size + (size & 1)  # RIFF chunks are word-aligned
+        # sample math AFTER the walk: the spec does not require fmt to
+        # precede data, so depending on encounter order would crash on
+        # data-first files (round-7 review finding)
+        n_samples = (
+            data_size // (channels * bits // 8)
+            if None not in (data_size, channels, bits)
+            else None
+        )
         return {
             "media_kind": "audio",
             "n_bytes": len(blob),

@@ -70,9 +70,9 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
 
 from ..operators.cdc import cdc_merge_tombstone, visible
+from .table_files import empty_frame, write_bucketed_files
 from .versioned_sink import diff_states
 
 LOG_DIR = "_delta_log"
@@ -162,14 +162,19 @@ class DeltaLogSink:
         cks = [c for c in cks if c <= v]
         return cks[-1] if cks else None
 
-    def _state(self, version: int | None = None) -> tuple[str, dict[str, dict]]:
-        """(schemaString, {path: add-action}) at `version` — replay of
-        the newest checkpoint ≤ version plus the commits after it."""
+    def _state(
+        self, version: int | None = None
+    ) -> tuple[str, dict, dict[str, dict]]:
+        """(schemaString, configuration, {path: add-action}) at
+        `version` — replay of the newest checkpoint ≤ version plus the
+        commits after it. `configuration` is the metaData configuration
+        map (carries mergeKey); tables written before it existed replay
+        to {} and fall back to the defaults."""
         latest = self.latest_version()
         v = latest if version is None else version
         if v > latest or v < 1:
             raise ValueError(f"version {v} out of range (latest {latest})")
-        schema, active = None, {}
+        schema, config, active = None, {}, {}
         start = 1
         ck = self._newest_checkpoint_at_most(v)
         if ck is not None:
@@ -178,6 +183,7 @@ class DeltaLogSink:
                     a = json.loads(line)
                     if "metaData" in a:
                         schema = a["metaData"]["schemaString"]
+                        config = a["metaData"].get("configuration", {})
                     elif "add" in a:
                         active[a["add"]["path"]] = a["add"]
             start = ck + 1
@@ -193,11 +199,12 @@ class DeltaLogSink:
                     a = json.loads(line)
                     if "metaData" in a:
                         schema = a["metaData"]["schemaString"]
+                        config = a["metaData"].get("configuration", {})
                     elif "add" in a:
                         active[a["add"]["path"]] = a["add"]
                     elif "remove" in a:
                         active.pop(a["remove"]["path"], None)
-        return schema, active
+        return schema, config, active
 
     # -- data plumbing ---------------------------------------------------
 
@@ -210,10 +217,14 @@ class DeltaLogSink:
     def _is_mor(add: dict) -> bool:
         return add.get("tags", {}).get("mor") == "true"
 
-    def _fold_adds(self, adds: list[dict], schema_json: str) -> DataFrame:
+    def _fold_adds(
+        self, adds: list[dict], schema_json: str, key: str = "key"
+    ) -> DataFrame:
         """Tombstoned state of a set of adds, folding merge-on-read
         delta files over the base files at read time. With no mor files
-        this is a plain read (zero overhead for copy-on-write tables)."""
+        this is a plain read (zero overhead for copy-on-write tables).
+        `key` comes from the caller or the table's persisted mergeKey
+        configuration — never assume the default on a read path."""
         base = [a for a in adds if not self._is_mor(a)]
         mor = [a for a in adds if self._is_mor(a)]
         cur = self._read_adds(base, schema_json)
@@ -225,80 +236,35 @@ class DeltaLogSink:
         # the per-key max-seq reduction is associative/commutative, so
         # folding ALL pending entries in one merge ≡ applying their
         # commits one by one (tests/test_cdc_property.py)
-        return cdc_merge_tombstone(cur, entries)
+        return cdc_merge_tombstone(cur, entries, key=key)
 
     def _write_data(self, bucketed: DataFrame, v: int) -> list[dict]:
-        """Write one commit ATTEMPT's data files (immutable, attempt-
-        scoped dir — the uuid suffix means a crashed or commit-losing
-        attempt can never collide with a retry's write, so os.link on
-        the log file stays the one true arbiter; orphaned attempt dirs
-        are debris that vacuum's sweep_orphans reclaims) and build
-        their add actions with footer-derived stats — the stats read is
-        a driver-side parquet-metadata peek, not a data scan."""
-        import pyarrow.parquet as pq
-
+        """Write one commit ATTEMPT's data files (table_files shared
+        physics: immutable attempt-scoped dir, so os.link on the log
+        file stays the one true arbiter and orphaned attempt dirs are
+        debris that vacuum's sweep_orphans reclaims) and shape the
+        per-file facts into Delta add actions with a stats blob."""
         rel_dir = os.path.join("files", f"c{v:06d}-{uuid.uuid4().hex[:8]}")
-        out = os.path.join(self.path, rel_dir)
-        (
-            bucketed.repartition("bucket")
-            .write.mode("error")
-            .partitionBy("bucket")
-            .parquet(out)
-        )
-        adds: list[dict] = []
-        for bdir in sorted(os.listdir(out)):
-            if not bdir.startswith("bucket="):
-                continue
-            b = int(bdir.split("=", 1)[1])
-            for fn in sorted(os.listdir(os.path.join(out, bdir))):
-                if not fn.endswith(".parquet"):
-                    continue
-                full = os.path.join(out, bdir, fn)
-                md = pq.ParquetFile(full).metadata
-                names = {md.schema.column(i).name: i for i in range(md.num_columns)}
-                mins: dict[str, object] = {}
-                maxs: dict[str, object] = {}
-                for rg in range(md.num_row_groups):
-                    for col in ("key", "last_seq", "op"):
-                        if col not in names:
-                            continue
-                        st = md.row_group(rg).column(names[col]).statistics
-                        if st is None or not st.has_min_max:
-                            continue
-                        lo, hi = st.min, st.max
-                        if col in mins:
-                            mins[col] = min(mins[col], lo)
-                            maxs[col] = max(maxs[col], hi)
-                        else:
-                            mins[col], maxs[col] = lo, hi
-                adds.append(
+        return [
+            {
+                "path": i.rel_path,
+                "partitionValues": {"bucket": str(i.bucket)},
+                "size": i.size_bytes,
+                "dataChange": True,
+                "stats": json.dumps(
                     {
-                        "path": os.path.join(rel_dir, bdir, fn),
-                        "partitionValues": {"bucket": str(b)},
-                        "size": os.path.getsize(full),
-                        "dataChange": True,
-                        "stats": json.dumps(
-                            {
-                                "numRecords": md.num_rows,
-                                "minValues": mins,
-                                "maxValues": maxs,
-                            }
-                        ),
+                        "numRecords": i.num_rows,
+                        "minValues": i.mins,
+                        "maxValues": i.maxs,
                     }
-                )
-        return adds
-
-    def _empty(self, schema_json: str) -> DataFrame:
-        """Zero-row frame in the table schema: typed null casts behind
-        WHERE FALSE fold to a LocalRelation — zero Spark jobs (the
-        createDataFrame([], schema) trap, CLAUDE.md)."""
-        schema = StructType.fromJson(json.loads(schema_json))
-        cols = [F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
-        return self.spark.range(1).select(*cols).where(F.lit(False))
+                ),
+            }
+            for i in write_bucketed_files(bucketed, self.path, rel_dir)
+        ]
 
     def _read_adds(self, adds: list[dict], schema_json: str) -> DataFrame:
         if not adds:
-            return self._empty(schema_json)
+            return empty_frame(self.spark, schema_json)
         paths = [os.path.join(self.path, p) for p in sorted(a["path"] for a in adds)]
         return self.spark.read.parquet(*paths)
 
@@ -321,6 +287,10 @@ class DeltaLogSink:
                         "format": {"provider": "parquet"},
                         "schemaString": schema_json,
                         "partitionColumns": ["bucket"],
+                        # persisted so read paths (visible/snapshot/
+                        # changefeed) fold mor files on the right key
+                        # even from a fresh sink instance
+                        "configuration": {"mergeKey": key},
                     }
                 },
                 *({"add": a} for a in adds),
@@ -350,7 +320,7 @@ class DeltaLogSink:
         }  # ≤ N ints: orchestration, not data
         for _ in range(max_attempts):
             v = self.latest_version() + 1
-            schema_json, active = self._state()
+            schema_json, _config, active = self._state()
             cand = [
                 a
                 for a in active.values()
@@ -359,7 +329,7 @@ class DeltaLogSink:
             # _fold_adds (not a raw read): a touched bucket may carry
             # pending merge-on-read delta files, which this commit
             # retires by folding them into the rewritten base files
-            current = self._fold_adds(cand, schema_json)
+            current = self._fold_adds(cand, schema_json, key=key)
             merged = cdc_merge_tombstone(current, batch.drop("bucket"), key=key)
             adds = self._write_data(
                 merged.withColumn("bucket", self._bucket(F.col(key))), v
@@ -385,13 +355,18 @@ class DeltaLogSink:
 
     def snapshot(self, version: int | None = None) -> DataFrame:
         """Tombstoned state at a commit — time travel is replaying an
-        older prefix of the log (VERSION AS OF)."""
-        schema_json, active = self._state(version)
-        return self._read_adds(list(active.values()), schema_json)
+        older prefix of the log (VERSION AS OF). Pending merge-on-read
+        delta files are folded here too: snapshot() is the STATE
+        contract (one row per key, tombstones as rows), whatever the
+        physical layout — visible(snapshot(v)) must never show
+        duplicate or resurrected keys (round-7 review finding)."""
+        schema_json, config, active = self._state(version)
+        return self._fold_adds(
+            list(active.values()), schema_json, key=config.get("mergeKey", "key")
+        )
 
     def visible(self) -> DataFrame:
-        schema_json, active = self._state()
-        return visible(self._fold_adds(list(active.values()), schema_json))
+        return visible(self.snapshot())
 
     # -- CompactingSinkFormat -------------------------------------------
 
@@ -413,7 +388,8 @@ class DeltaLogSink:
         a stale remove set (duplicate/resurrected rows)."""
         for _ in range(max_attempts):
             v = self.latest_version() + 1
-            schema_json, active = self._state()
+            schema_json, config, active = self._state()
+            key = config.get("mergeKey", "key")
 
             def may_hold_settled(a: dict) -> bool:
                 if self._is_mor(a):
@@ -445,7 +421,7 @@ class DeltaLogSink:
                 return
             kept = cur.where(~settled)
             adds = self._write_data(
-                kept.withColumn("bucket", self._bucket(F.col("key"))), v
+                kept.withColumn("bucket", self._bucket(F.col(key))), v
             )
             try:
                 self._commit(
@@ -534,7 +510,7 @@ class DeltaLogSink:
         per-bucket decisions off observed stats."""
         import pandas as pd
 
-        _, active = self._state()
+        _schema, _config, active = self._state()
         per_bucket: dict[int, dict] = {}
         for a in active.values():
             b = int(a["partitionValues"]["bucket"])
@@ -591,7 +567,7 @@ class DeltaLogSink:
         (compact) reclaims once the reorder horizon passes."""
         for _ in range(max_attempts):
             v = self.latest_version() + 1
-            schema_json, active = self._state()
+            schema_json, _config, active = self._state()
             cand = [
                 a
                 for a in active.values()
@@ -599,7 +575,7 @@ class DeltaLogSink:
             ]
             if not any(self._is_mor(a) for a in cand):
                 return  # nothing pending: no no-op commit
-            folded = self._fold_adds(cand, schema_json)
+            folded = self._fold_adds(cand, schema_json, key=key)
             adds = self._write_data(
                 folded.withColumn("bucket", self._bucket(F.col(key))), v
             )
@@ -630,8 +606,9 @@ class DeltaLogSink:
         read; only differing buckets are scanned from each side, then
         `diff_states` classifies INSERT/UPDATE/DELETE — the same
         classification text the native versioned sink uses."""
-        s_from, a_from = self._state(v_from)
-        s_to, a_to = self._state(v_to)
+        s_from, c_from, a_from = self._state(v_from)
+        s_to, c_to, a_to = self._state(v_to)
+        key = c_to.get("mergeKey", "key")
 
         def by_bucket(active: dict[str, dict]) -> dict[int, set[str]]:
             out: dict[int, set[str]] = {}
@@ -649,8 +626,8 @@ class DeltaLogSink:
                      if int(a["partitionValues"]["bucket"]) in changed]
         side_to = [a for a in a_to.values()
                    if int(a["partitionValues"]["bucket"]) in changed]
-        a = visible(self._fold_adds(side_from, s_from))
-        b = visible(self._fold_adds(side_to, s_to))
+        a = visible(self._fold_adds(side_from, s_from, key=key))
+        b = visible(self._fold_adds(side_to, s_to, key=key))
         return diff_states(a, b)
 
     def expire_versions(
@@ -674,8 +651,10 @@ class DeltaLogSink:
         keep_files: set[str] = set()
         all_refs: set[str] = set()
         schema_at_horizon = None
+        config_at_horizon: dict = {}
         active_at_horizon: dict[str, dict] = {}
         schema: str | None = None
+        config: dict = {}
         active: dict[str, dict] = {}
         start = 1
         ck0 = self._newest_checkpoint_at_most(on_disk[0])
@@ -685,6 +664,7 @@ class DeltaLogSink:
                     a = json.loads(line)
                     if "metaData" in a:
                         schema = a["metaData"]["schemaString"]
+                        config = a["metaData"].get("configuration", {})
                     elif "add" in a:
                         active[a["add"]["path"]] = a["add"]
             start = ck0 + 1
@@ -697,19 +677,32 @@ class DeltaLogSink:
                     a = json.loads(line)
                     if "metaData" in a:
                         schema = a["metaData"]["schemaString"]
+                        config = a["metaData"].get("configuration", {})
                     elif "add" in a:
                         active[a["add"]["path"]] = a["add"]
                         all_refs.add(a["add"]["path"])
                     elif "remove" in a:
                         active.pop(a["remove"]["path"], None)
             if v == horizon:
-                schema_at_horizon, active_at_horizon = schema, dict(active)
+                schema_at_horizon = schema
+                config_at_horizon = dict(config)
+                active_at_horizon = dict(active)
             if v >= horizon:
                 keep_files.update(active)
         ck = self._ckpt_path(horizon)
         with open(ck + ".tmp", "w") as fh:
             fh.write(
-                json.dumps({"metaData": {"schemaString": schema_at_horizon}}) + "\n"
+                json.dumps(
+                    {
+                        "metaData": {
+                            "schemaString": schema_at_horizon,
+                            # mergeKey must survive log truncation or
+                            # post-expiry reads fold on the wrong key
+                            "configuration": config_at_horizon,
+                        }
+                    }
+                )
+                + "\n"
             )
             for a in active_at_horizon.values():
                 fh.write(json.dumps({"add": a}) + "\n")

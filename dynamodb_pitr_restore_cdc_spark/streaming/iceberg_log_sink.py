@@ -36,10 +36,12 @@ the actual metadata-tree mechanics, not a marker file:
   current metadata simply no longer lists it.
 
 Deliberate divergences, each cosmetic: manifest list / manifest files
-are NDJSON rather than avro, the schema field holds Spark's StructType
-JSON rather than Iceberg's schema dialect, and expired metadata files
-are deleted eagerly (Iceberg keeps ``previous-versions-max`` of them).
-Everything query code touches flows through the SinkFormat /
+are NDJSON rather than avro, and the schema field holds Spark's
+StructType JSON rather than Iceberg's schema dialect. Expired metadata
+files follow Iceberg's own retention rule — the trailing
+``previous-versions-max`` (here PREVIOUS_METADATA_KEPT) survive so
+racing writers pinned on a just-expired base can still read it and
+lose cleanly. Everything query code touches flows through the SinkFormat /
 CompactingSinkFormat / VersionedSinkFormat protocols — the behavior
 suite `tests/test_sink_format.py` runs unmodified against this class.
 
@@ -59,14 +61,18 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
 
 from ..operators.cdc import cdc_merge_tombstone, visible
+from .table_files import empty_frame, write_bucketed_files
 from .versioned_sink import diff_states
 
 META_DIR = "metadata"
 N_BUCKETS_DEFAULT = 32
-_STAT_COLS = ("key", "last_seq", "op")
+# expired metadata files retained for racing writers (Iceberg's
+# write.metadata.previous-versions-max): a writer that pinned its
+# target number just before an expiry commit must still be able to
+# read its base metadata file, hit EEXIST, and retry
+PREVIOUS_METADATA_KEPT = 8
 
 
 class IcebergLogSink:
@@ -112,7 +118,17 @@ class IcebergLogSink:
                 raise ValueError(f"no table metadata in {self.path}") from None
             start = max(nums)
         if start < 1 or not os.path.exists(self._meta_path(start)):
-            raise ValueError(f"no table metadata in {self.path}")
+            # a PARSABLE hint can still be stale-and-deleted (expiry GC
+            # raced the read): the listing is the recovery path there
+            # too, not only for a torn hint
+            nums = [
+                int(m.group(1))
+                for f in os.listdir(self._meta_dir())
+                if (m := re.fullmatch(r"v(\d+)\.metadata\.json", f))
+            ]
+            if not nums:
+                raise ValueError(f"no table metadata in {self.path}")
+            start = max(nums)
         n = start
         while os.path.exists(self._meta_path(n + 1)):
             n += 1
@@ -192,6 +208,8 @@ class IcebergLogSink:
         manifest-list partition summaries (bucket bounds) first, then
         per-entry partition values — bounds math on driver-side ints,
         zero data reads."""
+        if buckets is not None and not buckets:
+            return []  # empty batch / no changed buckets: nothing to read
         out: list[dict] = []
         for m in self._manifest_list(snap):
             if buckets is not None and (
@@ -211,72 +229,29 @@ class IcebergLogSink:
         return F.pmod(F.hash(key_col), F.lit(self.n_buckets)).alias("bucket")
 
     def _write_data(self, bucketed: DataFrame, seq: int) -> list[dict]:
-        """Write one commit ATTEMPT's data files (immutable, attempt-
-        scoped dir: a crashed or race-losing attempt can never collide
-        with a retry) and build their manifest entries with
-        footer-derived bounds — a driver-side parquet-metadata peek,
-        not a data scan."""
-        import pyarrow.parquet as pq
-
+        """Write one commit ATTEMPT's data files (table_files shared
+        physics: immutable attempt-scoped dir, so a crashed or
+        race-losing attempt can never collide with a retry) and shape
+        the per-file facts into Iceberg manifest entries."""
         rel_dir = os.path.join("data", f"s{seq:06d}-{uuid.uuid4().hex[:8]}")
-        out = os.path.join(self.path, rel_dir)
-        (
-            bucketed.repartition("bucket")
-            .write.mode("error")
-            .partitionBy("bucket")
-            .parquet(out)
-        )
-        entries: list[dict] = []
-        for bdir in sorted(os.listdir(out)):
-            if not bdir.startswith("bucket="):
-                continue
-            b = int(bdir.split("=", 1)[1])
-            for fn in sorted(os.listdir(os.path.join(out, bdir))):
-                if not fn.endswith(".parquet"):
-                    continue
-                full = os.path.join(out, bdir, fn)
-                md = pq.ParquetFile(full).metadata
-                names = {md.schema.column(i).name: i for i in range(md.num_columns)}
-                lo: dict[str, object] = {}
-                hi: dict[str, object] = {}
-                for rg in range(md.num_row_groups):
-                    for col in _STAT_COLS:
-                        if col not in names:
-                            continue
-                        st = md.row_group(rg).column(names[col]).statistics
-                        if st is None or not st.has_min_max:
-                            continue
-                        if col in lo:
-                            lo[col] = min(lo[col], st.min)
-                            hi[col] = max(hi[col], st.max)
-                        else:
-                            lo[col], hi[col] = st.min, st.max
-                entries.append(
-                    {
-                        "status": "ADDED",
-                        "data_file": {
-                            "file_path": os.path.join(rel_dir, bdir, fn),
-                            "partition": {"bucket": b},
-                            "record_count": md.num_rows,
-                            "file_size_in_bytes": os.path.getsize(full),
-                            "lower_bounds": lo,
-                            "upper_bounds": hi,
-                        },
-                    }
-                )
-        return entries
-
-    def _empty(self, schema_json: str) -> DataFrame:
-        """Zero-row frame in the table schema: typed null casts behind
-        WHERE FALSE fold to a LocalRelation — zero Spark jobs (the
-        createDataFrame([], schema) trap, CLAUDE.md)."""
-        schema = StructType.fromJson(json.loads(schema_json))
-        cols = [F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
-        return self.spark.range(1).select(*cols).where(F.lit(False))
+        return [
+            {
+                "status": "ADDED",
+                "data_file": {
+                    "file_path": i.rel_path,
+                    "partition": {"bucket": i.bucket},
+                    "record_count": i.num_rows,
+                    "file_size_in_bytes": i.size_bytes,
+                    "lower_bounds": i.mins,
+                    "upper_bounds": i.maxs,
+                },
+            }
+            for i in write_bucketed_files(bucketed, self.path, rel_dir)
+        ]
 
     def _read_entries(self, entries: list[dict], schema_json: str) -> DataFrame:
         if not entries:
-            return self._empty(schema_json)
+            return empty_frame(self.spark, schema_json)
         paths = sorted(e["data_file"]["file_path"] for e in entries)
         return self.spark.read.parquet(*(os.path.join(self.path, p) for p in paths))
 
@@ -380,9 +355,12 @@ class IcebergLogSink:
         }  # ≤ N ints: orchestration, not data
         for _ in range(max_attempts):
             meta_num = self._latest_meta_num() + 1
-            meta = self._load_meta(meta_num - 1)
-            prev = self._snapshot_record(meta, None)
-            cand = self._entries(prev, buckets=touched)
+            try:
+                meta = self._load_meta(meta_num - 1)
+                prev = self._snapshot_record(meta, None)
+                cand = self._entries(prev, buckets=touched)
+            except FileNotFoundError:
+                continue  # expiry GC'd our base metadata: re-pin and retry
             current = self._read_entries(cand, meta["schema"])
             merged = cdc_merge_tombstone(current, batch.drop("bucket"), key=key)
             entries = self._write_data(
@@ -432,8 +410,11 @@ class IcebergLogSink:
         Same pin-before-read loser-retry as apply_batch."""
         for _ in range(max_attempts):
             meta_num = self._latest_meta_num() + 1
-            meta = self._load_meta(meta_num - 1)
-            prev = self._snapshot_record(meta, None)
+            try:
+                meta = self._load_meta(meta_num - 1)
+                prev = self._snapshot_record(meta, None)
+            except FileNotFoundError:
+                continue  # expiry GC'd our base metadata: re-pin and retry
 
             def may_hold_settled(e: dict) -> bool:
                 lo, hi = e["data_file"]["lower_bounds"], e["data_file"]["upper_bounds"]
@@ -512,7 +493,10 @@ class IcebergLogSink:
         numbers expired this call."""
         for _ in range(5):
             meta_num = self._latest_meta_num() + 1
-            meta = self._load_meta(meta_num - 1)
+            try:
+                meta = self._load_meta(meta_num - 1)
+            except FileNotFoundError:
+                continue  # another expiry GC'd our base: re-pin and retry
             snaps = meta["snapshots"]
             latest = snaps[-1]["sequence-number"]
             horizon = max(1, latest - keep_last + 1)
@@ -553,11 +537,13 @@ class IcebergLogSink:
                 full = os.path.join(self.path, rel)
                 if os.path.exists(full):
                     os.remove(full)
-            # expired metadata files go too (divergence: Iceberg keeps
-            # previous-versions-max of them; eager deletion keeps the
-            # vacuumed-data invariant trivially true — no on-disk
-            # metadata can reference a deleted file)
-            for n in range(1, meta_num):
+            # old metadata files: keep the trailing PREVIOUS_METADATA_KEPT
+            # (Iceberg's write.metadata.previous-versions-max) so a writer
+            # that pinned its base metadata just before this expiry can
+            # still read it, hit EEXIST on its own commit, and retry —
+            # eager deletion of ALL of them crashed such racers
+            # (round-7 review finding)
+            for n in range(1, meta_num - PREVIOUS_METADATA_KEPT + 1):
                 p = self._meta_path(n)
                 if os.path.exists(p):
                     os.remove(p)
@@ -569,6 +555,18 @@ class IcebergLogSink:
                         rel = os.path.relpath(full, self.path)
                         if fn.endswith(".parquet") and rel not in keep_files:
                             os.remove(full)
+                # manifest/manifest-list debris from crashed or
+                # race-losing commit attempts (written before the
+                # metadata CAS, referenced by no snapshot) is the
+                # metadata twin of orphaned data files — reclaim it the
+                # same way (round-7 review finding)
+                for fn in os.listdir(self._meta_dir()):
+                    rel = os.path.join(META_DIR, fn)
+                    if (
+                        fn.startswith(("manifest-", "snap-"))
+                        and rel not in keep_manifests
+                    ):
+                        os.remove(os.path.join(self.path, rel))
             return [s["sequence-number"] for s in expired]
         raise RuntimeError(
             f"expireSnapshots lost the commit race 5 times at {self.path}"

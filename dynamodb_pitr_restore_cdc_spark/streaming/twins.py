@@ -1217,6 +1217,18 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     _write_split_files(e, [us <= p1, (us > p1) & (us <= p2), us > p2], src)
 
     path, wm = run_heavy_hitters_stream(spark, src, work)
+    if wm:
+        # the exactness precondition, asserted rather than assumed: a
+        # risen watermark means capacity < distinct keys at this SF, so
+        # estimates carry error and the exact-count oracle no longer
+        # applies — fail with the cause instead of an opaque driver
+        # hash mismatch (the fixture grows ~10x distinct keys per SF;
+        # 4096 covers sf0.1's 1500 but not sf1)
+        raise ValueError(
+            f"space-saving watermark rose to {wm}: HH_CAPACITY="
+            f"{HH_CAPACITY} is below the distinct-key count of {sf_dir}; "
+            f"raise HH_CAPACITY for exact parity at this scale"
+        )
     summary = spark.read.parquet(path)
     result = tracked_persist(
         summary.withColumn(

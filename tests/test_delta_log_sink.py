@@ -62,7 +62,7 @@ def test_log_layout_and_actions(sink):
 
 
 def test_merge_skips_untouched_buckets(sink, spark):
-    _, active_v1 = sink._state(1)
+    _, _, active_v1 = sink._state(1)
     bucket_of = {
         p: int(a["partitionValues"]["bucket"]) for p, a in active_v1.items()
     }
@@ -78,7 +78,7 @@ def test_merge_skips_untouched_buckets(sink, spark):
 
 
 def test_data_files_are_immutable(sink, spark):
-    _, active_v1 = sink._state(1)
+    _, _, active_v1 = sink._state(1)
     sigs = {
         p: os.path.getmtime(os.path.join(sink.path, p)) for p in active_v1
     }
@@ -114,9 +114,9 @@ def test_checkpoint_bounds_replay_and_expiry_fails_loudly(sink, spark):
 
 
 def test_vacuum_deletes_only_unreferenced_files(sink, spark):
-    _, active_v1 = sink._state(1)
+    _, _, active_v1 = sink._state(1)
     sink.apply_batch(_batch(spark, [(3, 10, "MODIFY", 3.5)]))
-    _, active_v2 = sink._state(2)
+    _, _, active_v2 = sink._state(2)
     replaced = set(active_v1) - set(active_v2)
     survivors = set(active_v1) & set(active_v2)
     assert replaced and survivors  # untouched buckets' files carry over
@@ -218,7 +218,7 @@ def test_lost_race_remerges_against_winner_state(sink, spark):
     assert len(keys) == len(set(keys))  # no resurrected duplicate anywhere
     # the retry's remove set names the WINNER's file for key 1's bucket,
     # so replay keeps exactly one live add per path
-    _schema, active = sink._state()
+    _schema, _cfg, active = sink._state()
     assert len(active) == len({a["path"] for a in active.values()})
 
 
@@ -242,7 +242,7 @@ def test_optimize_lost_race_recomputes_candidates(sink, spark):
     assert [(r.key, r.payload_value) for r in rows if r.key == 3] == [(3, 3.5)]
     keys = [r.key for r in rows]
     assert len(keys) == len(set(keys))  # the stale-remove bug duplicates rows
-    _schema, active = sink._state()
+    _schema, _cfg, active = sink._state()
     for a in active.values():  # every live add names an existing file
         assert os.path.exists(os.path.join(sink.path, a["path"]))
 
@@ -289,7 +289,7 @@ def test_vacuum_sweeps_crashed_attempt_orphans(sink, spark):
     sink.apply_batch(_batch(spark, [(2, 11, "MODIFY", 6.0)]))
     sink.expire_versions(keep_last=1, sweep_orphans=True)
     assert not any(os.path.exists(p) for p in orphans)
-    _schema, active = sink._state()
+    _schema, _cfg, active = sink._state()
     for a in active.values():
         assert os.path.exists(os.path.join(sink.path, a["path"]))
     rows = {r.key: r.payload_value for r in sink.visible().collect()}
@@ -331,12 +331,12 @@ def test_visible_folds_mor_entries(sink, spark):
 
 def test_merge_retires_touched_buckets_mor_files(sink, spark):
     sink.append(_batch(spark, [(3, 10, "MODIFY", 3.5)]))
-    _, active = sink._state()
+    _, _, active = sink._state()
     mor_paths = {p for p, a in active.items() if DeltaLogSink._is_mor(a)}
     assert mor_paths
     # a MERGE touching key 3's bucket must fold + retire its mor files
     sink.apply_batch(_batch(spark, [(3, 11, "MODIFY", 3.6)]))
-    _, active2 = sink._state()
+    _, _, active2 = sink._state()
     assert not (mor_paths & set(active2)), "merge must retire folded mor files"
     rows = {r.key: r.payload_value for r in sink.visible().collect()}
     assert rows[3] == 3.6
@@ -402,3 +402,48 @@ def test_changefeed_classifies_through_mor(sink, spark):
         for r in sink.changes_between(v0, sink.latest_version()).collect()
     }
     assert feed == {1: "UPDATE", 2: "DELETE", 9: "INSERT"}
+
+
+def test_snapshot_folds_pending_mor_files(sink, spark):
+    # round-7 review: snapshot() is the STATE contract — with pending
+    # delta files, visible(snapshot()) must never show duplicated or
+    # resurrected keys, and time travel must fold the files live at
+    # that version
+    from dynamodb_pitr_restore_cdc_spark.operators.cdc import visible
+
+    sink.append(_batch(spark, [(1, 10, "MODIFY", 1.5), (2, 11, "REMOVE", None)]))
+    snap = sink.snapshot()
+    rows = [(r.key, r.last_seq, r.payload_value) for r in visible(snap).collect()]
+    keys = [k for k, _, _ in rows]
+    assert len(keys) == len(set(keys))  # one row per key, no duplicates
+    d = {k: (s, v) for k, s, v in rows}
+    assert d[1] == (10, 1.5)
+    assert 2 not in d  # the REMOVE entry became a tombstone row
+    assert snap.where(F.col("op") == "REMOVE").count() == 1
+    # and the pre-append version still reads raw base state
+    assert visible(sink.snapshot(1)).count() == 8
+
+
+def test_mor_lane_honors_custom_merge_key(spark, tmp_path):
+    # round-7 review: the fold path must use the table's persisted
+    # mergeKey, not assume the default column name — including from a
+    # FRESH sink instance and after log truncation (checkpoint replay)
+    s = DeltaLogSink(spark, str(tmp_path / "tbl"), n_buckets=4)
+    snap = spark.createDataFrame(
+        pd.DataFrame([(1, 0, 1.0), (2, 0, 2.0)],
+                     columns=["id", "last_seq", "payload_value"]),
+        schema="id long, last_seq long, payload_value double",
+    )
+    s.init(snap, key="id")
+    batch = spark.createDataFrame(
+        pd.DataFrame([(1, 10, "MODIFY", 1.5), (3, 11, "INSERT", 3.0)],
+                     columns=["id", "seq_no", "op", "payload_value"]),
+        schema="id long, seq_no long, op string, payload_value double",
+    )
+    s.append(batch, key="id")
+    reader = DeltaLogSink(spark, s.path, n_buckets=4)  # fresh instance
+    rows = {r.id: r.payload_value for r in reader.visible().collect()}
+    assert rows == {1: 1.5, 2: 2.0, 3: 3.0}
+    s.expire_versions(keep_last=1)  # mergeKey must survive the checkpoint
+    rows = {r.id: r.payload_value for r in reader.visible().collect()}
+    assert rows == {1: 1.5, 2: 2.0, 3: 3.0}

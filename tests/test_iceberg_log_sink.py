@@ -269,3 +269,70 @@ def test_rewrite_race_inside_state_read_still_retries(sink, spark):
     assert len(keys) == len(set(keys))
     for e in sink._entries(_cursnap(sink)):  # every live entry resolvable
         assert os.path.exists(os.path.join(sink.path, e["data_file"]["file_path"]))
+
+
+def test_changefeed_between_identical_versions_is_empty(sink, spark):
+    # round-7 review: changed-bucket set {} must yield an empty feed,
+    # not a min()/max()-of-empty crash in the manifest prune
+    assert sink.changes_between(1, 1).count() == 0
+    sink.apply_batch(_batch(spark, [(3, 10, "MODIFY", 3.5)]))
+    assert sink.changes_between(2, 2).count() == 0
+
+
+def test_expiry_keeps_trailing_metadata_for_racing_writers(
+    sink, spark, monkeypatch
+):
+    # round-7 review: a writer that pinned its base metadata number
+    # just before an expiry commit must still be able to read it and
+    # lose cleanly via EEXIST — so expiry keeps the trailing K files
+    # (Iceberg's previous-versions-max) instead of deleting them all
+    import dynamodb_pitr_restore_cdc_spark.streaming.iceberg_log_sink as mod
+
+    monkeypatch.setattr(mod, "PREVIOUS_METADATA_KEPT", 2)
+    for s in range(5):
+        sink.apply_batch(_batch(spark, [(1, 10 + s, "MODIFY", float(s))]))
+    sink.expire_versions(keep_last=1)  # meta 7 published
+    kept = sorted(
+        f for f in os.listdir(os.path.join(sink.path, META_DIR))
+        if f.endswith(".metadata.json")
+    )
+    assert len(kept) == 2  # trailing K survive, older ones are gone
+    # a stale-but-parsable hint pointing at a deleted file recovers
+    with open(os.path.join(sink.path, META_DIR, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    assert sink.latest_version() == 6  # listing fallback, not a crash
+    # and a writer racing the expiry retries instead of crashing
+    orig, fired = sink._load_meta, {}
+
+    def racing_load(n):
+        out = orig(n)
+        if not fired:
+            fired["x"] = True
+            other = IcebergLogSink(spark, sink.path, n_buckets=4)
+            other.expire_versions(keep_last=1)
+        return out
+
+    sink._load_meta = racing_load
+    sink.apply_batch(_batch(spark, [(1, 99, "MODIFY", 9.9)]))
+    rows = {r.key: r.payload_value for r in sink.visible().collect()}
+    assert rows[1] == 9.9
+
+
+def test_orphan_sweep_reclaims_metadata_debris(sink, spark):
+    # round-7 review: manifests/manifest-lists written by an attempt
+    # that never committed are debris exactly like orphan data files
+    dead_manifest = sink._write_ndjson("manifest", [{"status": "ADDED",
+        "data_file": {"file_path": "data/nope.parquet",
+                      "partition": {"bucket": 0}, "record_count": 1,
+                      "file_size_in_bytes": 1, "lower_bounds": {},
+                      "upper_bounds": {}}}])
+    dead_list = sink._write_ndjson("snap-000099", [])
+    sink.apply_batch(_batch(spark, [(1, 10, "MODIFY", 1.5)]))
+    sink.apply_batch(_batch(spark, [(2, 11, "MODIFY", 2.5)]))
+    sink.expire_versions(keep_last=1, sweep_orphans=True)
+    assert not os.path.exists(os.path.join(sink.path, dead_manifest))
+    assert not os.path.exists(os.path.join(sink.path, dead_list))
+    for e in sink._entries(_cursnap(sink)):  # live tree intact
+        assert os.path.exists(os.path.join(sink.path, e["data_file"]["file_path"]))
+    rows = {r.key: r.payload_value for r in sink.visible().collect()}
+    assert rows[1] == 1.5 and rows[2] == 2.5

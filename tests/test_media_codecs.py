@@ -69,3 +69,16 @@ def test_compressed_formats_stay_behind_the_seam():
         parse_media_blob(png)
     with pytest.raises(NotImplementedError, match="compressed"):
         next(decode_media_batch(iter([]), real_codecs=True))
+
+
+def test_wav_data_chunk_before_fmt_chunk():
+    # the spec does not order chunks; the walk must not depend on
+    # encountering fmt first (round-7 review finding)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = bytes(7 * 2)
+    body = b"WAVE"
+    body += b"data" + struct.pack("<I", len(data)) + data
+    body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    m = parse_media_blob(blob)
+    assert (m["sample_rate"], m["n_samples"]) == (8000, 7)
