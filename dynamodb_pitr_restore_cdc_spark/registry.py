@@ -351,12 +351,16 @@ _DRIVER_VERIFIED_R06: frozenset[str] = frozenset(
 # them (local parity is otherwise their only guard). Round 7's new
 # surface (the Iceberg-shaped log, the optimize-policy query, the
 # heavy-hitters twin, the real-codec media probe) is all NEW
-# registrations entering through the never-checked tier; the one
-# re-check is the Delta fold, whose sink grew the merge-on-read lane
+# registrations entering through the never-checked tier; the
+# re-checks are the Delta fold, whose sink grew the merge-on-read lane
 # (visible/apply_batch/compact now route through the mor-aware
 # _fold_adds — behavior-neutral for copy-on-write tables, but the impl
-# changed, so the driver re-checks).
-_REVERIFY_R07: frozenset[str] = frozenset({"q_cdc_delta_log_fold"})
+# changed), and the interpolate query, whose shared-branch
+# materialization moved from persist to localCheckpoint (the
+# dispersion-watch fix).
+_REVERIFY_R07: frozenset[str] = frozenset(
+    {"q_cdc_delta_log_fold", "q_ts_interpolate_linear"}
+)
 
 
 def all_queries() -> dict[str, QuerySpec]:
