@@ -1247,3 +1247,105 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+# --- streaming ingest through the merge-on-read lane ------------------------
+
+
+def run_mor_ingest_stream(spark: SparkSession, src: str, work: str, sink) -> None:
+    """Drain changelog splits into a lakehouse sink via BLIND APPENDS —
+    the production ingest shape: each micro-batch lands as one
+    always-compatible commit (no reads, no removes, O(batch) whatever
+    the table size), and the read side folds pending entries until the
+    maintenance policy pays for compaction.
+
+    Epoch replay after a crash double-appends a batch, and that is
+    VALUE-idempotent by construction: a duplicated changelog entry ties
+    with itself in the per-key max-seq fold (identical row, identical
+    winner), so the folded state is unchanged — physical debris is
+    bounded by one batch and the next compact_mor folds it away. That
+    is why this runner needs no pointer machinery where the merge-based
+    runners do (their per-epoch OVERWRITE state is replay-sensitive)."""
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        sink.append(batch_df)
+
+    q = (
+        spark.readStream.schema(
+            "seq_no long, op string, key long, payload_value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(work, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _mor_fold_oracle() -> str:
+    from ..operators.cdc import with_changelog
+
+    return with_changelog(
+        """
+SELECT key, seq_no AS last_seq, payload_value
+FROM (
+    SELECT key, seq_no, op, payload_value,
+           row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
+    FROM changelog
+) WHERE rn = 1 AND op <> 'REMOVE'
+"""
+    )
+
+
+@register("q_stream_mor_ingest", oracle=_mor_fold_oracle())
+def q_stream_mor_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming merge-on-read ingest ≡ the batch changelog fold (same
+    oracle as the copy-on-write fold drills — the hash match proves the
+    append lane converges to the same state as write-time merging):
+    init = fold of the changelog's first third, then the remaining two
+    thirds replay as 3 pinned micro-batches of blind appends
+    (run_mor_ingest_stream), then the maintenance policy runs for real
+    — optimize_plan selects the buckets whose delta fan-in or tombstone
+    debt crossed threshold, compact_mor folds exactly those — and the
+    final visible() must still equal the one-shot fold. Ingest cost is
+    O(batch) per commit; the rewrite is paid only where the policy
+    said so."""
+    import tempfile
+
+    from .delta_log_sink import DeltaLogSink
+    from ..operators.cdc import changelog, fold_changelog
+
+    cl = changelog(spark, sf_dir).select(
+        "seq_no", "op", "key", "payload_value"
+    )
+    max_seq = int(cl.agg(F.max("seq_no")).first()[0])  # orchestration scalar
+    c1 = max_seq // 3
+    seq = F.col("seq_no")
+    src, work = _fresh_dir("mor-src"), _fresh_dir("mor-work")
+    d = max_seq - c1
+    bounds = [c1 + (i * d) // 3 for i in range(4)]
+    _write_split_files(
+        cl,
+        [(seq > bounds[i]) & (seq <= bounds[i + 1]) for i in range(3)],
+        src,
+    )
+    base = tempfile.mkdtemp(prefix="morstream-")
+    sink = DeltaLogSink(spark, os.path.join(base, "t"))
+    sink.init(fold_changelog(cl.where(seq <= c1)))
+    run_mor_ingest_stream(spark, src, work, sink)
+    plan = sink.optimize_plan(
+        small_file_rows=100, min_small_files=2, tombstone_pct=10
+    )
+    to_compact = {
+        r.bucket for r in plan.collect() if r.decision == "COMPACT"
+    }  # ≤ n_buckets ints: orchestration, not data
+    if to_compact:
+        sink.compact_mor(to_compact)
+    result = tracked_persist(
+        sink.visible().select("key", "last_seq", "payload_value")
+    )
+    result.count()  # materialize before the backing dirs go away
+    for dpath in (src, work, base):
+        shutil.rmtree(dpath, ignore_errors=True)
+    return result

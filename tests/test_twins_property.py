@@ -632,3 +632,39 @@ def test_heavy_hitters_stream_resumes_from_committed_summary(spark, tmp_path):
     got = run(tmp_path / "tp", 3, resume_from=2)  # restart
     want = run(tmp_path / "one", 3)               # fresh single run
     assert got == want
+
+
+def test_mor_double_append_is_value_idempotent(spark, tmp_path):
+    """The q_stream_mor_ingest crash story: an epoch replayed after a
+    crash appends its batch twice. The duplicated changelog entries tie
+    with themselves in the per-key max-seq fold, so visible() is
+    unchanged — and compact_mor folds the physical debris away."""
+    import pandas as pd
+
+    from dynamodb_pitr_restore_cdc_spark.streaming.delta_log_sink import (
+        DeltaLogSink,
+    )
+
+    def frame(rows, cols, schema):
+        return spark.createDataFrame(pd.DataFrame(rows, columns=cols), schema)
+
+    snap = frame([(1, 0, 1.0), (2, 0, 2.0)],
+                 ["key", "last_seq", "payload_value"],
+                 "key long, last_seq long, payload_value double")
+    batch = frame([(1, 10, "MODIFY", 1.5), (2, 11, "REMOVE", None),
+                   (3, 12, "INSERT", 3.0)],
+                  ["key", "seq_no", "op", "payload_value"],
+                  "key long, seq_no long, op string, payload_value double")
+
+    once = DeltaLogSink(spark, str(tmp_path / "once"), n_buckets=4)
+    once.init(snap)
+    once.append(batch)
+    twice = DeltaLogSink(spark, str(tmp_path / "twice"), n_buckets=4)
+    twice.init(snap)
+    twice.append(batch)
+    twice.append(batch)  # replayed epoch
+
+    want = sorted(map(tuple, once.visible().collect()))
+    assert sorted(map(tuple, twice.visible().collect())) == want
+    twice.compact_mor(set(range(4)))
+    assert sorted(map(tuple, twice.visible().collect())) == want
