@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.rounding import avg_div
-from ..registry import register, tracked_checkpoint, tracked_persist
+from ..registry import register, tracked_checkpoint
 from ..sources import table
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity boundary

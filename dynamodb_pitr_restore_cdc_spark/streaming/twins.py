@@ -1284,18 +1284,13 @@ def run_mor_ingest_stream(spark: SparkSession, src: str, work: str, sink) -> Non
 
 
 def _mor_fold_oracle() -> str:
+    # the shared FOLD_SQL template, not a re-typed copy: one text is
+    # what keeps fold semantics from silently diverging across the
+    # changefeed/alerting/ingest oracles (versioned_sink.py rationale)
     from ..operators.cdc import with_changelog
+    from .versioned_sink import FOLD_SQL
 
-    return with_changelog(
-        """
-SELECT key, seq_no AS last_seq, payload_value
-FROM (
-    SELECT key, seq_no, op, payload_value,
-           row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
-    FROM changelog
-) WHERE rn = 1 AND op <> 'REMOVE'
-"""
-    )
+    return with_changelog(FOLD_SQL.format(pred=""))
 
 
 @register("q_stream_mor_ingest", oracle=_mor_fold_oracle())
@@ -1311,8 +1306,6 @@ def q_stream_mor_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     final visible() must still equal the one-shot fold. Ingest cost is
     O(batch) per commit; the rewrite is paid only where the policy
     said so."""
-    import tempfile
-
     from .delta_log_sink import DeltaLogSink
     from ..operators.cdc import changelog, fold_changelog
 
@@ -1322,7 +1315,11 @@ def q_stream_mor_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_seq = int(cl.agg(F.max("seq_no")).first()[0])  # orchestration scalar
     c1 = max_seq // 3
     seq = F.col("seq_no")
-    src, work = _fresh_dir("mor-src"), _fresh_dir("mor-work")
+    src, work, base = (
+        _fresh_dir("mor-src"),
+        _fresh_dir("mor-work"),
+        _fresh_dir("mor-table"),
+    )
     d = max_seq - c1
     bounds = [c1 + (i * d) // 3 for i in range(4)]
     _write_split_files(
@@ -1330,7 +1327,6 @@ def q_stream_mor_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(seq > bounds[i]) & (seq <= bounds[i + 1]) for i in range(3)],
         src,
     )
-    base = tempfile.mkdtemp(prefix="morstream-")
     sink = DeltaLogSink(spark, os.path.join(base, "t"))
     sink.init(fold_changelog(cl.where(seq <= c1)))
     run_mor_ingest_stream(spark, src, work, sink)
