@@ -1091,6 +1091,45 @@ HH_CAPACITY = 4096  # summary rows kept per stream (state bound)
 HH_TOP = 25         # rows the registered query reports
 
 
+def merge_space_saving(
+    summary: DataFrame, bcounts: DataFrame, wm: int, capacity: int
+) -> tuple[DataFrame, int]:
+    """One space-saving merge step: fold a batch's exact counts
+    (key, bcnt) into the summary (key, est, err) under watermark `wm`;
+    return the truncated summary and the new watermark.
+
+    Keys on both sides add; a key new to the summary enters with
+    est = bcnt + wm and err = wm (it may have been counted up to the
+    watermark before an earlier eviction); truncation keeps the top
+    `capacity` rows by (est desc, key asc) and raises the watermark to
+    the largest evicted est. Provable invariants (property-tested,
+    tests/test_twins_property.py): est - err <= true <= est for every
+    member, |summary| <= capacity, and ABSENT implies true <= wm — so
+    every key with true count above the watermark is guaranteed
+    present (the completeness half of the heavy-hitter guarantee)."""
+    j = summary.alias("s").join(bcounts.alias("b"), on="key", how="full_outer")
+    new_key = F.col("s.est").isNull()
+    wm_lit = F.lit(wm)
+    merged = j.select(
+        "key",
+        (
+            F.when(new_key, F.col("b.bcnt") + wm_lit)
+            .otherwise(F.col("s.est") + F.coalesce(F.col("b.bcnt"), F.lit(0)))
+        ).alias("est"),
+        F.when(new_key, wm_lit).otherwise(F.col("s.err")).alias("err"),
+    )
+    ranked = merged.withColumn(
+        "rn",
+        F.row_number().over(W.orderBy(F.desc("est"), F.asc("key"))),
+    )
+    ranked = tracked_persist(ranked)  # referenced twice: kept + evicted
+    kept = ranked.where(F.col("rn") <= capacity).select("key", "est", "err")
+    evicted_max = (
+        ranked.where(F.col("rn") > capacity).agg(F.max("est")).first()[0]
+    )
+    return kept, max(wm, int(evicted_max or 0))
+
+
 def run_heavy_hitters_stream(
     spark: SparkSession, src: str, work: str, capacity: int = HH_CAPACITY
 ) -> tuple[str, int]:
@@ -1140,30 +1179,10 @@ def run_heavy_hitters_stream(
         bcounts = batch_df.groupBy(F.col("user_id").alias("key")).agg(
             F.count("*").alias("bcnt")
         )
-        wm = F.lit(state["wm"])
-        j = summary.alias("s").join(bcounts.alias("b"), on="key", how="full_outer")
-        new_key = F.col("s.est").isNull()
-        merged = j.select(
-            "key",
-            (
-                F.when(new_key, F.col("b.bcnt") + wm)
-                .otherwise(F.col("s.est") + F.coalesce(F.col("b.bcnt"), F.lit(0)))
-            ).alias("est"),
-            F.when(new_key, wm).otherwise(F.col("s.err")).alias("err"),
-        )
-        ranked = merged.withColumn(
-            "rn",
-            F.row_number().over(W.orderBy(F.desc("est"), F.asc("key"))),
-        )
-        ranked = tracked_persist(ranked)  # referenced twice: kept + evicted
-        ranked.where(F.col("rn") <= capacity).select(
-            "key", "est", "err"
-        ).write.mode("overwrite").parquet(new_path)
-        evicted_max = (
-            ranked.where(F.col("rn") > capacity).agg(F.max("est")).first()[0]
-        )
+        kept, new_wm = merge_space_saving(summary, bcounts, state["wm"], capacity)
+        kept.write.mode("overwrite").parquet(new_path)
         state["path"] = new_path
-        state["wm"] = max(state["wm"], int(evicted_max or 0))
+        state["wm"] = new_wm
         # pointer AFTER data: a crash between the two replays the epoch,
         # which overwrites v{epoch} idempotently from the prior pointer
         _set_pointer(pointer, json.dumps(state))

@@ -668,3 +668,52 @@ def test_mor_double_append_is_value_idempotent(spark, tmp_path):
     assert sorted(map(tuple, twice.visible().collect())) == want
     twice.compact_mor(set(range(4)))
     assert sorted(map(tuple, twice.visible().collect())) == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_space_saving_guarantees_under_arbitrary_batching(spark, data):
+    """The provable space-saving invariants, under random streams,
+    random batch splits and random (small) capacities:
+      (1) |summary| <= capacity;
+      (2) est - err <= true <= est for every member;
+      (3) ABSENT => true <= watermark (completeness: every key whose
+          true count exceeds the watermark is present)."""
+    import pandas as pd
+    from collections import Counter
+
+    from dynamodb_pitr_restore_cdc_spark.streaming.twins import (
+        merge_space_saving,
+    )
+
+    n = data.draw(st.integers(1, 40))
+    cap = data.draw(st.integers(2, 6))
+    k = data.draw(st.integers(1, 4))
+    keys = [data.draw(st.integers(0, 9)) for _ in range(n)]
+    assignment = [data.draw(st.integers(0, k - 1)) for _ in range(n)]
+    true = Counter(keys)
+
+    summary = spark.createDataFrame(
+        pd.DataFrame(columns=["key", "est", "err"]).astype("int64"),
+        schema="key long, est long, err long",
+    )
+    wm = 0
+    for b in range(k):
+        batch = Counter(kk for kk, a in zip(keys, assignment) if a == b)
+        if not batch:
+            continue
+        bcounts = spark.createDataFrame(
+            pd.DataFrame(sorted(batch.items()), columns=["key", "bcnt"]),
+            schema="key long, bcnt long",
+        )
+        summary, wm = merge_space_saving(summary, bcounts, wm, cap)
+        # materialize like the stream's per-epoch parquet store does
+        summary = spark.createDataFrame(summary.toPandas(), schema=summary.schema)
+
+    got = {r.key: (r.est, r.err) for r in summary.collect()}
+    assert len(got) <= cap
+    for kk, (est, err) in got.items():
+        assert est - err <= true[kk] <= est, (kk, est, err, true[kk], wm)
+    for kk, t in true.items():
+        if kk not in got:
+            assert t <= wm, (kk, t, wm)
