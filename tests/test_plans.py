@@ -707,3 +707,30 @@ def test_holt_winters_reuses_one_user_exchange(plans):
     assert n_exchange == 2, p
     assert p.count("Join") == 0  # seasonal index via windows, not self-join
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_meta_real_is_two_arrow_stages_and_prunes_text(plans):
+    # the real-codec pipeline: generate (bmp/wav bytes) then parse —
+    # exactly two Arrow-vectorized Python stages, never row-at-a-time,
+    # and the documents scan must NOT read the wide text column (the
+    # generator works from n_chars alone)
+    import re
+
+    p = plans("q_mm_meta_real")
+    # formatted plans list each node once in the tree and once in the
+    # detail section — count the numbered detail entries
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 2
+    assert "BatchEvalPython" not in p
+    schema = scan_read_schema(p, "documents.parquet")
+    assert "doc_id" in schema and "n_chars" in schema
+    assert "text" not in schema
+
+
+def test_optimize_plan_output_is_metadata_only(plans):
+    # the COMPACT/SKIP decision table is computed from add-action stats
+    # on the driver: the RETURNED plan must be a local relation — no
+    # table scan, no shuffle, no Python — proving the policy pass reads
+    # zero data
+    p = plans("q_cdc_optimize_plan")
+    assert "Scan parquet" not in p and "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
