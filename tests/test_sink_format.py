@@ -153,3 +153,16 @@ def test_retention_expiry_through_seam(spark, tmp_path, name):
     expired = sink.expire_versions(keep_last=1)
     assert expired == [1, 2]
     assert _rows(visible(sink.snapshot())) == EXPECTED_FINAL
+
+
+@pytest.mark.parametrize("name", sorted(set(VERSIONED) & set(COMPACTING)))
+def test_changefeed_across_pure_compaction_is_empty(spark, tmp_path, name):
+    # OPTIMIZE rewrites storage without changing visible state: a
+    # changefeed spanning ONLY a compaction commit must classify
+    # nothing (CDF semantics — dataChange=False transitions are noise)
+    sink = FACTORIES[name](spark, str(tmp_path / name))
+    _drive(sink, spark)
+    v = sink.latest_version()
+    sink.compact(reorder_horizon_seq=21)  # key 3's tombstone settled
+    assert sink.latest_version() == v + 1
+    assert sink.changes_between(v, v + 1).count() == 0

@@ -208,3 +208,62 @@ def test_delta_maintenance_interleaving_preserves_history(
     for v in dropped:
         with pytest.raises(ValueError, match="expired"):
             sink.snapshot(v)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_mor_lane_interleaving_converges_to_fold(spark, data):
+    """The round-7 lane algebra: ANY interleaving of blind appends and
+    copy-on-write merges over ANY batch decomposition — with compaction
+    fired at ANY point — must converge to the plain changelog fold.
+    This is the sink-level form of the cdc_merge associativity property
+    (same per-key max-seq reduction, now spread across storage)."""
+    import pandas as pd
+
+    from dynamodb_pitr_restore_cdc_spark.operators.cdc import (
+        fold_changelog,
+        latest_per_key,
+    )
+    from dynamodb_pitr_restore_cdc_spark.streaming.delta_log_sink import (
+        DeltaLogSink,
+    )
+
+    n = data.draw(st.integers(1, 24))
+    k = data.draw(st.integers(1, 4))
+    rows = []
+    for seq in range(1, n + 1):
+        key = data.draw(st.integers(0, 4))
+        op = data.draw(st.sampled_from(["INSERT", "MODIFY", "REMOVE"]))
+        val = None if op == "REMOVE" else float(data.draw(st.integers(0, 9)))
+        rows.append((key, seq, op, val))
+    assignment = [data.draw(st.integers(0, k - 1)) for _ in range(n)]
+    lane = [data.draw(st.sampled_from(["append", "merge"])) for _ in range(k)]
+    compact_after = data.draw(st.integers(0, k))
+
+    def cl(rws):
+        return spark.createDataFrame(
+            pd.DataFrame(rws, columns=["key", "seq_no", "op", "payload_value"]),
+            schema="key long, seq_no long, op string, payload_value double",
+        )
+
+    import tempfile, shutil, os
+
+    base = tempfile.mkdtemp(prefix="morprop-")
+    sink = DeltaLogSink(spark, os.path.join(base, "t"), n_buckets=4)
+    sink.init(fold_changelog(cl([])))  # empty init, pinned schema
+    for b in range(k):
+        batch = [r for r, a in zip(rows, assignment) if a == b]
+        if not batch:
+            continue
+        (sink.append if lane[b] == "append" else sink.apply_batch)(cl(batch))
+        if compact_after == b + 1:
+            sink.compact_mor(set(range(4)))
+    got = sorted(
+        (r.key, r.last_seq, r.payload_value) for r in sink.visible().collect()
+    )
+    want = sorted(
+        (r.key, r.last_seq, r.payload_value)
+        for r in fold_changelog(cl(rows)).collect()
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    assert got == want
