@@ -362,6 +362,49 @@ _REVERIFY_R07: frozenset[str] = frozenset(
     {"q_cdc_delta_log_fold", "q_ts_interpolate_linear"}
 )
 
+# Queries with a green driver row in CORRECTNESS_r07.json AND (the
+# identical window, byte-for-byte) CORRECTNESS_r08.json — 49/50
+# hash-match plus q_llm_simhash's documented rows-only slot.  Round 8
+# shipped no commits, so the rotation state never advanced and the r08
+# run re-verified this exact set; recording it here is what lets the
+# r09 ordering front the r02/r03 evidence tail instead of burning the
+# window on these 50 a third time (round-8 verdict, item 2).
+_DRIVER_VERIFIED_R07: frozenset[str] = frozenset(
+    {
+        "q_agg_collect", "q_agg_conditional", "q_agg_percentiles",
+        "q_agg_salted", "q_array_funcs", "q_cdc_delta_log_fold",
+        "q_cdc_iceberg_log_fold", "q_cdc_optimize_plan", "q_date_funcs",
+        "q_join_range_bucketized", "q_json_funcs", "q_llm_cosine_topk",
+        "q_llm_exact_dedup", "q_llm_fingerprint", "q_llm_lang_id",
+        "q_llm_lang_topwords", "q_llm_quality_score", "q_llm_simhash",
+        "q_llm_text_stats", "q_llm_token_count", "q_map_funcs",
+        "q_math_funcs", "q_mm_meta_real", "q_null_funcs",
+        "q_scan_json_props", "q_scan_project_filter", "q_set_except",
+        "q_set_intersect", "q_set_union_all", "q_set_union_distinct",
+        "q_sort_multikey", "q_str_funcs", "q_str_funcs2",
+        "q_stream_heavy_hitters", "q_stream_mor_ingest",
+        "q_subquery_correlated", "q_subquery_in",
+        "q_tpch_q10_returned_items", "q_tpch_q3_shipping_priority",
+        "q_tpch_q5_local_supplier", "q_ts_gapfill_ffill",
+        "q_ts_interpolate_linear", "q_win_cumulative", "q_win_lag_lead",
+        "q_win_moving_avg", "q_win_ntile_firstlast", "q_win_pct_rank",
+        "q_win_range_numeric", "q_win_rank", "q_win_topk_per_group",
+    }
+)
+
+# Queries whose implementation changed in round 9 — the MOR-compact
+# tombstone fix (delta_log_sink.compact bucket-eligibility), the
+# Iceberg custom-merge-key compact + orphan-sweep grace, and the
+# heavy-hitters truncation replan.  Fronted so the driver re-verifies
+# the fixed paths this round (round-8 verdict, items 1/3/4).
+_REVERIFY_R09: frozenset[str] = frozenset(
+    {
+        "q_cdc_delta_log_fold", "q_cdc_optimize_plan",
+        "q_stream_mor_ingest", "q_cdc_iceberg_log_fold",
+        "q_stream_heavy_hitters",
+    }
+)
+
 
 def all_queries() -> dict[str, QuerySpec]:
     """Import all operator modules (side-effect: registration) and return the registry.
@@ -369,13 +412,17 @@ def all_queries() -> dict[str, QuerySpec]:
     Returned dict order (the driver evaluates in dict order and keeps
     only a ~50-entry window, so ordering IS the coverage policy):
 
-    1. queries with no driver row in any round (never checked);
-    2. queries re-implemented this round (``_REVERIFY_R07``) — the
+    1. ORACLED queries with no driver row in any round (never checked);
+    2. queries re-implemented this round (``_REVERIFY_R09``) — the
        local parity suite is otherwise their only guard;
-    3. everything else by ASCENDING last-verified round (oldest
-       evidence first, registration order within a round) — a rotation
-       that drains staleness: no row's driver evidence can age more
-       than ceil(registry/window) rounds.
+    3. every other ORACLED query by ASCENDING last-verified round
+       (oldest evidence first, registration order within a round) — a
+       rotation that drains staleness: no row's driver evidence can age
+       more than ceil(registry/window) rounds;
+    4. rows-only entries (oracle is None) LAST — a driver slot spent on
+       them can only ever re-confirm `no_oracle` (q_llm_simhash burned
+       two consecutive slots that way; round-8 verdict, item 2), so
+       they never displace a hash-verifiable query from the window.
 
     Trade-off, documented per round-2 advice: queries past the window
     are NOT re-checked by the driver, so a regression there would only
@@ -429,17 +476,25 @@ def all_queries() -> dict[str, QuerySpec]:
         _DRIVER_VERIFIED_R04,
         _DRIVER_VERIFIED_R05,
         _DRIVER_VERIFIED_R06,
+        _DRIVER_VERIFIED_R07,
     )
 
     def last_checked(n: str) -> int:
         return max((i for i, s in enumerate(rounds, start=1) if n in s), default=0)
 
     order = list(_REGISTRY)
-    fresh = [n for n in order if last_checked(n) == 0 and n not in _REVERIFY_R07]
-    recheck = [n for n in order if n in _REVERIFY_R07]
-    head = set(fresh) | set(recheck)
+    rows_only = [n for n in order if _REGISTRY[n].oracle is None]
+    fresh = [
+        n
+        for n in order
+        if last_checked(n) == 0
+        and n not in _REVERIFY_R09
+        and n not in rows_only
+    ]
+    recheck = [n for n in order if n in _REVERIFY_R09]
+    head = set(fresh) | set(recheck) | set(rows_only)
     rest = sorted(
         (n for n in order if n not in head),
         key=lambda n: (last_checked(n), order.index(n)),
     )
-    return {n: _REGISTRY[n] for n in (*fresh, *recheck, *rest)}
+    return {n: _REGISTRY[n] for n in (*fresh, *recheck, *rest, *rows_only)}

@@ -390,6 +390,11 @@ class DeltaLogSink:
             v = self.latest_version() + 1
             schema_json, config, active = self._state()
             key = config.get("mergeKey", "key")
+            mor_buckets = {
+                int(a["partitionValues"]["bucket"])
+                for a in active.values()
+                if self._is_mor(a)
+            }
 
             def may_hold_settled(a: dict) -> bool:
                 if self._is_mor(a):
@@ -398,6 +403,16 @@ class DeltaLogSink:
                     # the key's older base row. MOR files are reclaimed by
                     # compact_mor (fold into base), after which the folded
                     # tombstone becomes reachable by this path.
+                    return False
+                if int(a["partitionValues"]["bucket"]) in mor_buckets:
+                    # the whole BUCKET is ineligible while delta files are
+                    # pending: a pending entry may sit BELOW a settled base
+                    # tombstone's seq (stale entries are supported —
+                    # test_visible_folds_mor_entries), and dropping that
+                    # tombstone would hand the read-time fold to the stale
+                    # entry — a silently resurrected key across a
+                    # dataChange:False commit (round-8 review). compact_mor
+                    # folds the deltas first; the bucket then re-qualifies.
                     return False
                 s = json.loads(a["stats"]) if a.get("stats") else None
                 if not s or "op" not in s.get("minValues", {}):

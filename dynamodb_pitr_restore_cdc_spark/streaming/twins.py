@@ -1118,16 +1118,29 @@ def merge_space_saving(
         ).alias("est"),
         F.when(new_key, wm_lit).otherwise(F.col("s.err")).alias("err"),
     )
-    ranked = merged.withColumn(
-        "rn",
-        F.row_number().over(W.orderBy(F.desc("est"), F.asc("key"))),
+    # truncation as a DISTRIBUTED top-k — orderBy().limit() compiles to
+    # TakeOrderedAndProject (per-partition heaps + driver merge of
+    # capacity+1 rows), never the global row_number window it replaced:
+    # a micro-batch can carry millions of distinct keys at stream
+    # scale, and an unpartitioned Window is a single-reducer sort of
+    # ALL of them every batch (round-8 review). capacity+1 rows so the
+    # boundary row both proves an eviction happened and carries the new
+    # watermark: ordering is est-descending, so the largest EVICTED est
+    # is exactly the (capacity+1)-th row's est.
+    top = tracked_persist(
+        merged.orderBy(F.desc("est"), F.asc("key")).limit(capacity + 1)
+    )  # ≤ capacity+1 rows (state-bounded); referenced twice: kept + boundary
+    kept = (
+        top.orderBy(F.desc("est"), F.asc("key"))
+        .limit(capacity)
+        .select("key", "est", "err")
     )
-    ranked = tracked_persist(ranked)  # referenced twice: kept + evicted
-    kept = ranked.where(F.col("rn") <= capacity).select("key", "est", "err")
-    evicted_max = (
-        ranked.where(F.col("rn") > capacity).agg(F.max("est")).first()[0]
-    )
-    return kept, max(wm, int(evicted_max or 0))
+    boundary = (
+        top.orderBy(F.asc("est"), F.desc("key")).limit(1).collect()
+        if top.count() > capacity
+        else []
+    )  # ≤ 1 row: orchestration, not data
+    return kept, (max(wm, int(boundary[0].est)) if boundary else wm)
 
 
 def run_heavy_hitters_stream(
@@ -1249,12 +1262,16 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"raise HH_CAPACITY for exact parity at this scale"
         )
     summary = spark.read.parquet(path)
+    # top-k FIRST (TakeOrderedAndProject), window AFTER: the row_number
+    # then ranks ≤ HH_TOP rows — bounded by the limit constant, not by
+    # the summary (same replan as merge_space_saving's truncation)
     result = tracked_persist(
-        summary.withColumn(
+        summary.orderBy(F.desc("est"), F.asc("key"))
+        .limit(HH_TOP)
+        .withColumn(
             "rk",
             F.row_number().over(W.orderBy(F.desc("est"), F.asc("key"))).cast("bigint"),
         )
-        .where(F.col("rk") <= HH_TOP)
         .select(
             "key",
             F.col("est").alias("est_count"),

@@ -734,3 +734,32 @@ def test_optimize_plan_output_is_metadata_only(plans):
     p = plans("q_cdc_optimize_plan")
     assert "Scan parquet" not in p and "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_space_saving_truncation_is_distributed_topk(spark):
+    # round-8 review: the per-micro-batch summary truncation must be a
+    # TakeOrderedAndProject (per-partition heaps of capacity+1 rows),
+    # never a global row_number window — a micro-batch can carry
+    # millions of distinct keys, and an unpartitioned Window is a
+    # single-reducer sort of all of them every batch.
+    from pyspark.sql import functions as F
+
+    from dynamodb_pitr_restore_cdc_spark.registry import release_persisted
+    from dynamodb_pitr_restore_cdc_spark.streaming.twins import (
+        merge_space_saving,
+    )
+
+    summary = spark.range(10).select(
+        F.col("id").alias("key"),
+        (F.col("id") + 1).alias("est"),
+        F.lit(0).alias("err"),
+    )
+    bcounts = spark.range(20).select(
+        F.col("id").alias("key"), (F.col("id") % 5 + 1).alias("bcnt")
+    )
+    kept, wm = merge_space_saving(summary, bcounts, wm=0, capacity=8)
+    p = plan_string(kept)
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+    assert kept.count() == 8 and wm > 0  # eviction happened, wm derived
+    release_persisted()
