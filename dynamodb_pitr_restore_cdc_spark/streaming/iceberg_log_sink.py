@@ -34,6 +34,23 @@ the actual metadata-tree mechanics, not a marker file:
   lists, manifests and data files referenced by no retained snapshot.
   Time travel to an expired sequence number fails loudly because the
   current metadata simply no longer lists it.
+- **Merge-on-read ingest lane (round 9)**: ``append`` lands a
+  changelog batch in one always-compatible commit with NO reads and
+  NO removed files — upsert rows as data files (spec content=data),
+  REMOVE rows as **equality-delete files** (spec content=2 /
+  equality-deletes, ``equality_ids`` = the merge-key field), the
+  Iceberg v2 row-level-delete design. Every read path
+  (visible/snapshot/changes_between/MERGE candidate resolution) folds
+  pending files over the base at read time; ``compact_mor`` rewrites
+  selected buckets' pending files into base files, after which the
+  settled-tombstone OPTIMIZE can reclaim folded tombstones. One
+  documented divergence from the v2 spec: deletes here resolve
+  per-ROW by the changelog's ``last_seq`` (the per-key max-seq fold,
+  associative — read-time folding ≡ write-time merging), not by the
+  spec's file-level data-sequence-number rule, because this engine
+  explicitly supports out-of-order delivery (a stale entry below an
+  already-merged row must LOSE, which file-level sequencing cannot
+  express).
 
 Deliberate divergences, each cosmetic: manifest list / manifest files
 are NDJSON rather than avro, and the schema field holds Spark's
@@ -57,6 +74,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -68,6 +86,13 @@ from .versioned_sink import diff_states
 
 META_DIR = "metadata"
 N_BUCKETS_DEFAULT = 32
+# Orphan sweep ignores files younger than this (Iceberg's
+# remove-orphan-files olderThan, default 3 days there): an in-flight
+# commit attempt writes its data/manifest files BEFORE the metadata
+# CAS, so without an age floor a concurrent expiry would delete them
+# and the attempt, on winning, would publish metadata referencing
+# deleted files (round-8 review finding).
+ORPHAN_GRACE_DEFAULT_S = 300.0
 # expired metadata files retained for racing writers (Iceberg's
 # write.metadata.previous-versions-max): a writer that pinned its
 # target number just before an expiry commit must still be able to
@@ -255,6 +280,42 @@ class IcebergLogSink:
         paths = sorted(e["data_file"]["file_path"] for e in entries)
         return self.spark.read.parquet(*(os.path.join(self.path, p) for p in paths))
 
+    @staticmethod
+    def _is_pending(e: dict) -> bool:
+        """True for merge-on-read files awaiting a rewrite: appended
+        data files and equality-delete files (content != plain base
+        data, or the append lane's mor tag on appended upsert rows)."""
+        return (
+            e.get("tags", {}).get("mor") == "true"
+            or e["data_file"].get("content", "data") != "data"
+        )
+
+    def _fold_entries(
+        self, entries: list[dict], schema_json: str, key: str = "key"
+    ) -> DataFrame:
+        """Tombstoned state of a set of manifest entries, folding
+        pending merge-on-read files (appended data + equality-delete
+        files) over the base files at read time. With nothing pending
+        this is a plain read — zero overhead for copy-on-write tables.
+        The per-key max-seq reduction is associative/commutative, so
+        folding ALL pending entries in one merge ≡ applying their
+        commits one by one (the same algebra the Delta sink's
+        _fold_adds relies on, tests/test_cdc_property.py)."""
+        base = [e for e in entries if not self._is_pending(e)]
+        pending = [e for e in entries if self._is_pending(e)]
+        cur = self._read_entries(base, schema_json)
+        if not pending:
+            return cur
+        rows = self._read_entries(pending, schema_json).withColumnRenamed(
+            "last_seq", "seq_no"
+        )
+        return cdc_merge_tombstone(cur, rows, key=key)
+
+    def _merge_key(self, meta: dict) -> str:
+        """The merge key is the partition-spec SOURCE field (persisted
+        by init) — never assume the default on a read path."""
+        return meta["partition-spec"][0]["source"]
+
     # -- snapshot construction ----------------------------------------------
 
     def _manifest_summary(self, rel: str, entries: list[dict]) -> dict:
@@ -361,7 +422,10 @@ class IcebergLogSink:
                 cand = self._entries(prev, buckets=touched)
             except FileNotFoundError:
                 continue  # expiry GC'd our base metadata: re-pin and retry
-            current = self._read_entries(cand, meta["schema"])
+            # _fold_entries (not a raw read): a touched bucket may carry
+            # pending merge-on-read files, which this commit retires by
+            # folding them into the rewritten base files
+            current = self._fold_entries(cand, meta["schema"], key=key)
             merged = cdc_merge_tombstone(current, batch.drop("bucket"), key=key)
             entries = self._write_data(
                 merged.withColumn("bucket", self._bucket(F.col(key))),
@@ -380,10 +444,17 @@ class IcebergLogSink:
 
     def snapshot(self, version: int | None = None) -> DataFrame:
         """Tombstoned state at a snapshot — time travel is reading an
-        older snapshot's manifest tree (no replay; one metadata read)."""
+        older snapshot's manifest tree (no replay; one metadata read).
+        Pending merge-on-read files are folded here too: snapshot() is
+        the STATE contract (one row per key, tombstones as rows),
+        whatever the physical layout — visible(snapshot(v)) must never
+        show duplicate or resurrected keys (round-7 review finding on
+        the Delta sink; same rule under this protocol)."""
         meta = self._current_meta()
         snap = self._snapshot_record(meta, version)
-        return self._read_entries(self._entries(snap), meta["schema"])
+        return self._fold_entries(
+            self._entries(snap), meta["schema"], key=self._merge_key(meta)
+        )
 
     def visible(self) -> DataFrame:
         return visible(self.snapshot())
@@ -415,8 +486,28 @@ class IcebergLogSink:
                 prev = self._snapshot_record(meta, None)
             except FileNotFoundError:
                 continue  # expiry GC'd our base metadata: re-pin and retry
+            all_entries = self._entries(prev)
+            mor_buckets = {
+                e["data_file"]["partition"]["bucket"]
+                for e in all_entries
+                if self._is_pending(e)
+            }
 
             def may_hold_settled(e: dict) -> bool:
+                if self._is_pending(e):
+                    # a REMOVE row in a pending file is a changelog ENTRY
+                    # (or an equality delete), not a folded tombstone:
+                    # compact_mor retires these, never this path
+                    return False
+                if e["data_file"]["partition"]["bucket"] in mor_buckets:
+                    # the whole BUCKET is ineligible while merge-on-read
+                    # files are pending: a pending entry may sit BELOW a
+                    # settled base tombstone's seq (stale entries are
+                    # supported), and dropping that tombstone would hand
+                    # the read-time fold to the stale entry — a silently
+                    # resurrected key (the Delta sink's round-8 defect;
+                    # guarded identically under this protocol)
+                    return False
                 lo, hi = e["data_file"]["lower_bounds"], e["data_file"]["upper_bounds"]
                 if "op" not in lo:
                     return True  # no bounds: conservative
@@ -424,7 +515,7 @@ class IcebergLogSink:
                     return False
                 return lo.get("last_seq") is None or lo["last_seq"] < reorder_horizon_seq
 
-            cand = [e for e in self._entries(prev) if may_hold_settled(e)]
+            cand = [e for e in all_entries if may_hold_settled(e)]
             if not cand:
                 return
             cur = self._read_entries(cand, meta["schema"])
@@ -434,8 +525,13 @@ class IcebergLogSink:
             if cur.where(settled).limit(1).count() == 0:
                 return
             kept = cur.where(~settled)
+            # the merge key is the partition-spec SOURCE field (persisted
+            # by init) — hardcoding "key" crashed compact on tables
+            # created with a custom key (round-8 review; the Delta sink's
+            # mergeKey fix never reached this path)
+            key = meta["partition-spec"][0]["source"]
             entries = self._write_data(
-                kept.withColumn("bucket", self._bucket(F.col("key"))),
+                kept.withColumn("bucket", self._bucket(F.col(key))),
                 prev["sequence-number"] + 1,
             )
             removed = {e["data_file"]["file_path"] for e in cand}
@@ -447,6 +543,103 @@ class IcebergLogSink:
                 continue  # lost the race: recompute candidates
         raise RuntimeError(
             f"OPTIMIZE lost the commit race {max_attempts} times at {self.path}"
+        )
+
+    # -- merge-on-read ingest lane ----------------------------------------
+
+    def append(
+        self, batch: DataFrame, key: str = "key", max_attempts: int = 5
+    ) -> None:
+        """Blind-append ingest, the Iceberg v2 row-level-delete WRITE:
+        the batch's changelog entries land in one commit with NO reads
+        and NO removed files — O(batch) regardless of table size.
+        Upsert rows become data files (content=data); REMOVE rows
+        become EQUALITY-DELETE files (content=equality-deletes,
+        ``equality_ids`` = the merge-key field), the spec's delete-file
+        container. Appends never conflict semantically, so a lost race
+        rebuilds only the manifest list against the winner's snapshot
+        and retries — the data files are reused across attempts.
+
+        Reference parity: this is A13's chunked blind write
+        (`lambda-backfill/main.py:22,41-46`) under the manifest-tree
+        protocol's write-cheap lane; A14's merge semantics
+        (`main.py:33-39`) are deferred to read-time fold/compact_mor."""
+        rows = batch.select(
+            F.col(key),
+            F.col("seq_no").alias("last_seq"),
+            F.col("payload_value"),
+            F.col("op"),
+        ).withColumn("bucket", self._bucket(F.col(key)))
+        is_del = F.col("op") == "REMOVE"
+        entries: list[dict] = []
+        for pred, content in ((~is_del, "data"), (is_del, "equality-deletes")):
+            part = rows.where(pred)
+            if part.limit(1).count() == 0:
+                continue
+            seq_hint = self.latest_version() + 1
+            for e in self._write_data(part, seq_hint):
+                e["tags"] = {"mor": "true"}
+                e["data_file"]["content"] = content
+                if content == "equality-deletes":
+                    e["data_file"]["equality_ids"] = [key]
+                entries.append(e)
+        if not entries:
+            return  # empty batch: no pointless commit
+        for _ in range(max_attempts):
+            meta_num = self._latest_meta_num() + 1
+            try:
+                meta = self._load_meta(meta_num - 1)
+                prev = self._snapshot_record(meta, None)
+            except FileNotFoundError:
+                continue  # expiry GC'd our base metadata: re-pin and retry
+            snap_rec = self._build_snapshot(prev, set(), entries, "append")
+            try:
+                self._commit_snapshot(meta_num, meta, snap_rec)
+                return
+            except FileExistsError:
+                continue  # appends never conflict: rebuild the list only
+        raise RuntimeError(
+            f"WRITE lost the commit race {max_attempts} times at {self.path}"
+        )
+
+    def compact_mor(
+        self, buckets: set[int], key: str | None = None, max_attempts: int = 5
+    ) -> None:
+        """rewriteDataFiles over the merge-on-read debt: fold the
+        selected buckets' pending files (appended data + equality
+        deletes) into rewritten base files in one commit. Folded REMOVE
+        entries become base tombstones, which the settled-tombstone
+        OPTIMIZE (compact) reclaims once the reorder horizon passes.
+        Same pin-before-read loser-retry as apply_batch — the retry
+        recomputes the candidate set from the winner's snapshot.
+        ``key`` defaults to the table's persisted merge key (the
+        partition-spec source field) — the hardcoded-default defect
+        class the round-8 review flagged on compact()."""
+        for _ in range(max_attempts):
+            meta_num = self._latest_meta_num() + 1
+            try:
+                meta = self._load_meta(meta_num - 1)
+                prev = self._snapshot_record(meta, None)
+                cand = self._entries(prev, buckets=buckets)
+            except FileNotFoundError:
+                continue  # expiry GC'd our base metadata: re-pin and retry
+            if not any(self._is_pending(e) for e in cand):
+                return  # nothing pending: no no-op commit
+            key = key or self._merge_key(meta)
+            folded = self._fold_entries(cand, meta["schema"], key=key)
+            entries = self._write_data(
+                folded.withColumn("bucket", self._bucket(F.col(key))),
+                prev["sequence-number"] + 1,
+            )
+            removed = {e["data_file"]["file_path"] for e in cand}
+            snap_rec = self._build_snapshot(prev, removed, entries, "replace")
+            try:
+                self._commit_snapshot(meta_num, meta, snap_rec)
+                return
+            except FileExistsError:
+                continue  # lost the race: recompute candidates
+        raise RuntimeError(
+            f"MOR OPTIMIZE lost the commit race {max_attempts} times at {self.path}"
         )
 
     # -- VersionedSinkFormat ----------------------------------------------------
@@ -474,23 +667,37 @@ class IcebergLogSink:
             for b in set(bb_from) | set(bb_to)
             if bb_from.get(b, set()) != bb_to.get(b, set())
         }
+        key = self._merge_key(meta)
+        # _fold_entries on each side: a changed bucket may carry pending
+        # merge-on-read files, and the changefeed classifies STATES, not
+        # physical layouts
         a = visible(
-            self._read_entries(self._entries(s_from, changed), meta["schema"])
+            self._fold_entries(self._entries(s_from, changed), meta["schema"], key=key)
         )
         b = visible(
-            self._read_entries(self._entries(s_to, changed), meta["schema"])
+            self._fold_entries(self._entries(s_to, changed), meta["schema"], key=key)
         )
         return diff_states(a, b)
 
     def expire_versions(
-        self, keep_last: int, sweep_orphans: bool = False
+        self,
+        keep_last: int,
+        sweep_orphans: bool = False,
+        orphan_grace_s: float = ORPHAN_GRACE_DEFAULT_S,
     ) -> list[int]:
         """expireSnapshots analog: publish a new metadata file with the
         expired snapshots dropped from the list (same put-if-absent
         commit as any writer — concurrent MERGEs race it safely), then
         garbage-collect manifest lists, manifests and data files
         referenced by no retained snapshot. Returns the sequence
-        numbers expired this call."""
+        numbers expired this call.
+
+        Orphan sweep only reclaims UNREFERENCED files older than
+        ``orphan_grace_s`` (mtime): a racing writer's pre-CAS attempt
+        files look exactly like crash debris until its commit lands, so
+        age is the only safe discriminator. Files referenced by an
+        EXPIRED snapshot were committed and need no grace. Pass 0 only
+        when no writer can be concurrent (tests, single-writer jobs)."""
         for _ in range(5):
             meta_num = self._latest_meta_num() + 1
             try:
@@ -548,25 +755,41 @@ class IcebergLogSink:
                 if os.path.exists(p):
                     os.remove(p)
             if sweep_orphans:
+                cutoff = time.time() - orphan_grace_s
+
+                def aged_out(full: str) -> bool:
+                    try:
+                        return os.path.getmtime(full) <= cutoff
+                    except OSError:
+                        return False  # vanished mid-sweep: nothing to do
+
                 data_root = os.path.join(self.path, "data")
                 for dirpath, _dirs, files in os.walk(data_root):
                     for fn in files:
                         full = os.path.join(dirpath, fn)
                         rel = os.path.relpath(full, self.path)
-                        if fn.endswith(".parquet") and rel not in keep_files:
+                        if (
+                            fn.endswith(".parquet")
+                            and rel not in keep_files
+                            and aged_out(full)
+                        ):
                             os.remove(full)
                 # manifest/manifest-list debris from crashed or
                 # race-losing commit attempts (written before the
                 # metadata CAS, referenced by no snapshot) is the
                 # metadata twin of orphaned data files — reclaim it the
-                # same way (round-7 review finding)
+                # same way (round-7 review finding), behind the same
+                # age floor (an in-flight attempt's manifests are
+                # indistinguishable from debris until its CAS lands)
                 for fn in os.listdir(self._meta_dir()):
                     rel = os.path.join(META_DIR, fn)
+                    full = os.path.join(self.path, rel)
                     if (
                         fn.startswith(("manifest-", "snap-"))
                         and rel not in keep_manifests
+                        and aged_out(full)
                     ):
-                        os.remove(os.path.join(self.path, rel))
+                        os.remove(full)
             return [s["sequence-number"] for s in expired]
         raise RuntimeError(
             f"expireSnapshots lost the commit race 5 times at {self.path}"
@@ -626,7 +849,58 @@ FROM (
         )
         sink.apply_batch(cl.where(F.col("seq_no") > c2))
         sink.compact(reorder_horizon_seq=int(max_seq) + 1)
-        sink.expire_versions(keep_last=2, sweep_orphans=True)
+        # grace 0 is safe here: this builder is the table's only writer
+        sink.expire_versions(keep_last=2, sweep_orphans=True, orphan_grace_s=0.0)
+        result = tracked_persist(
+            sink.visible().select("key", "last_seq", "payload_value")
+        )
+        result.count()  # materialize before the backing dirs go away
+        shutil.rmtree(base, ignore_errors=True)
+        return result
+
+    @register(
+        "q_cdc_iceberg_mor_fold",
+        oracle=with_changelog(
+            """
+SELECT key, seq_no AS last_seq, payload_value
+FROM (
+    SELECT key, seq_no, op, payload_value,
+           row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
+    FROM changelog
+) WHERE rn = 1 AND op <> 'REMOVE'
+"""
+        ),
+    )
+    def q_cdc_iceberg_mor_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The Iceberg merge-on-read lane end to end under one oracle
+        hash — the manifest-tree twin of q_stream_mor_ingest's Delta
+        drill: init = fold of the changelog's first third, then TWO
+        blind appends (upserts as data files, REMOVEs as equality-
+        delete files — the v2 row-level-delete write, no reads, no
+        removed files), compact_mor over HALF the buckets (pending
+        files folded into rewritten base), a settled-tombstone OPTIMIZE
+        (which must SKIP the still-pending buckets — the round-8
+        resurrection guard under this protocol), then expireSnapshots
+        with orphan sweep. visible() must still equal the plain
+        changelog fold whichever lane each row travelled — reference
+        A13/A14 (`lambda-backfill/main.py:22,33-46`) under the third
+        protocol's write-cheap lane."""
+        cl = changelog(spark, sf_dir).select(
+            "seq_no", "op", "key", "payload_value"
+        )
+        max_seq = cl.agg(F.max("seq_no")).first()[0]  # orchestration scalar
+        c1, c2 = max_seq // 3, (2 * max_seq) // 3
+        base = tempfile.mkdtemp(prefix="icebergmor-")
+        sink = IcebergLogSink(spark, os.path.join(base, "t"))
+        sink.init(fold_changelog(cl.where(F.col("seq_no") <= c1)))
+        sink.append(
+            cl.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2))
+        )
+        sink.append(cl.where(F.col("seq_no") > c2))
+        sink.compact_mor(set(range(sink.n_buckets // 2)))
+        sink.compact(reorder_horizon_seq=int(max_seq) + 1)
+        # grace 0 is safe here: this builder is the table's only writer
+        sink.expire_versions(keep_last=2, sweep_orphans=True, orphan_grace_s=0.0)
         result = tracked_persist(
             sink.visible().select("key", "last_seq", "payload_value")
         )

@@ -158,7 +158,7 @@ def test_gc_deletes_only_unreferenced_data_files(sink, spark):
     replaced = v1_files - v2_files
     survivors = v1_files & v2_files
     assert replaced and survivors  # untouched buckets' files carry over
-    sink.expire_versions(keep_last=1, sweep_orphans=True)
+    sink.expire_versions(keep_last=1, sweep_orphans=True, orphan_grace_s=0.0)
     for p in replaced:
         assert not os.path.exists(os.path.join(sink.path, p))
     for p in survivors:
@@ -213,7 +213,7 @@ def test_crashed_write_attempt_does_not_wedge(sink, spark):
     rows = {r.key: r.payload_value for r in sink.visible().collect()}
     assert rows[1] == 5.0
     sink.apply_batch(_batch(spark, [(2, 11, "MODIFY", 6.0)]))
-    sink.expire_versions(keep_last=1, sweep_orphans=True)
+    sink.expire_versions(keep_last=1, sweep_orphans=True, orphan_grace_s=0.0)
     assert not any(os.path.exists(p) for p in orphans)  # debris reclaimed
     for e in sink._entries(_cursnap(sink)):  # every live file survives
         assert os.path.exists(os.path.join(sink.path, e["data_file"]["file_path"]))
@@ -329,10 +329,189 @@ def test_orphan_sweep_reclaims_metadata_debris(sink, spark):
     dead_list = sink._write_ndjson("snap-000099", [])
     sink.apply_batch(_batch(spark, [(1, 10, "MODIFY", 1.5)]))
     sink.apply_batch(_batch(spark, [(2, 11, "MODIFY", 2.5)]))
-    sink.expire_versions(keep_last=1, sweep_orphans=True)
+    sink.expire_versions(keep_last=1, sweep_orphans=True, orphan_grace_s=0.0)
     assert not os.path.exists(os.path.join(sink.path, dead_manifest))
     assert not os.path.exists(os.path.join(sink.path, dead_list))
     for e in sink._entries(_cursnap(sink)):  # live tree intact
         assert os.path.exists(os.path.join(sink.path, e["data_file"]["file_path"]))
     rows = {r.key: r.payload_value for r in sink.visible().collect()}
     assert rows[1] == 1.5 and rows[2] == 2.5
+
+
+def test_compact_with_custom_merge_key(spark, tmp_path):
+    # round-8 review: compact hardcoded F.col("key") although init/
+    # apply_batch accept a custom key — a table keyed on "id" crashed
+    # with an unresolved-column error. The key now comes from the
+    # partition-spec source field.
+    s = IcebergLogSink(spark, str(tmp_path / "idtbl"), n_buckets=4)
+    s.init(
+        spark.createDataFrame(
+            pd.DataFrame(
+                [(k, 0, float(k)) for k in range(6)],
+                columns=["id", "last_seq", "payload_value"],
+            ),
+            schema="id long, last_seq long, payload_value double",
+        ),
+        key="id",
+    )
+    s.apply_batch(
+        spark.createDataFrame(
+            pd.DataFrame(
+                [(2, 5, "REMOVE", None), (9, 6, "INSERT", 9.0)],
+                columns=["id", "seq_no", "op", "payload_value"],
+            ),
+            schema="id long, seq_no long, op string, payload_value double",
+        ),
+        key="id",
+    )
+    before = sorted((r.id, r.payload_value) for r in s.visible().collect())
+    s.compact(reorder_horizon_seq=100)
+    after = sorted((r.id, r.payload_value) for r in s.visible().collect())
+    assert after == before
+    assert not any(  # the settled tombstone really was reclaimed
+        r.op == "REMOVE" for r in s.snapshot().collect()
+    )
+
+
+def test_orphan_sweep_grace_spares_inflight_attempt_files(sink, spark):
+    # round-8 review: a concurrent writer's pre-CAS attempt files are
+    # indistinguishable from crash debris — the default mtime grace
+    # must spare them so the attempt can still publish after winning.
+    seq = sink.latest_version() + 1
+    attempt = sink._write_data(
+        _batch(spark, [(1, 10, "MODIFY", 5.0)])
+        .withColumnRenamed("seq_no", "last_seq")
+        .withColumn("bucket", sink._bucket(F.col("key"))),
+        seq,
+    )  # files exist; the commit has not landed yet
+    paths = [os.path.join(sink.path, e["data_file"]["file_path"]) for e in attempt]
+    sink.apply_batch(_batch(spark, [(2, 11, "MODIFY", 6.0)]))
+    sink.expire_versions(keep_last=1, sweep_orphans=True)  # default grace
+    assert all(os.path.exists(p) for p in paths), "in-flight attempt swept"
+    # once aged past the grace window the same files ARE debris
+    sink.apply_batch(_batch(spark, [(2, 12, "MODIFY", 6.5)]))
+    sink.expire_versions(keep_last=1, sweep_orphans=True, orphan_grace_s=0.0)
+    assert not any(os.path.exists(p) for p in paths)
+
+
+# -- merge-on-read ingest lane (round 9) ---------------------------------
+
+
+def _pending(sink):
+    return [e for e in sink._entries(_cursnap(sink)) if sink._is_pending(e)]
+
+
+def test_append_writes_equality_delete_files_and_folds(sink, spark):
+    # stale entry (seq 0 ties base, loses on... base has last_seq 0;
+    # use seq below a later merge) + fresh upserts + a REMOVE
+    sink.apply_batch(_batch(spark, [(1, 20, "MODIFY", 111.0)]))
+    sink.append(
+        _batch(
+            spark,
+            [
+                (1, 10, "MODIFY", 999.0),   # stale: below the merged seq 20
+                (2, 21, "MODIFY", 22.0),    # fresh upsert
+                (3, 22, "REMOVE", None),    # fresh delete
+                (9, 23, "INSERT", 9.0),     # brand-new key
+            ],
+        )
+    )
+    pend = _pending(sink)
+    assert pend, "append left no pending files"
+    contents = {e["data_file"]["content"] for e in pend}
+    assert contents == {"data", "equality-deletes"}
+    for e in pend:
+        if e["data_file"]["content"] == "equality-deletes":
+            assert e["data_file"]["equality_ids"] == ["key"]
+    rows = {r.key: r.payload_value for r in sink.visible().collect()}
+    assert rows[1] == 111.0, "stale append entry beat the merged row"
+    assert rows[2] == 22.0 and rows[9] == 9.0
+    assert 3 not in rows, "equality delete not applied at read time"
+    # snapshot() is the STATE contract: one row per key even with
+    # pending files (round-7 lesson: every read path, not just visible)
+    snap = sink.snapshot().groupBy("key").count().where("count > 1")
+    assert snap.count() == 0
+
+
+def test_iceberg_compact_skips_buckets_with_pending_deltas(sink, spark):
+    # the Delta round-8 resurrection hazard, under this protocol: key 1
+    # deleted via MERGE (settled base tombstone), then a STALE append
+    # entry for the same key lands as a pending file below that seq
+    sink.apply_batch(_batch(spark, [(1, 5, "REMOVE", None)]))
+    sink.append(_batch(spark, [(1, 3, "MODIFY", 3.0)]))
+    assert 1 not in {r.key for r in sink.visible().collect()}
+    seq_before = sink.latest_version()
+    sink.compact(reorder_horizon_seq=100)  # every tombstone "settled"
+    assert 1 not in {r.key for r in sink.visible().collect()}, (
+        "deleted key resurrected by rewriteDataFiles"
+    )
+    assert sink.latest_version() == seq_before  # no pointless commit
+    # retire the pending file, then the tombstone IS reclaimable
+    sink.compact_mor(set(range(4)))
+    sink.compact(reorder_horizon_seq=100)
+    assert 1 not in {r.key for r in sink.visible().collect()}
+    assert not any(
+        r.op == "REMOVE" for r in sink.snapshot().collect()
+    ), "settled tombstone not reclaimed after compact_mor"
+    assert not _pending(sink)
+
+
+def test_merge_retires_pending_files_in_touched_buckets(sink, spark):
+    sink.append(_batch(spark, [(1, 10, "MODIFY", 1.5), (1, 11, "MODIFY", 1.6)]))
+    assert _pending(sink)
+    b1 = spark.range(1).select(
+        F.pmod(F.hash(F.lit(1).cast("long")), F.lit(4)).alias("b")
+    ).first().b
+    # MERGE touching key 1's bucket folds its pending files into the
+    # rewritten base — the bucket's merge-on-read debt is retired
+    sink.apply_batch(_batch(spark, [(1, 12, "MODIFY", 1.7)]))
+    left = {e["data_file"]["partition"]["bucket"] for e in _pending(sink)}
+    assert b1 not in left
+    rows = {r.key: r.payload_value for r in sink.visible().collect()}
+    assert rows[1] == 1.7
+
+
+def test_changes_between_folds_pending_sides(sink, spark):
+    v1 = sink.latest_version()
+    sink.append(_batch(spark, [(1, 10, "MODIFY", 5.0), (9, 11, "INSERT", 9.0)]))
+    v2 = sink.latest_version()
+    ch = {
+        (r.key): (r.change_type) for r in sink.changes_between(v1, v2).collect()
+    }
+    assert ch[1] == "UPDATE" and ch[9] == "INSERT"
+    sink.append(_batch(spark, [(9, 12, "REMOVE", None)]))
+    ch2 = {
+        (r.key): (r.change_type)
+        for r in sink.changes_between(v2, sink.latest_version()).collect()
+    }
+    assert ch2 == {9: "DELETE"}
+
+
+def test_append_custom_merge_key(spark, tmp_path):
+    s = IcebergLogSink(spark, str(tmp_path / "idmor"), n_buckets=4)
+    s.init(
+        spark.createDataFrame(
+            pd.DataFrame(
+                [(k, 0, float(k)) for k in range(4)],
+                columns=["id", "last_seq", "payload_value"],
+            ),
+            schema="id long, last_seq long, payload_value double",
+        ),
+        key="id",
+    )
+    s.append(
+        spark.createDataFrame(
+            pd.DataFrame(
+                [(2, 5, "REMOVE", None), (7, 6, "INSERT", 7.0)],
+                columns=["id", "seq_no", "op", "payload_value"],
+            ),
+            schema="id long, seq_no long, op string, payload_value double",
+        ),
+        key="id",
+    )
+    rows = {r.id: r.payload_value for r in s.visible().collect()}
+    assert 2 not in rows and rows[7] == 7.0
+    s.compact_mor(set(range(4)), key="id")
+    s.compact(reorder_horizon_seq=100)
+    rows2 = {r.id: r.payload_value for r in s.visible().collect()}
+    assert rows2 == rows

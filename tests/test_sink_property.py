@@ -267,3 +267,121 @@ def test_mor_lane_interleaving_converges_to_fold(spark, data):
     )
     shutil.rmtree(base, ignore_errors=True)
     assert got == want
+
+
+def test_compact_skips_buckets_with_pending_deltas(spark, tmp_path_factory):
+    """Round-8 review regression (delta_log_sink.py compact): a bucket
+    holding BOTH a settled base tombstone and a pending merge-on-read
+    delta file whose entry sits BELOW the tombstone's seq must not be
+    rewritten by the settled-tombstone OPTIMIZE — dropping the
+    tombstone hands the read-time fold to the stale entry, silently
+    resurrecting the deleted key across a dataChange:False commit."""
+    from dynamodb_pitr_restore_cdc_spark.operators.cdc import fold_changelog
+    from dynamodb_pitr_restore_cdc_spark.streaming.delta_log_sink import (
+        DeltaLogSink,
+    )
+
+    path = str(tmp_path_factory.mktemp("morcompact"))
+    sink = DeltaLogSink(spark, path + "/t", n_buckets=2)
+    sink.init(
+        fold_changelog(to_batch(spark, []))
+    )
+    # copy-on-write lane: key 7 inserted then deleted (tombstone seq 5)
+    sink.apply_batch(to_batch(spark, [(7, 1, "INSERT", 1.0)]))
+    sink.apply_batch(to_batch(spark, [(7, 5, "REMOVE", None)]))
+    # write-cheap lane: a STALE entry for the same key lands as a
+    # pending delta file (seq 3 < tombstone's 5 — explicitly supported)
+    sink.append(to_batch(spark, [(7, 3, "MODIFY", 3.0)]))
+    assert sink.visible().count() == 0  # tombstone wins the fold
+
+    v_before = sink.latest_version()
+    sink.compact(reorder_horizon_seq=100)  # every tombstone "settled"
+    # the mor-carrying bucket was ineligible: no resurrection, and no
+    # pointless rewrite commit either (the only candidate was skipped)
+    assert sink.visible().count() == 0, "deleted key resurrected by OPTIMIZE"
+    assert sink.latest_version() == v_before
+
+    # retire the delta via compact_mor, then the tombstone IS reclaimable
+    sink.compact_mor({0, 1})
+    sink.compact(reorder_horizon_seq=100)
+    assert sink.visible().count() == 0
+    snap = sink.snapshot().collect()
+    assert snap == [], f"settled tombstone not reclaimed: {snap}"
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_append_stale_entries_survive_compact(spark, fmt, data):
+    """Property form of the round-8 fix, run against BOTH merge-on-read
+    protocols (Delta delta files / Iceberg equality-delete files): seqs
+    1..n are dealt to lanes in ARBITRARY order (so appends routinely
+    carry entries below already-merged tombstones — DELIVERED but
+    pending in delta files), compact()/compact_mor() fire at arbitrary
+    points — and visible() must still equal the plain changelog fold.
+
+    The compaction horizon honors its contract (nothing below it is
+    still IN FLIGHT): it is the smallest not-yet-delivered seq. Pending
+    delta entries are NOT in flight — they are delivered, merely
+    unfolded — so a settled tombstone above a pending stale entry is a
+    legal state the fix must survive."""
+    import os
+    import shutil
+    import tempfile
+
+    from dynamodb_pitr_restore_cdc_spark.operators.cdc import fold_changelog
+    from dynamodb_pitr_restore_cdc_spark.streaming.delta_log_sink import (
+        DeltaLogSink,
+    )
+    from dynamodb_pitr_restore_cdc_spark.streaming.iceberg_log_sink import (
+        IcebergLogSink,
+    )
+
+    sink_cls = DeltaLogSink if fmt == "delta" else IcebergLogSink
+    n = data.draw(st.integers(2, 16))
+    k = data.draw(st.integers(2, 4))
+    rows = []
+    for seq in range(1, n + 1):
+        key = data.draw(st.integers(0, 3))
+        op = data.draw(st.sampled_from(["INSERT", "MODIFY", "REMOVE"]))
+        val = None if op == "REMOVE" else float(data.draw(st.integers(0, 9)))
+        rows.append((key, seq, op, val))
+    # NON-contiguous split: any seq can land in any lane/batch, so a
+    # stale sub-tombstone append after a high-seq merge is a routine draw
+    assignment = [data.draw(st.integers(0, k - 1)) for _ in range(n)]
+    lane = [data.draw(st.sampled_from(["append", "merge"])) for _ in range(k)]
+    maint = [
+        data.draw(st.sampled_from(["none", "compact", "compact_mor", "both"]))
+        for _ in range(k)
+    ]
+
+    base = tempfile.mkdtemp(prefix="stalecompact-")
+    sink = sink_cls(spark, os.path.join(base, "t"), n_buckets=4)
+    sink.init(fold_changelog(to_batch(spark, [])))
+    for b in range(k):
+        batch = [r for r, a in zip(rows, assignment) if a == b]
+        if batch:
+            (sink.append if lane[b] == "append" else sink.apply_batch)(
+                to_batch(spark, batch)
+            )
+        if maint[b] in ("compact", "both"):
+            # smallest seq NOT yet delivered: the horizon's contract —
+            # delivered-but-unfolded delta entries are deliberately NOT
+            # exempted, that's the interleaving under test
+            in_flight = [
+                r[1] for r, a in zip(rows, assignment) if a > b
+            ]
+            sink.compact(
+                reorder_horizon_seq=min(in_flight) if in_flight else n + 1
+            )
+        if maint[b] in ("compact_mor", "both"):
+            sink.compact_mor(set(range(4)))
+    got = sorted(
+        (r.key, r.last_seq, r.payload_value) for r in sink.visible().collect()
+    )
+    want = sorted(
+        (r.key, r.last_seq, r.payload_value)
+        for r in fold_changelog(to_batch(spark, rows)).collect()
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    assert got == want
