@@ -491,7 +491,10 @@ def all_queries() -> dict[str, QuerySpec]:
         and n not in _REVERIFY_R09
         and n not in rows_only
     ]
-    recheck = [n for n in order if n in _REVERIFY_R09]
+    # a rows-only name accidentally listed in a reverify set must not
+    # claim a recheck slot (dict first-insert wins, so without this
+    # filter it would keep its recheck position despite rule 4)
+    recheck = [n for n in order if n in _REVERIFY_R09 and n not in set(rows_only)]
     head = set(fresh) | set(recheck) | set(rows_only)
     rest = sorted(
         (n for n in order if n not in head),

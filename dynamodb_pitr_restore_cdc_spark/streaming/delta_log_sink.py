@@ -66,6 +66,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,6 +78,13 @@ from .versioned_sink import diff_states
 
 LOG_DIR = "_delta_log"
 N_BUCKETS_DEFAULT = 32
+# Orphan sweep ignores files younger than this (VACUUM's retention
+# grace): an in-flight commit attempt writes its data files BEFORE the
+# log-link CAS, so without an age floor a concurrent vacuum would
+# delete them and the attempt, on winning, would publish add actions
+# referencing deleted files (round-9 review — the Iceberg sink's
+# round-8 fix, mirrored)
+ORPHAN_GRACE_DEFAULT_S = 300.0
 
 
 class DeltaLogSink:
@@ -459,7 +467,9 @@ class DeltaLogSink:
 
     # -- merge-on-read ingest lane ----------------------------------------
 
-    def append(self, batch: DataFrame, key: str = "key", max_attempts: int = 5) -> None:
+    def append(
+        self, batch: DataFrame, key: str | None = None, max_attempts: int = 5
+    ) -> None:
         """Blind-append ingest: the batch's changelog entries (key,
         seq_no, op, payload_value) land as immutable delta files tagged
         ``mor``, in one commit with NO reads and NO removes — Delta's
@@ -468,7 +478,12 @@ class DeltaLogSink:
         commit — repartition("bucket") — so the batch's per-bucket
         remove counts ARE per-file counts), which optimize_plan reads.
         Append commits never conflict semantically, so a lost race
-        retries at the next version without recomputing anything."""
+        retries at the next version without recomputing anything.
+        ``key`` defaults to the table's persisted mergeKey — the
+        hardcoded-default defect class the round-8 review flagged."""
+        if key is None:
+            _schema, config, _active = self._state()
+            key = config.get("mergeKey", "key")
         rows = batch.select(
             F.col(key),
             F.col("seq_no").alias("last_seq"),
@@ -572,17 +587,19 @@ class DeltaLogSink:
         )
 
     def compact_mor(
-        self, buckets: set[int], key: str = "key", max_attempts: int = 5
+        self, buckets: set[int], key: str | None = None, max_attempts: int = 5
     ) -> None:
         """Execute an optimize_plan decision: fold the selected
         buckets' pending delta files into rewritten base files (one
         commit, loser-retry like compact — the retry recomputes the
         candidate set from the winner's state). Folded REMOVE entries
         become base tombstones, which the settled-tombstone OPTIMIZE
-        (compact) reclaims once the reorder horizon passes."""
+        (compact) reclaims once the reorder horizon passes. ``key``
+        defaults to the table's persisted mergeKey."""
         for _ in range(max_attempts):
             v = self.latest_version() + 1
-            schema_json, _config, active = self._state()
+            schema_json, config, active = self._state()
+            key = key or config.get("mergeKey", "key")
             cand = [
                 a
                 for a in active.values()
@@ -646,12 +663,23 @@ class DeltaLogSink:
         return diff_states(a, b)
 
     def expire_versions(
-        self, keep_last: int, sweep_orphans: bool = False
+        self,
+        keep_last: int,
+        sweep_orphans: bool = False,
+        orphan_grace_s: float = ORPHAN_GRACE_DEFAULT_S,
     ) -> list[int]:
         """Retention: checkpoint the horizon version (so replay never
         needs the expired commits), point _last_checkpoint at it, drop
         the expired commit files, and vacuum data files referenced by
-        no retained version. Returns the versions expired this call."""
+        no retained version. Returns the versions expired this call.
+
+        Orphan sweep only reclaims UNREFERENCED files older than
+        ``orphan_grace_s`` (mtime): a racing writer's pre-CAS attempt
+        files look exactly like crash debris until its commit lands, so
+        age is the only safe discriminator (Delta VACUUM's retention
+        grace). Files referenced by an EXPIRED version were committed
+        and need no grace. Pass 0 only when no writer can be
+        concurrent (tests, single-writer jobs)."""
         latest = self.latest_version()
         horizon = max(1, latest - keep_last + 1)
         on_disk = self._versions_on_disk()
@@ -746,12 +774,24 @@ class DeltaLogSink:
             if os.path.exists(full):
                 os.remove(full)
         if sweep_orphans:
+            cutoff = time.time() - orphan_grace_s
+
+            def aged_out(full: str) -> bool:
+                try:
+                    return os.path.getmtime(full) <= cutoff
+                except OSError:
+                    return False  # vanished mid-sweep: nothing to do
+
             data_root = os.path.join(self.path, "files")
             for dirpath, _dirs, files in os.walk(data_root):
                 for fn in files:
                     full = os.path.join(dirpath, fn)
                     rel = os.path.relpath(full, self.path)
-                    if fn.endswith(".parquet") and rel not in keep_files:
+                    if (
+                        fn.endswith(".parquet")
+                        and rel not in keep_files
+                        and aged_out(full)
+                    ):
                         os.remove(full)
         return expired
 
@@ -808,7 +848,8 @@ FROM (
         )
         sink.apply_batch(cl.where(F.col("seq_no") > c2))
         sink.compact(reorder_horizon_seq=int(max_seq) + 1)
-        sink.expire_versions(keep_last=2, sweep_orphans=True)
+        # grace 0 is safe here: this builder is the table's only writer
+        sink.expire_versions(keep_last=2, sweep_orphans=True, orphan_grace_s=0.0)
         result = tracked_persist(
             sink.visible().select("key", "last_seq", "payload_value")
         )

@@ -548,7 +548,7 @@ class IcebergLogSink:
     # -- merge-on-read ingest lane ----------------------------------------
 
     def append(
-        self, batch: DataFrame, key: str = "key", max_attempts: int = 5
+        self, batch: DataFrame, key: str | None = None, max_attempts: int = 5
     ) -> None:
         """Blind-append ingest, the Iceberg v2 row-level-delete WRITE:
         the batch's changelog entries land in one commit with NO reads
@@ -563,7 +563,11 @@ class IcebergLogSink:
         Reference parity: this is A13's chunked blind write
         (`lambda-backfill/main.py:22,41-46`) under the manifest-tree
         protocol's write-cheap lane; A14's merge semantics
-        (`main.py:33-39`) are deferred to read-time fold/compact_mor."""
+        (`main.py:33-39`) are deferred to read-time fold/compact_mor.
+
+        ``key`` defaults to the table's persisted merge key — the
+        hardcoded-default defect class the round-8 review flagged."""
+        key = key or self._merge_key(self._current_meta())
         rows = batch.select(
             F.col(key),
             F.col("seq_no").alias("last_seq"),

@@ -22,12 +22,12 @@ Policy:
   driver slot can only ever re-confirm `no_oracle` for them, and the
   ordering deliberately parks them last.
 - queries with NO row in any round gate too (age = infinity) UNLESS
-  they are absent from every file newer than their registration could
-  be (we cannot know registration rounds, so: never-checked queries
-  are exempt only when the newest correctness file predates the
-  current working tree — practically, the round in which they were
-  added; they sort first in all_queries() and get a row next run).
-  `--strict` removes the exemption.
+  the registry ordering actually FRONTS them (they sit inside the
+  driver window, i.e. the first WINDOW entries of all_queries(), so
+  they get a row in this round's run — the just-registered case). A
+  never-checked query that has slipped OUT of the window is exactly
+  the rotation failure this gate exists for, and it gates in default
+  mode. `--strict` removes the exemption entirely.
 """
 
 from __future__ import annotations
@@ -40,6 +40,7 @@ import sys
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MAX_AGE_DEFAULT = 5
+WINDOW = 50  # the driver evaluates registry order and keeps ~50 rows
 
 
 def correctness_rounds(root: str) -> dict[int, set[str]]:
@@ -74,13 +75,19 @@ def build_report(
     return {"newest_round": newest, "queries": queries}
 
 
-def stale_entries(report: dict, max_age: int, strict: bool) -> list[str]:
+def stale_entries(
+    report: dict, max_age: int, strict: bool, front: frozenset[str] = frozenset()
+) -> list[str]:
+    """`front` = names inside the driver's upcoming window: a
+    never-checked query there gets its first row this round and is
+    exempt; one that slipped OUT of the window never will — that's the
+    rotation failure this gate exists for, so it gates."""
     bad = []
     for name, q in report["queries"].items():
         if not q["oracled"]:
             continue
         if q["last_round"] is None:
-            if strict:
+            if strict or name not in front:
                 bad.append(f"{name}: never driver-checked")
             continue
         if q["age"] > max_age:
@@ -102,7 +109,9 @@ def main(argv: list[str]) -> int:
     from dynamodb_pitr_restore_cdc_spark.registry import all_queries
 
     rounds = correctness_rounds(args.dir)
-    report = build_report(rounds, all_queries())
+    specs = all_queries()
+    front = frozenset(list(specs)[:WINDOW])
+    report = build_report(rounds, specs)
     ages = [
         q["age"]
         for q in report["queries"].values()
@@ -123,7 +132,7 @@ def main(argv: list[str]) -> int:
     ]
     if never:
         print(f"pending first check ({len(never)}): {', '.join(sorted(never))}")
-    bad = stale_entries(report, args.max_age, args.strict)
+    bad = stale_entries(report, args.max_age, args.strict, front)
     for line in bad:
         print(f"STALE: {line}")
     if bad:

@@ -287,13 +287,20 @@ def test_vacuum_sweeps_crashed_attempt_orphans(sink, spark):
     assert orphans and all(os.path.exists(p) for p in orphans)
     sink.apply_batch(_batch(spark, [(1, 10, "MODIFY", 5.0)]))
     sink.apply_batch(_batch(spark, [(2, 11, "MODIFY", 6.0)]))
+    # default mtime grace spares fresh unreferenced files: an in-flight
+    # writer's pre-CAS attempt files are indistinguishable from crash
+    # debris until its commit lands (round-9 review, Iceberg's twin fix)
     sink.expire_versions(keep_last=1, sweep_orphans=True)
+    assert all(os.path.exists(p) for p in orphans), "in-flight attempt swept"
+    sink.apply_batch(_batch(spark, [(2, 12, "MODIFY", 6.5)]))
+    # aged past the grace window the same files ARE debris
+    sink.expire_versions(keep_last=1, sweep_orphans=True, orphan_grace_s=0.0)
     assert not any(os.path.exists(p) for p in orphans)
     _schema, _cfg, active = sink._state()
     for a in active.values():
         assert os.path.exists(os.path.join(sink.path, a["path"]))
     rows = {r.key: r.payload_value for r in sink.visible().collect()}
-    assert rows[1] == 5.0 and rows[2] == 6.0
+    assert rows[1] == 5.0 and rows[2] == 6.5
 
 
 # -- merge-on-read ingest lane (append / optimize_plan / compact_mor) -----
