@@ -328,7 +328,13 @@ class DeltaLogSink:
         }  # ≤ N ints: orchestration, not data
         for _ in range(max_attempts):
             v = self.latest_version() + 1
-            schema_json, _config, active = self._state()
+            try:
+                schema_json, _config, active = self._state()
+            except ValueError:
+                continue  # expiry truncated the log under our replay:
+                # re-pin and retry (the Iceberg sink's FileNotFoundError
+                # twin — a racing expire_versions checkpoints the horizon
+                # then deletes commits our pinned replay still needed)
             cand = [
                 a
                 for a in active.values()
@@ -396,7 +402,10 @@ class DeltaLogSink:
         a stale remove set (duplicate/resurrected rows)."""
         for _ in range(max_attempts):
             v = self.latest_version() + 1
-            schema_json, config, active = self._state()
+            try:
+                schema_json, config, active = self._state()
+            except ValueError:
+                continue  # expiry truncated the log under us: re-pin
             key = config.get("mergeKey", "key")
             mor_buckets = {
                 int(a["partitionValues"]["bucket"])
@@ -482,8 +491,18 @@ class DeltaLogSink:
         ``key`` defaults to the table's persisted mergeKey — the
         hardcoded-default defect class the round-8 review flagged."""
         if key is None:
-            _schema, config, _active = self._state()
-            key = config.get("mergeKey", "key")
+            for _ in range(max_attempts):
+                try:
+                    _schema, config, _active = self._state()
+                    key = config.get("mergeKey", "key")
+                    break
+                except ValueError:
+                    continue  # expiry truncated the log under us: retry
+            else:
+                raise RuntimeError(
+                    f"mergeKey resolution raced expiry {max_attempts} times "
+                    f"at {self.path}"
+                )
         rows = batch.select(
             F.col(key),
             F.col("seq_no").alias("last_seq"),
@@ -598,7 +617,10 @@ class DeltaLogSink:
         defaults to the table's persisted mergeKey."""
         for _ in range(max_attempts):
             v = self.latest_version() + 1
-            schema_json, config, active = self._state()
+            try:
+                schema_json, config, active = self._state()
+            except ValueError:
+                continue  # expiry truncated the log under us: re-pin
             key = key or config.get("mergeKey", "key")
             cand = [
                 a

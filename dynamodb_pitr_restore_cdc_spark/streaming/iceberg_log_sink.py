@@ -105,11 +105,20 @@ class IcebergLogSink:
     metadata tree. See module docstring for the protocol."""
 
     def __init__(
-        self, spark: SparkSession, path: str, n_buckets: int = N_BUCKETS_DEFAULT
+        self,
+        spark: SparkSession,
+        path: str,
+        n_buckets: int = N_BUCKETS_DEFAULT,
+        bucket_of=None,
     ):
+        """`bucket_of` (optional, Column -> Column) picks the partition
+        transform (bucket[N] hash by default; an identity-mod transform
+        makes layouts reproducible by external engines — the
+        optimize-plan oracle uses key % N, same as the Delta sink)."""
         self.spark = spark
         self.path = path
         self.n_buckets = n_buckets
+        self._bucket_of = bucket_of
         os.makedirs(os.path.join(path, META_DIR), exist_ok=True)
 
     # -- metadata-tree plumbing -------------------------------------------
@@ -251,6 +260,8 @@ class IcebergLogSink:
     # -- data plumbing ------------------------------------------------------
 
     def _bucket(self, key_col):
+        if self._bucket_of is not None:
+            return self._bucket_of(key_col).alias("bucket")
         return F.pmod(F.hash(key_col), F.lit(self.n_buckets)).alias("bucket")
 
     def _write_data(self, bucketed: DataFrame, seq: int) -> list[dict]:
@@ -606,6 +617,72 @@ class IcebergLogSink:
             f"WRITE lost the commit race {max_attempts} times at {self.path}"
         )
 
+    def optimize_plan(
+        self,
+        small_file_rows: int,
+        min_small_files: int,
+        tombstone_pct: int,
+    ) -> DataFrame:
+        """Maintenance policy: per bucket, decide COMPACT or SKIP from
+        MANIFEST ENTRIES alone (record_count per file; an equality-
+        delete file's record_count IS its remove count) — zero data
+        reads, O(files) driver work, the same metadata the pruning
+        uses. COMPACT when the read-side merge fan-in has grown
+        (≥ min_small_files pending files under small_file_rows rows)
+        or the tombstone debt has (equality-delete rows exceed
+        tombstone_pct% of the bucket's rows). Identical decision
+        arithmetic to DeltaLogSink.optimize_plan, proving the policy
+        layer generalizes across the metadata-protocol seam."""
+        import pandas as pd
+
+        meta = self._current_meta()
+        prev = self._snapshot_record(meta, None)
+        per_bucket: dict[int, dict] = {}
+        for e in self._entries(prev):
+            df_ = e["data_file"]
+            b = int(df_["partition"]["bucket"])
+            d = per_bucket.setdefault(
+                b,
+                {
+                    "bucket": b,
+                    "base_files": 0,
+                    "base_records": 0,
+                    "delta_files": 0,
+                    "delta_records": 0,
+                    "delta_removes": 0,
+                    "small_delta_files": 0,
+                },
+            )
+            if self._is_pending(e):
+                d["delta_files"] += 1
+                d["delta_records"] += df_["record_count"]
+                if df_.get("content") == "equality-deletes":
+                    d["delta_removes"] += df_["record_count"]
+                if df_["record_count"] < small_file_rows:
+                    d["small_delta_files"] += 1
+            else:
+                d["base_files"] += 1
+                d["base_records"] += df_["record_count"]
+        rows = []
+        for d in sorted(per_bucket.values(), key=lambda r: r["bucket"]):
+            compact = d["small_delta_files"] >= min_small_files or (
+                100 * d["delta_removes"]
+                > tombstone_pct * (d["base_records"] + d["delta_records"])
+            )
+            rows.append({**d, "decision": "COMPACT" if compact else "SKIP"})
+        cols = [
+            "bucket", "base_files", "base_records", "delta_files",
+            "delta_records", "delta_removes", "small_delta_files", "decision",
+        ]
+        return self.spark.createDataFrame(
+            pd.DataFrame(rows, columns=cols),
+            schema=(
+                "bucket long, base_files long, base_records long, "
+                "delta_files long, delta_records long, delta_removes long, "
+                "small_delta_files long, decision string"
+            ),
+        )
+
     def compact_mor(
         self, buckets: set[int], key: str | None = None, max_attempts: int = 5
     ) -> None:
@@ -911,6 +988,97 @@ FROM (
         result.count()  # materialize before the backing dirs go away
         shutil.rmtree(base, ignore_errors=True)
         return result
+
+    @register(
+        "q_cdc_iceberg_optimize_plan",
+        oracle=with_changelog(
+            """
+, p AS (SELECT max(seq_no) AS mx, max(seq_no) // 3 AS c1 FROM changelog)
+, base AS (
+    SELECT key % 8 AS bucket, CAST(count(*) AS BIGINT) AS base_records
+    FROM (
+        SELECT key, op,
+               row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
+        FROM changelog, p WHERE seq_no <= c1
+    ) WHERE rn = 1 AND op <> 'REMOVE'
+    GROUP BY 1)
+, files AS (
+    SELECT key % 8 AS bucket,
+           CASE WHEN seq_no <= c1 + (1 * (mx - c1)) // 6 THEN 1
+                WHEN seq_no <= c1 + (2 * (mx - c1)) // 6 THEN 2
+                WHEN seq_no <= c1 + (3 * (mx - c1)) // 6 THEN 3
+                WHEN seq_no <= c1 + (4 * (mx - c1)) // 6 THEN 4
+                WHEN seq_no <= c1 + (5 * (mx - c1)) // 6 THEN 5
+                ELSE 6 END AS commit_i,
+           (op = 'REMOVE') AS is_del,
+           CAST(count(*) AS BIGINT) AS recs
+    FROM changelog, p WHERE seq_no > c1
+    GROUP BY 1, 2, 3)
+, deltas AS (
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS delta_files,
+           CAST(sum(recs) AS BIGINT) AS delta_records,
+           CAST(sum(CASE WHEN is_del THEN recs ELSE 0 END) AS BIGINT)
+               AS delta_removes,
+           CAST(sum(CASE WHEN recs < 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS small_delta_files
+    FROM files GROUP BY 1)
+SELECT COALESCE(b.bucket, d.bucket) AS bucket,
+       CAST(CASE WHEN b.bucket IS NULL THEN 0 ELSE 1 END AS BIGINT) AS base_files,
+       COALESCE(b.base_records, 0) AS base_records,
+       COALESCE(d.delta_files, 0) AS delta_files,
+       COALESCE(d.delta_records, 0) AS delta_records,
+       COALESCE(d.delta_removes, 0) AS delta_removes,
+       COALESCE(d.small_delta_files, 0) AS small_delta_files,
+       CASE WHEN COALESCE(d.small_delta_files, 0) >= 3
+              OR 100 * COALESCE(d.delta_removes, 0)
+                 > 15 * (COALESCE(b.base_records, 0) + COALESCE(d.delta_records, 0))
+            THEN 'COMPACT' ELSE 'SKIP' END AS decision
+FROM base b FULL OUTER JOIN deltas d ON b.bucket = d.bucket
+"""
+        ),
+    )
+    def q_cdc_iceberg_optimize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The maintenance-policy layer under the MANIFEST-TREE
+        protocol — q_cdc_optimize_plan's twin, proving the policy
+        generalizes across the SinkFormat seam: same init + six blind
+        appends, but each append splits into data files and
+        equality-delete files (one of each per touched bucket per
+        commit), so the oracle's file arithmetic groups by (bucket,
+        commit, is-delete) and the remove count IS the delete files'
+        record_count — no stats blob needed, the v2 manifest entries
+        carry everything. Decision thresholds and output schema are
+        byte-identical to the Delta twin (small-file fan-in ≥ 3 under
+        100 rows, or tombstone debt > 15% of bucket rows)."""
+        cl = changelog(spark, sf_dir).select(
+            "seq_no", "op", "key", "payload_value"
+        )
+        max_seq = int(cl.agg(F.max("seq_no")).first()[0])  # orchestration scalar
+        c1, d = max_seq // 3, max_seq - max_seq // 3
+        base = tempfile.mkdtemp(prefix="iceoptplan-")
+        sink = IcebergLogSink(
+            spark,
+            os.path.join(base, "t"),
+            n_buckets=8,
+            bucket_of=lambda k: F.pmod(k, F.lit(8)),
+        )
+        sink.init(fold_changelog(cl.where(F.col("seq_no") <= c1)))
+        bounds = [c1 + (i * d) // 6 for i in range(7)]
+        for i in range(1, 7):
+            sink.append(
+                cl.where(
+                    (F.col("seq_no") > bounds[i - 1])
+                    & (F.col("seq_no") <= bounds[i])
+                )
+            )
+        plan = tracked_persist(
+            sink.optimize_plan(
+                small_file_rows=100, min_small_files=3, tombstone_pct=15
+            )
+        )
+        plan.count()  # materialize before the backing dirs go away
+        shutil.rmtree(base, ignore_errors=True)
+        return plan
 
 
 _register_iceberg_fold()

@@ -515,3 +515,32 @@ def test_append_custom_merge_key(spark, tmp_path):
     s.compact(reorder_horizon_seq=100)
     rows2 = {r.id: r.payload_value for r in s.visible().collect()}
     assert rows2 == rows
+
+
+def test_optimize_plan_prices_and_compact_mor_clears(sink, spark):
+    # the policy twin: decisions come from manifest entries alone
+    # (equality-delete record_count = remove count), executing the
+    # COMPACT rows retires the debt, and visible() never changes
+    for seq in (10, 11, 12):
+        sink.append(
+            _batch(
+                spark,
+                [(1, seq, "MODIFY", float(seq)), (2, seq, "REMOVE", None)],
+            )
+        )
+    plan = {r.bucket: r for r in sink.optimize_plan(
+        small_file_rows=100, min_small_files=3, tombstone_pct=15
+    ).collect()}
+    to_compact = {b for b, r in plan.items() if r.decision == "COMPACT"}
+    assert to_compact, "three small pending files must trip the fan-in rule"
+    for r in plan.values():
+        assert r.delta_removes >= 0 and r.delta_files >= 1 or r.base_files == 1
+    before = sorted((r.key, r.payload_value) for r in sink.visible().collect())
+    sink.compact_mor(to_compact)
+    after = sorted((r.key, r.payload_value) for r in sink.visible().collect())
+    assert after == before
+    replan = {r.bucket: r for r in sink.optimize_plan(
+        small_file_rows=100, min_small_files=3, tombstone_pct=15
+    ).collect()}
+    for b in to_compact:
+        assert replan[b].delta_files == 0 and replan[b].decision == "SKIP"

@@ -1,0 +1,133 @@
+"""True-thread concurrency over the table-format sinks: two writers on
+disjoint key ranges race a maintenance loop (compact + compact_mor +
+expire with the DEFAULT orphan grace) on one table. The put-if-absent
+commit protocol must serialize them losslessly — final visible() ==
+the plain fold of everything written — and the mtime grace window must
+keep the sweeper from deleting a racing writer's pre-CAS attempt files
+(the round-9 review race: without the grace this test deletes in-fligh
+t files and the winning commit publishes dangling references).
+
+Thread model: Spark supports concurrent job submission on one session;
+each sink call is a driver-side optimistic-CAS loop, so interleavings
+are real (state read / data write / os.link publication all race).
+Writers use a high max_attempts; the maintenance loop tolerates losing
+its CAS budget (liveness, not correctness) — the correctness assert is
+only at the end, on the settled table.
+"""
+
+import os
+import threading
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dynamodb_pitr_restore_cdc_spark.operators.cdc import fold_changelog
+from dynamodb_pitr_restore_cdc_spark.streaming.delta_log_sink import DeltaLogSink
+from dynamodb_pitr_restore_cdc_spark.streaming.iceberg_log_sink import (
+    IcebergLogSink,
+)
+
+N_BATCHES = 4
+KEYS_PER_WRITER = 6
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["key", "seq_no", "op", "payload_value"]),
+        schema="key long, seq_no long, op string, payload_value double",
+    )
+
+
+@pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+def test_writers_race_maintenance_losslessly(spark, tmp_path, fmt):
+    cls = DeltaLogSink if fmt == "delta" else IcebergLogSink
+    sink = cls(spark, str(tmp_path / "t"), n_buckets=4)
+    sink.init(fold_changelog(_batch(spark, [])))
+
+    # deterministic op tape per writer: inserts, updates, one delete,
+    # re-insert — disjoint key/seq spaces so the expected fold is exact
+    def rows_for(writer: int, batch: int):
+        base_key = writer * 1000
+        base_seq = writer * 10000 + batch * 100
+        out = []
+        for k in range(KEYS_PER_WRITER):
+            key = base_key + k
+            seq = base_seq + k
+            if batch == 2 and k == 0:
+                out.append((key, seq, "REMOVE", None))
+            else:
+                out.append((key, seq, "MODIFY", float(batch * 10 + k)))
+        return out
+
+    all_rows: list[tuple] = []
+    for w in range(2):
+        for b in range(N_BATCHES):
+            all_rows.extend(rows_for(w, b))
+
+    errors: list[BaseException] = []
+    stop = threading.Event()
+
+    def writer(w: int):
+        try:
+            for b in range(N_BATCHES):
+                batch = _batch(spark, rows_for(w, b))
+                # alternate lanes so maintenance races BOTH commit kinds
+                if b % 2 == 0:
+                    sink.apply_batch(batch, max_attempts=40)
+                else:
+                    sink.append(batch, max_attempts=40)
+        except BaseException as e:  # noqa: BLE001 - surfaced in the main thread
+            errors.append(e)
+
+    def maintenance():
+        try:
+            while not stop.is_set():
+                try:
+                    # horizon 1 settles nothing (writers are in flight)
+                    # but exercises candidate scan + commit arbitration
+                    sink.compact(reorder_horizon_seq=1, max_attempts=3)
+                    sink.compact_mor(set(range(4)), max_attempts=3)
+                    # DEFAULT grace: must spare racing pre-CAS attempt
+                    # files; keep_last high enough to never drop a
+                    # version a reader could still resolve mid-test
+                    sink.expire_versions(keep_last=10, sweep_orphans=True)
+                except RuntimeError:
+                    pass  # lost its CAS budget to the writers: liveness only
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(2)]
+    mt = threading.Thread(target=maintenance)
+    for t in threads:
+        t.start()
+    mt.start()
+    for t in threads:
+        t.join(timeout=600)
+    stop.set()
+    mt.join(timeout=600)
+    assert not errors, errors
+
+    # the settled table must equal the plain fold of everything written
+    got = sorted(
+        (r.key, r.last_seq, r.payload_value) for r in sink.visible().collect()
+    )
+    want = sorted(
+        (r.key, r.last_seq, r.payload_value)
+        for r in fold_changelog(_batch(spark, all_rows)).collect()
+    )
+    assert got == want
+
+    # every file the final state references must exist (no dangling
+    # adds from a sweep that raced a winning commit)
+    if fmt == "delta":
+        _schema, _cfg, active = sink._state()
+        paths = [a["path"] for a in active.values()]
+    else:
+        meta = sink._current_meta()
+        paths = [
+            e["data_file"]["file_path"]
+            for e in sink._entries(sink._snapshot_record(meta, None))
+        ]
+    missing = [p for p in paths if not os.path.exists(os.path.join(sink.path, p))]
+    assert missing == [], f"dangling references after racing sweep: {missing}"
