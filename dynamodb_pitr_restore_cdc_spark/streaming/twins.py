@@ -1329,20 +1329,17 @@ def _mor_fold_oracle() -> str:
     return with_changelog(FOLD_SQL.format(pred=""))
 
 
-@register("q_stream_mor_ingest", oracle=_mor_fold_oracle())
-def q_stream_mor_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming merge-on-read ingest ≡ the batch changelog fold (same
-    oracle as the copy-on-write fold drills — the hash match proves the
-    append lane converges to the same state as write-time merging):
-    init = fold of the changelog's first third, then the remaining two
-    thirds replay as 3 pinned micro-batches of blind appends
-    (run_mor_ingest_stream), then the maintenance policy runs for real
-    — optimize_plan selects the buckets whose delta fan-in or tombstone
-    debt crossed threshold, compact_mor folds exactly those — and the
-    final visible() must still equal the one-shot fold. Ingest cost is
-    O(batch) per commit; the rewrite is paid only where the policy
-    said so."""
-    from .delta_log_sink import DeltaLogSink
+def _mor_ingest_drill(spark: SparkSession, sf_dir: str, sink_of) -> DataFrame:
+    """Shared body of the streaming MOR ingest drills: init = fold of
+    the changelog's first third, the remaining two thirds replay as 3
+    pinned micro-batches of blind appends (run_mor_ingest_stream), then
+    the maintenance policy runs for real — optimize_plan selects the
+    buckets whose delta fan-in or tombstone debt crossed threshold,
+    compact_mor folds exactly those — and the final visible() must
+    still equal the one-shot fold. `sink_of(spark, path)` picks the
+    table format; everything else (runner, policy thresholds, oracle)
+    is format-independent, which is the seam promise in streaming
+    form."""
     from ..operators.cdc import changelog, fold_changelog
 
     cl = changelog(spark, sf_dir).select(
@@ -1363,7 +1360,7 @@ def q_stream_mor_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(seq > bounds[i]) & (seq <= bounds[i + 1]) for i in range(3)],
         src,
     )
-    sink = DeltaLogSink(spark, os.path.join(base, "t"))
+    sink = sink_of(spark, os.path.join(base, "t"))
     sink.init(fold_changelog(cl.where(seq <= c1)))
     run_mor_ingest_stream(spark, src, work, sink)
     plan = sink.optimize_plan(
@@ -1381,3 +1378,33 @@ def q_stream_mor_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for dpath in (src, work, base):
         shutil.rmtree(dpath, ignore_errors=True)
     return result
+
+
+@register("q_stream_mor_ingest", oracle=_mor_fold_oracle())
+def q_stream_mor_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming merge-on-read ingest ≡ the batch changelog fold (same
+    oracle as the copy-on-write fold drills — the hash match proves the
+    append lane converges to the same state as write-time merging),
+    through the Delta-shaped log. See _mor_ingest_drill. Ingest cost is
+    O(batch) per commit; the rewrite is paid only where the policy
+    said so."""
+    from .delta_log_sink import DeltaLogSink
+
+    return _mor_ingest_drill(
+        spark, sf_dir, lambda s, p: DeltaLogSink(s, p)
+    )
+
+
+@register("q_stream_mor_ingest_iceberg", oracle=_mor_fold_oracle())
+def q_stream_mor_ingest_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same streaming MOR ingest drill through the Iceberg-shaped
+    metadata tree (round 9): blind appends land as data +
+    equality-delete files, optimize_plan prices the debt from manifest
+    entries, compact_mor folds the selected buckets — one runner, one
+    oracle, two protocols, which is the seam promise in streaming form
+    (reference A13/A14, `lambda-backfill/main.py:22,33-46`)."""
+    from .iceberg_log_sink import IcebergLogSink
+
+    return _mor_ingest_drill(
+        spark, sf_dir, lambda s, p: IcebergLogSink(s, p)
+    )
