@@ -66,6 +66,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -73,8 +74,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.cdc import cdc_merge_tombstone, visible
-from .table_files import empty_frame, write_bucketed_files
+from .table_files import (
+    bucket_counters,
+    empty_frame,
+    optimize_decisions,
+    write_bucketed_files,
+)
 from .versioned_sink import diff_states
+
+def _now_ms() -> int:
+    """Wall-clock ms for remove-action deletionTimestamp stamps
+    (Delta protocol field): VACUUM retention compares against these
+    so a long-running reader of a just-replaced file is not pulled
+    out from under its scan."""
+    return int(time.time() * 1000)
+
 
 LOG_DIR = "_delta_log"
 N_BUCKETS_DEFAULT = 32
@@ -96,16 +110,21 @@ class DeltaLogSink:
         spark: SparkSession,
         path: str,
         n_buckets: int = N_BUCKETS_DEFAULT,
-        bucket_of=None,
+        transform: str = "bucket",
     ):
-        """`bucket_of` (optional, Column -> Column) picks the partition
-        transform, Iceberg-spec style (bucket[N] hash by default; an
-        identity-mod transform makes layouts reproducible by external
-        engines — the optimize-plan oracle uses key % N)."""
+        """`transform` picks the partition transform, Iceberg-spec
+        style: "bucket" (hash-mod, default) or "mod" (identity-mod —
+        reproducible by external engines; the optimize-plan oracle uses
+        key % N). Only init CONSUMES these arguments: an existing
+        table's transform (and width) is read back from its persisted
+        metaData configuration, so a fresh handle can never mis-bucket
+        a table created with different parameters (round-9 review — the
+        mergeKey persistence rule applied to the layout)."""
         self.spark = spark
         self.path = path
         self.n_buckets = n_buckets
-        self._bucket_of = bucket_of
+        self._transform_arg = transform
+        self._transform_cached: tuple[str, int] | None = None
         os.makedirs(os.path.join(path, LOG_DIR), exist_ok=True)
 
     # -- log plumbing ----------------------------------------------------
@@ -216,10 +235,29 @@ class DeltaLogSink:
 
     # -- data plumbing ---------------------------------------------------
 
+    def _transform(self) -> tuple[str, int]:
+        """(name, N) of the table's partition transform — persisted
+        value first (a fresh handle must follow the TABLE's layout, not
+        its constructor defaults), constructor fallback only before the
+        table exists (init) or for pre-transform tables."""
+        if self._transform_cached is not None:
+            return self._transform_cached
+        fallback = (self._transform_arg, self.n_buckets)
+        try:
+            _schema, config, _active = self._state()
+        except (ValueError, FileNotFoundError):
+            return fallback  # no table yet: init is writing it — don't
+            # cache, so post-init reads re-resolve the persisted value
+        m = re.fullmatch(
+            r"(bucket|mod)\[(\d+)\]", config.get("bucketTransform", "")
+        )
+        self._transform_cached = (m.group(1), int(m.group(2))) if m else fallback
+        return self._transform_cached
+
     def _bucket(self, key_col):
-        if self._bucket_of is not None:
-            return self._bucket_of(key_col).alias("bucket")
-        return F.pmod(F.hash(key_col), F.lit(self.n_buckets)).alias("bucket")
+        name, n = self._transform()
+        hashed = key_col if name == "mod" else F.hash(key_col)
+        return F.pmod(hashed, F.lit(n)).alias("bucket")
 
     @staticmethod
     def _is_mor(add: dict) -> bool:
@@ -296,9 +334,15 @@ class DeltaLogSink:
                         "schemaString": schema_json,
                         "partitionColumns": ["bucket"],
                         # persisted so read paths (visible/snapshot/
-                        # changefeed) fold mor files on the right key
+                        # changefeed) fold mor files on the right key —
+                        # and bucket on the right transform/width —
                         # even from a fresh sink instance
-                        "configuration": {"mergeKey": key},
+                        "configuration": {
+                            "mergeKey": key,
+                            "bucketTransform": (
+                                f"{self._transform_arg}[{self.n_buckets}]"
+                            ),
+                        },
                     }
                 },
                 *({"add": a} for a in adds),
@@ -330,7 +374,7 @@ class DeltaLogSink:
             v = self.latest_version() + 1
             try:
                 schema_json, _config, active = self._state()
-            except ValueError:
+            except (ValueError, FileNotFoundError):
                 continue  # expiry truncated the log under our replay:
                 # re-pin and retry (the Iceberg sink's FileNotFoundError
                 # twin — a racing expire_versions checkpoints the horizon
@@ -354,7 +398,8 @@ class DeltaLogSink:
                     [
                         {"commitInfo": {"operation": "MERGE"}},
                         *(
-                            {"remove": {"path": a["path"], "dataChange": True}}
+                            {"remove": {"path": a["path"], "dataChange": True,
+                                         "deletionTimestamp": _now_ms()}}
                             for a in cand
                         ),
                         *({"add": a} for a in adds),
@@ -404,7 +449,7 @@ class DeltaLogSink:
             v = self.latest_version() + 1
             try:
                 schema_json, config, active = self._state()
-            except ValueError:
+            except (ValueError, FileNotFoundError):
                 continue  # expiry truncated the log under us: re-pin
             key = config.get("mergeKey", "key")
             mor_buckets = {
@@ -461,7 +506,8 @@ class DeltaLogSink:
                     [
                         {"commitInfo": {"operation": "OPTIMIZE"}},
                         *(
-                            {"remove": {"path": a["path"], "dataChange": False}}
+                            {"remove": {"path": a["path"], "dataChange": False,
+                                         "deletionTimestamp": _now_ms()}}
                             for a in cand
                         ),
                         *({"add": a} for a in adds),
@@ -496,7 +542,7 @@ class DeltaLogSink:
                     _schema, config, _active = self._state()
                     key = config.get("mergeKey", "key")
                     break
-                except ValueError:
+                except (ValueError, FileNotFoundError):
                     continue  # expiry truncated the log under us: retry
             else:
                 raise RuntimeError(
@@ -557,25 +603,21 @@ class DeltaLogSink:
         constants (batch size 25 `lambda-backfill/main.py:22`,
         maxReceiveCount 5 `cdk-stack.ts:52-63`): thresholds turned into
         per-bucket decisions off observed stats."""
-        import pandas as pd
-
-        _schema, _config, active = self._state()
+        for _ in range(5):
+            try:
+                _schema, _config, active = self._state()
+                break
+            except (ValueError, FileNotFoundError):
+                continue  # expiry truncated the log under us: re-pin
+        else:
+            raise RuntimeError(
+                f"optimize_plan raced expiry 5 times at {self.path}"
+            )
         per_bucket: dict[int, dict] = {}
         for a in active.values():
             b = int(a["partitionValues"]["bucket"])
             st = json.loads(a["stats"])
-            d = per_bucket.setdefault(
-                b,
-                {
-                    "bucket": b,
-                    "base_files": 0,
-                    "base_records": 0,
-                    "delta_files": 0,
-                    "delta_records": 0,
-                    "delta_removes": 0,
-                    "small_delta_files": 0,
-                },
-            )
+            d = per_bucket.setdefault(b, bucket_counters(b))
             if self._is_mor(a):
                 d["delta_files"] += 1
                 d["delta_records"] += st["numRecords"]
@@ -585,24 +627,8 @@ class DeltaLogSink:
             else:
                 d["base_files"] += 1
                 d["base_records"] += st["numRecords"]
-        rows = []
-        for d in sorted(per_bucket.values(), key=lambda r: r["bucket"]):
-            compact = d["small_delta_files"] >= min_small_files or (
-                100 * d["delta_removes"]
-                > tombstone_pct * (d["base_records"] + d["delta_records"])
-            )
-            rows.append({**d, "decision": "COMPACT" if compact else "SKIP"})
-        cols = [
-            "bucket", "base_files", "base_records", "delta_files",
-            "delta_records", "delta_removes", "small_delta_files", "decision",
-        ]
-        return self.spark.createDataFrame(
-            pd.DataFrame(rows, columns=cols),
-            schema=(
-                "bucket long, base_files long, base_records long, "
-                "delta_files long, delta_records long, delta_removes long, "
-                "small_delta_files long, decision string"
-            ),
+        return optimize_decisions(
+            self.spark, per_bucket, min_small_files, tombstone_pct
         )
 
     def compact_mor(
@@ -619,7 +645,7 @@ class DeltaLogSink:
             v = self.latest_version() + 1
             try:
                 schema_json, config, active = self._state()
-            except ValueError:
+            except (ValueError, FileNotFoundError):
                 continue  # expiry truncated the log under us: re-pin
             key = key or config.get("mergeKey", "key")
             cand = [
@@ -639,7 +665,8 @@ class DeltaLogSink:
                     [
                         {"commitInfo": {"operation": "OPTIMIZE"}},
                         *(
-                            {"remove": {"path": a["path"], "dataChange": False}}
+                            {"remove": {"path": a["path"], "dataChange": False,
+                                         "deletionTimestamp": _now_ms()}}
                             for a in cand
                         ),
                         *({"add": a} for a in adds),
@@ -695,13 +722,17 @@ class DeltaLogSink:
         the expired commit files, and vacuum data files referenced by
         no retained version. Returns the versions expired this call.
 
-        Orphan sweep only reclaims UNREFERENCED files older than
-        ``orphan_grace_s`` (mtime): a racing writer's pre-CAS attempt
-        files look exactly like crash debris until its commit lands, so
-        age is the only safe discriminator (Delta VACUUM's retention
-        grace). Files referenced by an EXPIRED version were committed
-        and need no grace. Pass 0 only when no writer can be
-        concurrent (tests, single-writer jobs)."""
+        ``orphan_grace_s`` is VACUUM's retention, applied on two axes:
+        (a) UNREFERENCED files (orphan sweep) are reclaimed only when
+        their mtime is older than it — a racing writer's pre-CAS
+        attempt files look exactly like crash debris until its commit
+        lands; (b) files referenced ONLY by expired versions are
+        reclaimed only when their remove action's deletionTimestamp is
+        older than it — a long-running reader that pinned a
+        recently-superseded version may still be scanning them
+        (round-9 review). Files spared by (b) become orphans for a
+        later sweep's (a). Pass 0 only when no reader or writer can be
+        concurrent (tests, single-writer drills)."""
         latest = self.latest_version()
         horizon = max(1, latest - keep_last + 1)
         on_disk = self._versions_on_disk()
@@ -715,6 +746,7 @@ class DeltaLogSink:
         # set at every version boundary at or past the horizon
         keep_files: set[str] = set()
         all_refs: set[str] = set()
+        removed_ms: dict[str, int] = {}  # path -> newest deletionTimestamp
         schema_at_horizon = None
         config_at_horizon: dict = {}
         active_at_horizon: dict[str, dict] = {}
@@ -748,6 +780,9 @@ class DeltaLogSink:
                         all_refs.add(a["add"]["path"])
                     elif "remove" in a:
                         active.pop(a["remove"]["path"], None)
+                        removed_ms[a["remove"]["path"]] = a["remove"].get(
+                            "deletionTimestamp", 0
+                        )  # legacy actions without the stamp: aged
             if v == horizon:
                 schema_at_horizon = schema
                 config_at_horizon = dict(config)
@@ -791,7 +826,15 @@ class DeltaLogSink:
                 os.remove(os.path.join(self._log_dir(), f))
         for v in expired:
             os.remove(self._log_path(v))
+        # VACUUM retention (Delta's deletedFileRetentionDuration): a
+        # dead file is reclaimable only once its remove action is older
+        # than the grace — mtime is useless here (the file was WRITTEN
+        # long ago; what must age is its TOMBSTONING). Spared files are
+        # picked up by a later orphan sweep once aged.
+        retention_cutoff_ms = (time.time() - orphan_grace_s) * 1000
         for rel in sorted(all_refs - keep_files):
+            if removed_ms.get(rel, 0) > retention_cutoff_ms:
+                continue
             full = os.path.join(self.path, rel)
             if os.path.exists(full):
                 os.remove(full)
@@ -948,10 +991,7 @@ FROM base b FULL OUTER JOIN deltas d ON b.bucket = d.bucket
         c1, d = max_seq // 3, max_seq - max_seq // 3
         base = tempfile.mkdtemp(prefix="optplan-")
         sink = DeltaLogSink(
-            spark,
-            os.path.join(base, "t"),
-            n_buckets=8,
-            bucket_of=lambda k: F.pmod(k, F.lit(8)),
+            spark, os.path.join(base, "t"), n_buckets=8, transform="mod"
         )
         sink.init(fold_changelog(cl.where(F.col("seq_no") <= c1)))
         bounds = [c1 + (i * d) // 6 for i in range(7)]

@@ -81,7 +81,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.cdc import cdc_merge_tombstone, visible
-from .table_files import empty_frame, write_bucketed_files
+from .table_files import (
+    bucket_counters,
+    empty_frame,
+    optimize_decisions,
+    write_bucketed_files,
+)
 from .versioned_sink import diff_states
 
 META_DIR = "metadata"
@@ -109,16 +114,21 @@ class IcebergLogSink:
         spark: SparkSession,
         path: str,
         n_buckets: int = N_BUCKETS_DEFAULT,
-        bucket_of=None,
+        transform: str = "bucket",
     ):
-        """`bucket_of` (optional, Column -> Column) picks the partition
-        transform (bucket[N] hash by default; an identity-mod transform
-        makes layouts reproducible by external engines — the
-        optimize-plan oracle uses key % N, same as the Delta sink)."""
+        """`transform` picks the partition transform: "bucket"
+        (hash-mod, default) or "mod" (identity-mod — reproducible by
+        external engines; the optimize-plan oracle uses key % N). Only
+        init CONSUMES these arguments: an existing table's transform
+        (and width) is read back from its persisted partition spec, so
+        a fresh handle — or an external engine reading the spec — can
+        never mis-bucket a table created with different parameters
+        (round-9 review; same rule as the persisted merge key)."""
         self.spark = spark
         self.path = path
         self.n_buckets = n_buckets
-        self._bucket_of = bucket_of
+        self._transform_arg = transform
+        self._transform_cached: tuple[str, int] | None = None
         os.makedirs(os.path.join(path, META_DIR), exist_ok=True)
 
     # -- metadata-tree plumbing -------------------------------------------
@@ -259,10 +269,29 @@ class IcebergLogSink:
 
     # -- data plumbing ------------------------------------------------------
 
+    def _transform(self) -> tuple[str, int]:
+        """(name, N) of the table's partition transform — the persisted
+        partition-spec value first (a fresh handle must follow the
+        TABLE's layout, not its constructor defaults), constructor
+        fallback only before the table exists (init)."""
+        if self._transform_cached is not None:
+            return self._transform_cached
+        fallback = (self._transform_arg, self.n_buckets)
+        try:
+            meta = self._current_meta()
+        except (ValueError, FileNotFoundError):
+            return fallback  # no table yet: init is writing it — don't
+            # cache, so post-init reads re-resolve the persisted value
+        m = re.fullmatch(
+            r"(bucket|mod)\[(\d+)\]", meta["partition-spec"][0]["transform"]
+        )
+        self._transform_cached = (m.group(1), int(m.group(2))) if m else fallback
+        return self._transform_cached
+
     def _bucket(self, key_col):
-        if self._bucket_of is not None:
-            return self._bucket_of(key_col).alias("bucket")
-        return F.pmod(F.hash(key_col), F.lit(self.n_buckets)).alias("bucket")
+        name, n = self._transform()
+        hashed = key_col if name == "mod" else F.hash(key_col)
+        return F.pmod(hashed, F.lit(n)).alias("bucket")
 
     def _write_data(self, bucketed: DataFrame, seq: int) -> list[dict]:
         """Write one commit ATTEMPT's data files (table_files shared
@@ -374,6 +403,8 @@ class IcebergLogSink:
         return {
             "snapshot-id": sid,
             "sequence-number": seq,
+            "timestamp-ms": int(time.time() * 1000),  # spec field; GC
+            # retention compares against it (expire_versions)
             "manifest-list": ml_rel,
             "summary": {"operation": operation},
         }
@@ -398,7 +429,8 @@ class IcebergLogSink:
             "table-uuid": uuid.uuid4().hex,
             "schema": schema_json,
             "partition-spec": [
-                {"name": "bucket", "transform": f"bucket[{self.n_buckets}]",
+                {"name": "bucket",
+                 "transform": f"{self._transform_arg}[{self.n_buckets}]",
                  "source": key}
             ],
             "snapshots": [],
@@ -630,29 +662,27 @@ class IcebergLogSink:
         uses. COMPACT when the read-side merge fan-in has grown
         (≥ min_small_files pending files under small_file_rows rows)
         or the tombstone debt has (equality-delete rows exceed
-        tombstone_pct% of the bucket's rows). Identical decision
-        arithmetic to DeltaLogSink.optimize_plan, proving the policy
-        layer generalizes across the metadata-protocol seam."""
-        import pandas as pd
-
-        meta = self._current_meta()
-        prev = self._snapshot_record(meta, None)
+        tombstone_pct% of the bucket's rows). The decision itself is
+        the SHARED policy (table_files.optimize_decisions — one
+        implementation for both protocols); only the stats extraction
+        here is manifest-specific."""
+        for _ in range(5):
+            try:
+                meta = self._current_meta()
+                prev = self._snapshot_record(meta, None)
+                entries = self._entries(prev)
+                break
+            except FileNotFoundError:
+                continue  # expiry GC'd our pinned tree: re-pin and retry
+        else:
+            raise RuntimeError(
+                f"optimize_plan raced expiry 5 times at {self.path}"
+            )
         per_bucket: dict[int, dict] = {}
-        for e in self._entries(prev):
+        for e in entries:
             df_ = e["data_file"]
             b = int(df_["partition"]["bucket"])
-            d = per_bucket.setdefault(
-                b,
-                {
-                    "bucket": b,
-                    "base_files": 0,
-                    "base_records": 0,
-                    "delta_files": 0,
-                    "delta_records": 0,
-                    "delta_removes": 0,
-                    "small_delta_files": 0,
-                },
-            )
+            d = per_bucket.setdefault(b, bucket_counters(b))
             if self._is_pending(e):
                 d["delta_files"] += 1
                 d["delta_records"] += df_["record_count"]
@@ -663,24 +693,8 @@ class IcebergLogSink:
             else:
                 d["base_files"] += 1
                 d["base_records"] += df_["record_count"]
-        rows = []
-        for d in sorted(per_bucket.values(), key=lambda r: r["bucket"]):
-            compact = d["small_delta_files"] >= min_small_files or (
-                100 * d["delta_removes"]
-                > tombstone_pct * (d["base_records"] + d["delta_records"])
-            )
-            rows.append({**d, "decision": "COMPACT" if compact else "SKIP"})
-        cols = [
-            "bucket", "base_files", "base_records", "delta_files",
-            "delta_records", "delta_removes", "small_delta_files", "decision",
-        ]
-        return self.spark.createDataFrame(
-            pd.DataFrame(rows, columns=cols),
-            schema=(
-                "bucket long, base_files long, base_records long, "
-                "delta_files long, delta_records long, delta_removes long, "
-                "small_delta_files long, decision string"
-            ),
+        return optimize_decisions(
+            self.spark, per_bucket, min_small_files, tombstone_pct
         )
 
     def compact_mor(
@@ -809,19 +823,35 @@ class IcebergLogSink:
                     keep_manifests.add(m["manifest_path"])
                     for e in self._read_ndjson(m["manifest_path"]):
                         keep_files.add(e["data_file"]["file_path"])
-            dead_manifests: set[str] = set()
-            dead_files: set[str] = set()
+            # GC retention: a file or manifest referenced by a RECENT
+            # expired snapshot may still be under a pinned reader's
+            # scan — reclaim only what every referencing expired
+            # snapshot aged past the grace (the mtime axis is useless
+            # here: the file was WRITTEN long ago; what must age is the
+            # snapshot that last referenced it). Spared objects become
+            # orphans for a later sweep. (round-9 review)
+            retention_cutoff_ms = (time.time() - orphan_grace_s) * 1000
+            dead_ref_ms: dict[str, int] = {}  # rel -> newest expired ref ts
             for s in expired:
-                dead_manifests.add(s["manifest-list"])
+                ts = s.get("timestamp-ms", 0)  # legacy snapshots: aged
+                for rel in [s["manifest-list"]] + [
+                    m["manifest_path"]
+                    for m in self._read_ndjson(s["manifest-list"])
+                ]:
+                    dead_ref_ms[rel] = max(dead_ref_ms.get(rel, 0), ts)
                 for m in self._read_ndjson(s["manifest-list"]):
-                    dead_manifests.add(m["manifest_path"])
                     for e in self._read_ndjson(m["manifest_path"]):
-                        dead_files.add(e["data_file"]["file_path"])
-            for rel in sorted(dead_manifests - keep_manifests):
-                full = os.path.join(self.path, rel)
-                if os.path.exists(full):
-                    os.remove(full)
-            for rel in sorted(dead_files - keep_files):
+                        p = e["data_file"]["file_path"]
+                        dead_ref_ms[p] = max(dead_ref_ms.get(p, 0), ts)
+            dead_manifests = {
+                r for r in dead_ref_ms if not r.endswith(".parquet")
+            }
+            dead_files = set(dead_ref_ms) - dead_manifests
+            for rel in sorted(
+                (dead_manifests - keep_manifests) | (dead_files - keep_files)
+            ):
+                if dead_ref_ms[rel] > retention_cutoff_ms:
+                    continue
                 full = os.path.join(self.path, rel)
                 if os.path.exists(full):
                     os.remove(full)
@@ -1057,10 +1087,7 @@ FROM base b FULL OUTER JOIN deltas d ON b.bucket = d.bucket
         c1, d = max_seq // 3, max_seq - max_seq // 3
         base = tempfile.mkdtemp(prefix="iceoptplan-")
         sink = IcebergLogSink(
-            spark,
-            os.path.join(base, "t"),
-            n_buckets=8,
-            bucket_of=lambda k: F.pmod(k, F.lit(8)),
+            spark, os.path.join(base, "t"), n_buckets=8, transform="mod"
         )
         sink.init(fold_changelog(cl.where(F.col("seq_no") <= c1)))
         bounds = [c1 + (i * d) // 6 for i in range(7)]

@@ -89,6 +89,54 @@ def write_bucketed_files(
     return infos
 
 
+def bucket_counters(b: int) -> dict:
+    """Zeroed per-bucket maintenance counters (one shape for every
+    sink's optimize_plan — the policy is format-independent; only the
+    stats EXTRACTION differs per metadata protocol)."""
+    return {
+        "bucket": b,
+        "base_files": 0,
+        "base_records": 0,
+        "delta_files": 0,
+        "delta_records": 0,
+        "delta_removes": 0,
+        "small_delta_files": 0,
+    }
+
+
+def optimize_decisions(
+    spark, per_bucket: dict[int, dict], min_small_files: int, tombstone_pct: int
+) -> DataFrame:
+    """The shared COMPACT/SKIP policy over per-bucket counters: compact
+    when the read-side merge fan-in has grown (≥ min_small_files small
+    pending files) or the tombstone debt has (pending REMOVE entries
+    exceed tombstone_pct% of the bucket's rows). ONE implementation so
+    the Delta and Iceberg twins (and their oracles) can never silently
+    diverge on a threshold tweak; integer in, integer out, so the
+    decision table is oracle-expressible."""
+    import pandas as pd
+
+    rows = []
+    for d in sorted(per_bucket.values(), key=lambda r: r["bucket"]):
+        compact = d["small_delta_files"] >= min_small_files or (
+            100 * d["delta_removes"]
+            > tombstone_pct * (d["base_records"] + d["delta_records"])
+        )
+        rows.append({**d, "decision": "COMPACT" if compact else "SKIP"})
+    cols = [
+        "bucket", "base_files", "base_records", "delta_files",
+        "delta_records", "delta_removes", "small_delta_files", "decision",
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=cols),
+        schema=(
+            "bucket long, base_files long, base_records long, "
+            "delta_files long, delta_records long, delta_removes long, "
+            "small_delta_files long, decision string"
+        ),
+    )
+
+
 def empty_frame(spark, schema_json: str) -> DataFrame:
     """Zero-row frame in the table schema: typed null casts behind
     WHERE FALSE fold to a LocalRelation — zero Spark jobs (the

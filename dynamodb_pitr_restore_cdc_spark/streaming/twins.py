@@ -1390,9 +1390,7 @@ def q_stream_mor_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     said so."""
     from .delta_log_sink import DeltaLogSink
 
-    return _mor_ingest_drill(
-        spark, sf_dir, lambda s, p: DeltaLogSink(s, p)
-    )
+    return _mor_ingest_drill(spark, sf_dir, DeltaLogSink)
 
 
 @register("q_stream_mor_ingest_iceberg", oracle=_mor_fold_oracle())
@@ -1405,6 +1403,4 @@ def q_stream_mor_ingest_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference A13/A14, `lambda-backfill/main.py:22,33-46`)."""
     from .iceberg_log_sink import IcebergLogSink
 
-    return _mor_ingest_drill(
-        spark, sf_dir, lambda s, p: IcebergLogSink(s, p)
-    )
+    return _mor_ingest_drill(spark, sf_dir, IcebergLogSink)

@@ -97,7 +97,9 @@ def expire_and_remeasure(fmt: str, sink, meta_root: str) -> dict:
     """Maintenance flattens each format's growth axis: Delta's
     checkpoint bounds replay; Iceberg's expireSnapshots truncates the
     snapshot list (and with it every future metadata file)."""
-    sink.expire_versions(keep_last=2)
+    # grace 0: single-writer measurement — retention sparing would hide
+    # the GC effect the numbers exist to show
+    sink.expire_versions(keep_last=2, orphan_grace_s=0.0)
     if fmt == "delta":
         t_resolve = resolve_time(lambda: sink._state())
     else:

@@ -139,7 +139,7 @@ def test_expiry_gc_and_expired_reads_fail_loudly(sink, spark):
         for s in meta_before["snapshots"]
         if s["sequence-number"] < 3
     ]
-    assert sink.expire_versions(keep_last=1) == [1, 2]
+    assert sink.expire_versions(keep_last=1, orphan_grace_s=0.0) == [1, 2]
     after = sorted((r.key, r.payload_value) for r in sink.visible().collect())
     assert after == before
     assert len(_meta(sink)["snapshots"]) == 1
@@ -533,8 +533,10 @@ def test_optimize_plan_prices_and_compact_mor_clears(sink, spark):
     ).collect()}
     to_compact = {b for b, r in plan.items() if r.decision == "COMPACT"}
     assert to_compact, "three small pending files must trip the fan-in rule"
-    for r in plan.values():
-        assert r.delta_removes >= 0 and r.delta_files >= 1 or r.base_files == 1
+    # the remove count comes from equality-delete record_counts: the 3
+    # REMOVE rows (and 6 total pending rows) must all be priced in
+    assert sum(r.delta_removes for r in plan.values()) == 3
+    assert sum(r.delta_records for r in plan.values()) == 6
     before = sorted((r.key, r.payload_value) for r in sink.visible().collect())
     sink.compact_mor(to_compact)
     after = sorted((r.key, r.payload_value) for r in sink.visible().collect())
@@ -544,3 +546,21 @@ def test_optimize_plan_prices_and_compact_mor_clears(sink, spark):
     ).collect()}
     for b in to_compact:
         assert replan[b].delta_files == 0 and replan[b].decision == "SKIP"
+
+
+def test_fresh_handle_follows_persisted_transform(spark, tmp_path):
+    # round-9 review twin: the partition-spec transform is the source
+    # of truth for ANY handle (and any external engine reading the
+    # spec) — constructor defaults must never mis-bucket an existing
+    # mod[8] table
+    s = IcebergLogSink(spark, str(tmp_path / "t"), n_buckets=8, transform="mod")
+    s.init(_snapshot(spark, [(k, 0, float(k)) for k in range(16)]))
+    meta = s._current_meta()
+    assert meta["partition-spec"][0]["transform"] == "mod[8]"
+    fresh = IcebergLogSink(spark, str(tmp_path / "t"))  # defaults: bucket[32]
+    fresh.apply_batch(_batch(spark, [(9, 10, "MODIFY", 9.5)]))
+    rows = fresh.visible().collect()
+    keys = [r.key for r in rows]
+    assert len(keys) == len(set(keys)), "duplicate keys: transform not persisted"
+    assert {r.payload_value for r in rows if r.key == 9} == {9.5}
+    assert fresh._transform() == ("mod", 8)

@@ -104,8 +104,10 @@ def test_writers_race_maintenance_losslessly(spark, tmp_path, fmt):
     mt.start()
     for t in threads:
         t.join(timeout=600)
+        assert not t.is_alive(), "writer thread hung"
     stop.set()
     mt.join(timeout=600)
+    assert not mt.is_alive(), "maintenance thread hung"
     assert not errors, errors
 
     # the settled table must equal the plain fold of everything written
