@@ -243,11 +243,23 @@ class DeltaLogSink:
         if self._transform_cached is not None:
             return self._transform_cached
         fallback = (self._transform_arg, self.n_buckets)
-        try:
-            _schema, config, _active = self._state()
-        except (ValueError, FileNotFoundError):
-            return fallback  # no table yet: init is writing it — don't
-            # cache, so post-init reads re-resolve the persisted value
+        for _ in range(5):
+            try:
+                _schema, config, _active = self._state()
+                break
+            except ValueError as e:
+                if "no commits" in str(e):
+                    return fallback  # no table yet: init is writing it —
+                    # don't cache, so post-init reads re-resolve
+                continue  # expiry truncated the log mid-replay: falling
+                # back HERE would silently mis-bucket (the very defect
+                # this method exists to close) — retry instead
+            except FileNotFoundError:
+                continue  # same race, TOCTOU form
+        else:
+            raise RuntimeError(
+                f"transform resolution raced expiry 5 times at {self.path}"
+            )
         m = re.fullmatch(
             r"(bucket|mod)\[(\d+)\]", config.get("bucketTransform", "")
         )
@@ -829,13 +841,20 @@ class DeltaLogSink:
         # VACUUM retention (Delta's deletedFileRetentionDuration): a
         # dead file is reclaimable only once its remove action is older
         # than the grace — mtime is useless here (the file was WRITTEN
-        # long ago; what must age is its TOMBSTONING). Spared files are
-        # picked up by a later orphan sweep once aged.
+        # long ago; what must age is its TOMBSTONING). A spared file's
+        # deletionTimestamp dies with the expired commit this same call
+        # removes, so sparing also TOUCHES the file: the later orphan
+        # sweep's mtime grace then restarts from the sparing moment
+        # (>= the tombstoning) instead of the long-past write.
         retention_cutoff_ms = (time.time() - orphan_grace_s) * 1000
         for rel in sorted(all_refs - keep_files):
-            if removed_ms.get(rel, 0) > retention_cutoff_ms:
-                continue
             full = os.path.join(self.path, rel)
+            if removed_ms.get(rel, 0) > retention_cutoff_ms:
+                try:
+                    os.utime(full)
+                except OSError:
+                    pass  # vanished: nothing to spare
+                continue
             if os.path.exists(full):
                 os.remove(full)
         if sweep_orphans:

@@ -277,11 +277,20 @@ class IcebergLogSink:
         if self._transform_cached is not None:
             return self._transform_cached
         fallback = (self._transform_arg, self.n_buckets)
-        try:
-            meta = self._current_meta()
-        except (ValueError, FileNotFoundError):
-            return fallback  # no table yet: init is writing it — don't
-            # cache, so post-init reads re-resolve the persisted value
+        for _ in range(5):
+            try:
+                meta = self._current_meta()
+                break
+            except ValueError:
+                return fallback  # "no table metadata": init is writing
+                # it — don't cache, so post-init reads re-resolve
+            except FileNotFoundError:
+                continue  # expiry GC'd the pinned metadata file mid-read:
+                # falling back HERE would silently mis-bucket — retry
+        else:
+            raise RuntimeError(
+                f"transform resolution raced expiry 5 times at {self.path}"
+            )
         m = re.fullmatch(
             r"(bucket|mod)\[(\d+)\]", meta["partition-spec"][0]["transform"]
         )
@@ -824,35 +833,58 @@ class IcebergLogSink:
                     for e in self._read_ndjson(m["manifest_path"]):
                         keep_files.add(e["data_file"]["file_path"])
             # GC retention: a file or manifest referenced by a RECENT
-            # expired snapshot may still be under a pinned reader's
-            # scan — reclaim only what every referencing expired
-            # snapshot aged past the grace (the mtime axis is useless
-            # here: the file was WRITTEN long ago; what must age is the
-            # snapshot that last referenced it). Spared objects become
-            # orphans for a later sweep. (round-9 review)
+            # snapshot may still be under a pinned reader's scan —
+            # reclaim only objects whose DEATH (the first snapshot that
+            # no longer references them) aged past the grace. An
+            # object's death time is the SUPERSEDING snapshot's
+            # timestamp-ms, NOT the dead snapshot's own creation time
+            # (an idle table's old snapshot can be superseded seconds
+            # ago) and not the file's mtime (it was WRITTEN long ago;
+            # what must age is its tombstoning). Spared objects become
+            # orphans for a later sweep — touched below so the sweep's
+            # mtime grace restarts from the sparing, not the write.
+            # (round-9 review, two passes)
             retention_cutoff_ms = (time.time() - orphan_grace_s) * 1000
-            dead_ref_ms: dict[str, int] = {}  # rel -> newest expired ref ts
-            for s in expired:
-                ts = s.get("timestamp-ms", 0)  # legacy snapshots: aged
-                for rel in [s["manifest-list"]] + [
-                    m["manifest_path"]
-                    for m in self._read_ndjson(s["manifest-list"])
-                ]:
-                    dead_ref_ms[rel] = max(dead_ref_ms.get(rel, 0), ts)
+
+            manifest_memo: dict[str, list[str]] = {}  # manifests are
+            # REUSED across snapshots: read each once per expiry call
+
+            def refs(s: dict) -> set[str]:
+                out = {s["manifest-list"]}
                 for m in self._read_ndjson(s["manifest-list"]):
-                    for e in self._read_ndjson(m["manifest_path"]):
-                        p = e["data_file"]["file_path"]
-                        dead_ref_ms[p] = max(dead_ref_ms.get(p, 0), ts)
-            dead_manifests = {
-                r for r in dead_ref_ms if not r.endswith(".parquet")
-            }
-            dead_files = set(dead_ref_ms) - dead_manifests
-            for rel in sorted(
-                (dead_manifests - keep_manifests) | (dead_files - keep_files)
-            ):
-                if dead_ref_ms[rel] > retention_cutoff_ms:
-                    continue
+                    mp = m["manifest_path"]
+                    out.add(mp)
+                    if mp not in manifest_memo:
+                        manifest_memo[mp] = [
+                            e["data_file"]["file_path"]
+                            for e in self._read_ndjson(mp)
+                        ]
+                    out.update(manifest_memo[mp])
+                return out
+
+            death_ms: dict[str, int] = {}
+            chain = expired + retained[:1]  # each dead object's last
+            # reference is in some expired snapshot; its death is the
+            # NEXT snapshot in the chain
+            next_refs = refs(chain[-1]) if chain else set()
+            # walk backwards so each snapshot's refs are computed once
+            for i in range(len(chain) - 2, -1, -1):
+                cur_refs = refs(chain[i])
+                nxt = chain[i + 1]
+                ts = nxt.get("timestamp-ms", 0)  # legacy: aged
+                for rel in cur_refs - next_refs:
+                    death_ms[rel] = ts
+                next_refs = cur_refs
+            for rel in sorted(set(death_ms) - keep_manifests - keep_files):
                 full = os.path.join(self.path, rel)
+                if death_ms[rel] > retention_cutoff_ms:
+                    try:
+                        os.utime(full)  # restart the orphan-sweep clock:
+                        # the stamp dies with this metadata, so mtime
+                        # must carry the tombstone age forward
+                    except OSError:
+                        pass  # vanished: nothing to spare
+                    continue
                 if os.path.exists(full):
                     os.remove(full)
             # old metadata files: keep the trailing PREVIOUS_METADATA_KEPT

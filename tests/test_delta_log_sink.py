@@ -478,8 +478,4 @@ def test_fresh_handle_follows_persisted_transform(spark, tmp_path):
     keys = [r.key for r in rows]
     assert len(keys) == len(set(keys)), "duplicate keys: transform not persisted"
     assert {r.payload_value for r in rows if r.key == 9} == {9.5}
-    # and the fresh handle's writes landed in mod-layout partitions
-    _, _, active = fresh._state()
-    for a in active.values():
-        del a  # layout asserted via the dedup above; width via transform
     assert fresh._transform() == ("mod", 8)
