@@ -243,6 +243,7 @@ class DeltaLogSink:
         if self._transform_cached is not None:
             return self._transform_cached
         fallback = (self._transform_arg, self.n_buckets)
+        last: Exception | None = None
         for _ in range(5):
             try:
                 _schema, config, _active = self._state()
@@ -251,15 +252,20 @@ class DeltaLogSink:
                 if "no commits" in str(e):
                     return fallback  # no table yet: init is writing it —
                     # don't cache, so post-init reads re-resolve
+                last = e
                 continue  # expiry truncated the log mid-replay: falling
                 # back HERE would silently mis-bucket (the very defect
                 # this method exists to close) — retry instead
-            except FileNotFoundError:
+            except FileNotFoundError as e:
+                last = e
                 continue  # same race, TOCTOU form
         else:
+            # chained: a PERSISTENT failure (e.g. a lost checkpoint)
+            # retries instantly 5 times and lands here too — the cause
+            # must not read as a concurrency race (round-9 review)
             raise RuntimeError(
-                f"transform resolution raced expiry 5 times at {self.path}"
-            )
+                f"transform resolution failed 5 times at {self.path}"
+            ) from last
         m = re.fullmatch(
             r"(bucket|mod)\[(\d+)\]", config.get("bucketTransform", "")
         )
@@ -549,18 +555,20 @@ class DeltaLogSink:
         ``key`` defaults to the table's persisted mergeKey — the
         hardcoded-default defect class the round-8 review flagged."""
         if key is None:
+            last: Exception | None = None
             for _ in range(max_attempts):
                 try:
                     _schema, config, _active = self._state()
                     key = config.get("mergeKey", "key")
                     break
-                except (ValueError, FileNotFoundError):
+                except (ValueError, FileNotFoundError) as e:
+                    last = e
                     continue  # expiry truncated the log under us: retry
             else:
                 raise RuntimeError(
-                    f"mergeKey resolution raced expiry {max_attempts} times "
+                    f"mergeKey resolution failed {max_attempts} times "
                     f"at {self.path}"
-                )
+                ) from last
         rows = batch.select(
             F.col(key),
             F.col("seq_no").alias("last_seq"),
@@ -615,16 +623,18 @@ class DeltaLogSink:
         constants (batch size 25 `lambda-backfill/main.py:22`,
         maxReceiveCount 5 `cdk-stack.ts:52-63`): thresholds turned into
         per-bucket decisions off observed stats."""
+        last: Exception | None = None
         for _ in range(5):
             try:
                 _schema, _config, active = self._state()
                 break
-            except (ValueError, FileNotFoundError):
+            except (ValueError, FileNotFoundError) as e:
+                last = e
                 continue  # expiry truncated the log under us: re-pin
         else:
             raise RuntimeError(
-                f"optimize_plan raced expiry 5 times at {self.path}"
-            )
+                f"optimize_plan failed 5 times at {self.path}"
+            ) from last
         per_bucket: dict[int, dict] = {}
         for a in active.values():
             b = int(a["partitionValues"]["bucket"])
@@ -852,8 +862,11 @@ class DeltaLogSink:
             if removed_ms.get(rel, 0) > retention_cutoff_ms:
                 try:
                     os.utime(full)
-                except OSError:
+                except FileNotFoundError:
                     pass  # vanished: nothing to spare
+                # any other failure propagates: silently keeping the
+                # ancient write-mtime would arm the NEXT sweep to
+                # reclaim this file inside its tombstone grace
                 continue
             if os.path.exists(full):
                 os.remove(full)

@@ -277,6 +277,7 @@ class IcebergLogSink:
         if self._transform_cached is not None:
             return self._transform_cached
         fallback = (self._transform_arg, self.n_buckets)
+        last: Exception | None = None
         for _ in range(5):
             try:
                 meta = self._current_meta()
@@ -284,13 +285,14 @@ class IcebergLogSink:
             except ValueError:
                 return fallback  # "no table metadata": init is writing
                 # it — don't cache, so post-init reads re-resolve
-            except FileNotFoundError:
+            except FileNotFoundError as e:
+                last = e
                 continue  # expiry GC'd the pinned metadata file mid-read:
                 # falling back HERE would silently mis-bucket — retry
         else:
             raise RuntimeError(
-                f"transform resolution raced expiry 5 times at {self.path}"
-            )
+                f"transform resolution failed 5 times at {self.path}"
+            ) from last
         m = re.fullmatch(
             r"(bucket|mod)\[(\d+)\]", meta["partition-spec"][0]["transform"]
         )
@@ -675,18 +677,20 @@ class IcebergLogSink:
         the SHARED policy (table_files.optimize_decisions — one
         implementation for both protocols); only the stats extraction
         here is manifest-specific."""
+        last: Exception | None = None
         for _ in range(5):
             try:
                 meta = self._current_meta()
                 prev = self._snapshot_record(meta, None)
                 entries = self._entries(prev)
                 break
-            except FileNotFoundError:
+            except FileNotFoundError as e:
+                last = e
                 continue  # expiry GC'd our pinned tree: re-pin and retry
         else:
             raise RuntimeError(
-                f"optimize_plan raced expiry 5 times at {self.path}"
-            )
+                f"optimize_plan failed 5 times at {self.path}"
+            ) from last
         per_bucket: dict[int, dict] = {}
         for e in entries:
             df_ = e["data_file"]
@@ -823,15 +827,27 @@ class IcebergLogSink:
                 continue  # a writer landed: recompute the horizon
             # GC against the RETAINED tree only, after the commit is
             # visible (Iceberg's remove-then-delete order): collect
-            # every referenced metadata object and data file
+            # every referenced metadata object and data file. Manifests
+            # are REUSED across snapshots — memoize so each is read
+            # exactly once per expiry call, across the keep loop AND
+            # the death-time walk below.
+            manifest_memo: dict[str, list[str]] = {}
+
+            def manifest_files(mp: str) -> list[str]:
+                if mp not in manifest_memo:
+                    manifest_memo[mp] = [
+                        e["data_file"]["file_path"]
+                        for e in self._read_ndjson(mp)
+                    ]
+                return manifest_memo[mp]
+
             keep_manifests: set[str] = set()
             keep_files: set[str] = set()
             for s in retained:
                 keep_manifests.add(s["manifest-list"])
                 for m in self._manifest_list(s):
                     keep_manifests.add(m["manifest_path"])
-                    for e in self._read_ndjson(m["manifest_path"]):
-                        keep_files.add(e["data_file"]["file_path"])
+                    keep_files.update(manifest_files(m["manifest_path"]))
             # GC retention: a file or manifest referenced by a RECENT
             # snapshot may still be under a pinned reader's scan —
             # reclaim only objects whose DEATH (the first snapshot that
@@ -846,20 +862,11 @@ class IcebergLogSink:
             # (round-9 review, two passes)
             retention_cutoff_ms = (time.time() - orphan_grace_s) * 1000
 
-            manifest_memo: dict[str, list[str]] = {}  # manifests are
-            # REUSED across snapshots: read each once per expiry call
-
             def refs(s: dict) -> set[str]:
                 out = {s["manifest-list"]}
                 for m in self._read_ndjson(s["manifest-list"]):
-                    mp = m["manifest_path"]
-                    out.add(mp)
-                    if mp not in manifest_memo:
-                        manifest_memo[mp] = [
-                            e["data_file"]["file_path"]
-                            for e in self._read_ndjson(mp)
-                        ]
-                    out.update(manifest_memo[mp])
+                    out.add(m["manifest_path"])
+                    out.update(manifest_files(m["manifest_path"]))
                 return out
 
             death_ms: dict[str, int] = {}
@@ -882,8 +889,11 @@ class IcebergLogSink:
                         os.utime(full)  # restart the orphan-sweep clock:
                         # the stamp dies with this metadata, so mtime
                         # must carry the tombstone age forward
-                    except OSError:
+                    except FileNotFoundError:
                         pass  # vanished: nothing to spare
+                    # any other failure propagates: silently keeping the
+                    # ancient write-mtime would arm the NEXT sweep to
+                    # reclaim this file inside its tombstone grace
                     continue
                 if os.path.exists(full):
                     os.remove(full)

@@ -479,3 +479,45 @@ def test_fresh_handle_follows_persisted_transform(spark, tmp_path):
     assert len(keys) == len(set(keys)), "duplicate keys: transform not persisted"
     assert {r.payload_value for r in rows if r.key == 9} == {9.5}
     assert fresh._transform() == ("mod", 8)
+
+
+def test_spared_dead_file_gets_its_sweep_clock_restarted(sink, spark):
+    # round-9 review: a spared file's deletionTimestamp dies with the
+    # expired commit, so sparing must TOUCH the file — otherwise the
+    # next mtime-gated orphan sweep reclaims it inside its tombstone
+    # grace. Ancient write-mtime + fresh tombstone = the hazard shape.
+    import time as _time
+
+    _, _, active_v1 = sink._state(1)
+    sink.apply_batch(_batch(spark, [(3, 10, "MODIFY", 3.5)]))
+    _, _, active_v2 = sink._state(2)
+    replaced = sorted(set(active_v1) - set(active_v2))
+    assert replaced
+    ancient = _time.time() - 10_000
+    for p in replaced:
+        os.utime(os.path.join(sink.path, p), (ancient, ancient))
+    # default grace: fresh tombstone spares them from the vacuum, and
+    # the SAME call's sweep must not reclaim them via the ancient mtime
+    sink.expire_versions(keep_last=1, sweep_orphans=True)
+    for p in replaced:
+        full = os.path.join(sink.path, p)
+        assert os.path.exists(full), "swept inside the tombstone grace"
+        assert os.path.getmtime(full) > ancient + 1, "sweep clock not restarted"
+
+
+def test_transform_resolution_retries_truncation_race(sink, monkeypatch):
+    # round-9 review: a transient expiry-truncation failure must RETRY,
+    # not silently fall back to constructor defaults (mis-bucketing)
+    calls = {"n": 0}
+    real = sink._state
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ValueError("version 2 expired (vacuumed below the horizon)")
+        return real(*a, **k)
+
+    sink._transform_cached = None
+    monkeypatch.setattr(sink, "_state", flaky)
+    assert sink._transform() == ("bucket", 4)
+    assert calls["n"] == 3

@@ -564,3 +564,33 @@ def test_fresh_handle_follows_persisted_transform(spark, tmp_path):
     assert len(keys) == len(set(keys)), "duplicate keys: transform not persisted"
     assert {r.payload_value for r in rows if r.key == 9} == {9.5}
     assert fresh._transform() == ("mod", 8)
+
+
+def test_gc_death_time_is_superseding_snapshot_not_creation(sink, spark):
+    # round-9 review: an idle table's base snapshot can be ANCIENT when
+    # a fresh commit supersedes its files — the grace must run from the
+    # SUPERSEDING snapshot's timestamp (the death), not the dead
+    # snapshot's creation time, or the files vanish under a reader that
+    # pinned the old snapshot seconds before expiry.
+    v1_files = {e["data_file"]["file_path"] for e in sink._entries(_cursnap(sink))}
+    meta_num = sink._latest_meta_num()
+    meta = sink._load_meta(meta_num)
+    for s in meta["snapshots"]:
+        s["timestamp-ms"] = 1_000  # ancient creation (white-box rewrite)
+    with open(sink._meta_path(meta_num), "w") as fh:
+        json.dump(meta, fh)
+    sink.apply_batch(_batch(spark, [(3, 10, "MODIFY", 3.5)]))  # fresh death
+    v2_files = {e["data_file"]["file_path"] for e in sink._entries(_cursnap(sink))}
+    replaced = v1_files - v2_files
+    assert replaced
+    sink.expire_versions(keep_last=1)  # default grace
+    for p in replaced:
+        assert os.path.exists(os.path.join(sink.path, p)), (
+            "reclaimed on the dead snapshot's creation age: death is fresh"
+        )
+    # once the death itself ages out (grace 0), a later maintenance
+    # cycle's sweep reclaims the now-orphaned files
+    sink.apply_batch(_batch(spark, [(3, 11, "MODIFY", 3.6)]))
+    sink.expire_versions(keep_last=1, sweep_orphans=True, orphan_grace_s=0.0)
+    for p in replaced:
+        assert not os.path.exists(os.path.join(sink.path, p))
