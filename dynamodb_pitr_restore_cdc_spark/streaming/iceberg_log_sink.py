@@ -792,13 +792,18 @@ class IcebergLogSink:
         keep_last: int,
         sweep_orphans: bool = False,
         orphan_grace_s: float = ORPHAN_GRACE_DEFAULT_S,
+        older_than_ms: int | None = None,
     ) -> list[int]:
         """expireSnapshots analog: publish a new metadata file with the
         expired snapshots dropped from the list (same put-if-absent
         commit as any writer — concurrent MERGEs race it safely), then
         garbage-collect manifest lists, manifests and data files
         referenced by no retained snapshot. Returns the sequence
-        numbers expired this call.
+        numbers expired this call. ``older_than_ms`` adds the spec's
+        time axis (expireSnapshots' olderThan): snapshots newer than it
+        are retained even beyond ``keep_last`` — the retention knob
+        that bounds how far back a pinned reader can be without racing
+        GC.
 
         Orphan sweep only reclaims UNREFERENCED files older than
         ``orphan_grace_s`` (mtime): a racing writer's pre-CAS attempt
@@ -815,10 +820,31 @@ class IcebergLogSink:
             snaps = meta["snapshots"]
             latest = snaps[-1]["sequence-number"]
             horizon = max(1, latest - keep_last + 1)
-            expired = [s for s in snaps if s["sequence-number"] < horizon]
+            # expireSnapshots(olderThan, retainLast): both constraints
+            # RETAIN — a snapshot expires only when it is outside the
+            # trailing keep_last window AND (when olderThan is given)
+            # older than the timestamp. Snapshot timestamps ascend with
+            # commit order, so both filters select a prefix and the
+            # retained suffix stays contiguous (the death-time walk
+            # below relies on that).
+            expired = [
+                s
+                for s in snaps
+                if s["sequence-number"] < horizon
+                and (
+                    older_than_ms is None
+                    or s.get("timestamp-ms", 0) < older_than_ms
+                )
+            ]
             if not expired:
                 return []
-            retained = [s for s in snaps if s["sequence-number"] >= horizon]
+            # retained = the exact complement of expired (NOT the
+            # horizon alone): a time-spared snapshot below the horizon
+            # must stay in the list or it would vanish un-GC'd
+            expired_seqs = {s["sequence-number"] for s in expired}
+            retained = [
+                s for s in snaps if s["sequence-number"] not in expired_seqs
+            ]
             new_meta = dict(meta)
             new_meta["snapshots"] = retained
             try:

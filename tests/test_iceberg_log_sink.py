@@ -594,3 +594,23 @@ def test_gc_death_time_is_superseding_snapshot_not_creation(sink, spark):
     sink.expire_versions(keep_last=1, sweep_orphans=True, orphan_grace_s=0.0)
     for p in replaced:
         assert not os.path.exists(os.path.join(sink.path, p))
+
+
+def test_expire_older_than_retains_recent_beyond_keep_last(sink, spark):
+    # expireSnapshots(olderThan, retainLast): BOTH constraints retain —
+    # a recent snapshot survives even outside the keep_last window
+    sink.apply_batch(_batch(spark, [(1, 10, "MODIFY", 1.5)]))  # snap 2
+    sink.apply_batch(_batch(spark, [(2, 11, "MODIFY", 2.5)]))  # snap 3
+    meta_num = sink._latest_meta_num()
+    meta = sink._load_meta(meta_num)
+    meta["snapshots"][0]["timestamp-ms"] = 1_000  # snap 1: ancient
+    with open(sink._meta_path(meta_num), "w") as fh:
+        json.dump(meta, fh)
+    # keep_last=1 alone would drop snaps 1 AND 2; the time axis spares 2
+    assert sink.expire_versions(keep_last=1, older_than_ms=2_000) == [1]
+    assert [s["sequence-number"] for s in _meta(sink)["snapshots"]] == [2, 3]
+    assert sink.snapshot(2).count() > 0  # still resolvable
+    with pytest.raises(ValueError, match="expired"):
+        sink.snapshot(1)
+    # without the time constraint the count axis applies alone
+    assert sink.expire_versions(keep_last=1) == [2]
