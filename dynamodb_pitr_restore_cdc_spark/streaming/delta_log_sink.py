@@ -812,7 +812,11 @@ class DeltaLogSink:
             if v >= horizon:
                 keep_files.update(active)
         ck = self._ckpt_path(horizon)
-        with open(ck + ".tmp", "w") as fh:
+        # attempt-scoped tmp names (same rule as every other staging
+        # path): two concurrent expiries sharing a tmp would race the
+        # final os.replace and the loser crashes on its consumed tmp
+        ck_tmp = ck + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(ck_tmp, "w") as fh:
             fh.write(
                 json.dumps(
                     {
@@ -831,15 +835,16 @@ class DeltaLogSink:
             fh.flush()
             os.fsync(fh.fileno())  # an empty checkpoint after the
             # expired commits are gone replays to an EMPTY active set
-        os.replace(ck + ".tmp", ck)
+        os.replace(ck_tmp, ck)
         # pointer write is torn-read-safe: tmp + atomic rename (readers
         # additionally tolerate a corrupt pointer, _newest_checkpoint_at_most)
         lc = os.path.join(self._log_dir(), "_last_checkpoint")
-        with open(lc + ".tmp", "w") as fh:
+        lc_tmp = lc + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(lc_tmp, "w") as fh:
             json.dump({"version": horizon}, fh)
             fh.flush()
             os.fsync(fh.fileno())
-        os.replace(lc + ".tmp", lc)
+        os.replace(lc_tmp, lc)
         # superseded checkpoints must go WITH their commits: a stale
         # checkpoint below the horizon would let _state resolve an
         # expired version against vacuumed files instead of raising

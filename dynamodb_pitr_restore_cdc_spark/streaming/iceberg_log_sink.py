@@ -197,7 +197,13 @@ class IcebergLogSink:
             os.link(tmp, self._meta_path(n))
         finally:
             os.remove(tmp)
-        hint_tmp = self._hint_path() + ".tmp"
+        # attempt-scoped tmp name: two committers moving the hint
+        # concurrently must not share a staging path, or the loser's
+        # os.replace finds its tmp already consumed (FileNotFoundError —
+        # reproduced by the threaded race suite). Concurrent replaces of
+        # the hint itself are benign: the hint is only a probe START and
+        # staleness is tolerated by _latest_meta_num.
+        hint_tmp = self._hint_path() + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(hint_tmp, "w") as fh:
             fh.write(str(n))
             fh.flush()
@@ -966,6 +972,12 @@ class IcebergLogSink:
                     if (
                         fn.startswith(("manifest-", "snap-"))
                         and rel not in keep_manifests
+                        and aged_out(full)
+                    ) or (
+                        # crashed hint moves leave attempt-scoped tmp
+                        # debris; same age floor (an in-flight commit's
+                        # hint tmp is about to be consumed)
+                        fn.startswith("version-hint.text.tmp")
                         and aged_out(full)
                     ):
                         os.remove(full)

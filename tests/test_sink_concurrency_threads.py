@@ -17,6 +17,7 @@ only at the end, on the settled table.
 
 import os
 import threading
+import traceback
 
 import pandas as pd
 import pytest
@@ -65,7 +66,7 @@ def test_writers_race_maintenance_losslessly(spark, tmp_path, fmt):
         for b in range(N_BATCHES):
             all_rows.extend(rows_for(w, b))
 
-    errors: list[BaseException] = []
+    errors: list[str] = []  # formatted tracebacks from worker threads
     stop = threading.Event()
 
     def writer(w: int):
@@ -77,8 +78,8 @@ def test_writers_race_maintenance_losslessly(spark, tmp_path, fmt):
                     sink.apply_batch(batch, max_attempts=40)
                 else:
                     sink.append(batch, max_attempts=40)
-        except BaseException as e:  # noqa: BLE001 - surfaced in the main thread
-            errors.append(e)
+        except BaseException:  # noqa: BLE001 - surfaced in the main thread
+            errors.append(traceback.format_exc())
 
     def maintenance():
         try:
@@ -94,8 +95,8 @@ def test_writers_race_maintenance_losslessly(spark, tmp_path, fmt):
                     sink.expire_versions(keep_last=10, sweep_orphans=True)
                 except RuntimeError:
                     pass  # lost its CAS budget to the writers: liveness only
-        except BaseException as e:  # noqa: BLE001
-            errors.append(e)
+        except BaseException:  # noqa: BLE001
+            errors.append(traceback.format_exc())
 
     threads = [threading.Thread(target=writer, args=(w,)) for w in range(2)]
     mt = threading.Thread(target=maintenance)
