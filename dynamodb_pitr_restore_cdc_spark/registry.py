@@ -392,16 +392,47 @@ _DRIVER_VERIFIED_R07: frozenset[str] = frozenset(
     }
 )
 
-# Queries whose implementation changed in round 9 — the MOR-compact
-# tombstone fix (delta_log_sink.compact bucket-eligibility), the
-# Iceberg custom-merge-key compact + orphan-sweep grace, and the
-# heavy-hitters truncation replan.  Fronted so the driver re-verifies
-# the fixed paths this round (round-8 verdict, items 1/3/4).
-_REVERIFY_R09: frozenset[str] = frozenset(
+# Queries with a green driver row in CORRECTNESS_r09.json — the round
+# that fronted the stale r02/r03 tail plus every defect-touched entry
+# (MOR tombstone fix, Iceberg merge key/grace, heavy-hitters replan,
+# the new Iceberg MOR lane).  50/50 hash-match.
+_DRIVER_VERIFIED_R09: frozenset[str] = frozenset(
+    {
+        "q_agg_cube", "q_agg_distinct", "q_agg_groupby", "q_agg_gsets",
+        "q_agg_having", "q_agg_rollup", "q_cdc_attrvalue_roundtrip",
+        "q_cdc_batch_count", "q_cdc_bucketed_sink",
+        "q_cdc_change_deltas", "q_cdc_classify", "q_cdc_control_filter",
+        "q_cdc_dedup_content", "q_cdc_delta_log_fold",
+        "q_cdc_dlq_split", "q_cdc_envelope_roundtrip",
+        "q_cdc_iceberg_log_fold", "q_cdc_iceberg_mor_fold",
+        "q_cdc_iceberg_optimize_plan", "q_cdc_latest_per_key",
+        "q_cdc_multi_sink", "q_cdc_optimize_plan",
+        "q_cdc_restore_asof_ts", "q_cdc_restore_report",
+        "q_cdc_schema_evolution", "q_cdc_sink_compaction",
+        "q_cdc_snapshot_rebuild", "q_join_broadcast", "q_join_inner",
+        "q_llm_ann_ivf", "q_llm_corpus_curation", "q_llm_embed_neardup",
+        "q_llm_jaccard_exact", "q_llm_kmeans", "q_llm_ngram_profile",
+        "q_llm_seq_packing", "q_llm_train_test_split",
+        "q_mm_frame_sample", "q_mm_media_curation", "q_mm_meta_extract",
+        "q_mm_resize_plan", "q_scan_csv_source", "q_scan_json_source",
+        "q_stream_heavy_hitters", "q_stream_mor_ingest",
+        "q_stream_mor_ingest_iceberg", "q_stream_near_dedup",
+        "q_stream_session", "q_stream_stateful_totals",
+        "q_tpch_q18_large_volume",
+    }
+)
+
+# Queries whose implementation or oracle changes in round 10 — the
+# table-format schema-evolution commits and the Iceberg
+# rewrite-manifests analog touch both log sinks' commit/fold paths, so
+# every query routed through those sinks is fronted for driver
+# re-verification (local parity is otherwise their only guard).
+_REVERIFY_R10: frozenset[str] = frozenset(
     {
         "q_cdc_delta_log_fold", "q_cdc_optimize_plan",
-        "q_stream_mor_ingest", "q_cdc_iceberg_log_fold",
-        "q_stream_heavy_hitters",
+        "q_cdc_iceberg_log_fold", "q_cdc_iceberg_mor_fold",
+        "q_cdc_iceberg_optimize_plan", "q_stream_mor_ingest",
+        "q_stream_mor_ingest_iceberg",
     }
 )
 
@@ -413,7 +444,7 @@ def all_queries() -> dict[str, QuerySpec]:
     only a ~50-entry window, so ordering IS the coverage policy):
 
     1. ORACLED queries with no driver row in any round (never checked);
-    2. queries re-implemented this round (``_REVERIFY_R09``) — the
+    2. queries re-implemented this round (``_REVERIFY_R10``) — the
        local parity suite is otherwise their only guard;
     3. every other ORACLED query by ASCENDING last-verified round
        (oldest evidence first, registration order within a round) — a
@@ -477,6 +508,7 @@ def all_queries() -> dict[str, QuerySpec]:
         _DRIVER_VERIFIED_R05,
         _DRIVER_VERIFIED_R06,
         _DRIVER_VERIFIED_R07,
+        _DRIVER_VERIFIED_R09,
     )
 
     def last_checked(n: str) -> int:
@@ -488,13 +520,13 @@ def all_queries() -> dict[str, QuerySpec]:
         n
         for n in order
         if last_checked(n) == 0
-        and n not in _REVERIFY_R09
+        and n not in _REVERIFY_R10
         and n not in rows_only
     ]
     # a rows-only name accidentally listed in a reverify set must not
     # claim a recheck slot (dict first-insert wins, so without this
     # filter it would keep its recheck position despite rule 4)
-    recheck = [n for n in order if n in _REVERIFY_R09 and n not in set(rows_only)]
+    recheck = [n for n in order if n in _REVERIFY_R10 and n not in set(rows_only)]
     head = set(fresh) | set(recheck) | set(rows_only)
     rest = sorted(
         (n for n in order if n not in head),
