@@ -75,9 +75,12 @@ from pyspark.sql import functions as F
 
 from ..operators.cdc import cdc_merge_tombstone, visible
 from .table_files import (
+    align_to_payloads,
     bucket_counters,
     empty_frame,
+    evolve_schema_json,
     optimize_decisions,
+    payload_cols_of,
     write_bucketed_files,
 )
 from .versioned_sink import diff_states
@@ -288,7 +291,10 @@ class DeltaLogSink:
         delta files over the base files at read time. With no mor files
         this is a plain read (zero overhead for copy-on-write tables).
         `key` comes from the caller or the table's persisted mergeKey
-        configuration — never assume the default on a read path."""
+        configuration — never assume the default on a read path.
+        Payload columns come from the SCHEMA, not a constant: files
+        written before an add-column evolution null-fill (schema-on-
+        read), so the fold is evolution-transparent."""
         base = [a for a in adds if not self._is_mor(a)]
         mor = [a for a in adds if self._is_mor(a)]
         cur = self._read_adds(base, schema_json)
@@ -300,7 +306,9 @@ class DeltaLogSink:
         # the per-key max-seq reduction is associative/commutative, so
         # folding ALL pending entries in one merge ≡ applying their
         # commits one by one (tests/test_cdc_property.py)
-        return cdc_merge_tombstone(cur, entries, key=key)
+        return cdc_merge_tombstone(
+            cur, entries, key=key, payload_cols=payload_cols_of(schema_json, key)
+        )
 
     def _write_data(self, bucketed: DataFrame, v: int) -> list[dict]:
         """Write one commit ATTEMPT's data files (table_files shared
@@ -330,7 +338,14 @@ class DeltaLogSink:
         if not adds:
             return empty_frame(self.spark, schema_json)
         paths = [os.path.join(self.path, p) for p in sorted(a["path"] for a in adds)]
-        return self.spark.read.parquet(*paths)
+        # explicit table schema (matched by name): files written before
+        # an add-column evolution lack the new columns and read back as
+        # nulls — Spark's schema-on-read contract, the same mechanism
+        # mergeSchema proves on plain parquet (q_cdc_schema_evolution)
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(schema_json))
+        return self.spark.read.schema(schema).parquet(*paths)
 
     # -- SinkFormat ------------------------------------------------------
 
@@ -391,12 +406,20 @@ class DeltaLogSink:
         for _ in range(max_attempts):
             v = self.latest_version() + 1
             try:
-                schema_json, _config, active = self._state()
+                schema_json, config, active = self._state()
             except (ValueError, FileNotFoundError):
                 continue  # expiry truncated the log under our replay:
                 # re-pin and retry (the Iceberg sink's FileNotFoundError
                 # twin — a racing expire_versions checkpoints the horizon
                 # then deletes commits our pinned replay still needed)
+            # add-column schema evolution (union-by-name): a batch
+            # carrying payload columns the table doesn't know widens
+            # the schema in the SAME commit (a new metaData action).
+            # Evolved inside the retry loop so a racing writer's own
+            # evolution is unioned on recompute, never overwritten.
+            schema_json, evolved = evolve_schema_json(
+                schema_json, batch.schema, key
+            )
             cand = [
                 a
                 for a in active.values()
@@ -406,15 +429,34 @@ class DeltaLogSink:
             # pending merge-on-read delta files, which this commit
             # retires by folding them into the rewritten base files
             current = self._fold_adds(cand, schema_json, key=key)
-            merged = cdc_merge_tombstone(current, batch.drop("bucket"), key=key)
+            merged = cdc_merge_tombstone(
+                current,
+                align_to_payloads(batch.drop("bucket"), schema_json, key),
+                key=key,
+                payload_cols=payload_cols_of(schema_json, key),
+            )
             adds = self._write_data(
                 merged.withColumn("bucket", self._bucket(F.col(key))), v
+            )
+            meta_actions = (
+                [
+                    {
+                        "metaData": {
+                            "schemaString": schema_json,
+                            "partitionColumns": ["bucket"],
+                            "configuration": config,
+                        }
+                    }
+                ]
+                if evolved
+                else []
             )
             try:
                 self._commit(
                     v,
                     [
                         {"commitInfo": {"operation": "MERGE"}},
+                        *meta_actions,
                         *(
                             {"remove": {"path": a["path"], "dataChange": True,
                                          "deletionTimestamp": _now_ms()}}
@@ -554,25 +596,40 @@ class DeltaLogSink:
         retries at the next version without recomputing anything.
         ``key`` defaults to the table's persisted mergeKey — the
         hardcoded-default defect class the round-8 review flagged."""
-        if key is None:
-            last: Exception | None = None
-            for _ in range(max_attempts):
-                try:
-                    _schema, config, _active = self._state()
-                    key = config.get("mergeKey", "key")
-                    break
-                except (ValueError, FileNotFoundError) as e:
-                    last = e
-                    continue  # expiry truncated the log under us: retry
-            else:
-                raise RuntimeError(
-                    f"mergeKey resolution failed {max_attempts} times "
-                    f"at {self.path}"
-                ) from last
+        last: Exception | None = None
+        for _ in range(max_attempts):
+            try:
+                schema_json, config, _active = self._state()
+                key = key or config.get("mergeKey", "key")
+                break
+            except ValueError as e:
+                if "no commits" in str(e):
+                    # appending to a never-inited table is a USER
+                    # error, not a concurrency race — burning the
+                    # retries would misreport it as "mergeKey
+                    # resolution failed" (same special case as
+                    # _transform)
+                    raise
+                last = e
+                continue  # expiry truncated the log under us: retry
+            except FileNotFoundError as e:
+                last = e
+                continue  # same race, TOCTOU form
+        else:
+            raise RuntimeError(
+                f"mergeKey resolution failed {max_attempts} times "
+                f"at {self.path}"
+            ) from last
+        # add-column schema evolution, same union-by-name rule as
+        # apply_batch: the blind-append commit carries a new metaData
+        # action. Schemas only ever WIDEN, so a batch whose columns fit
+        # the pinned schema fits every later schema too — the fast path
+        # never needs to re-check on a lost race.
+        schema_json, evolved = evolve_schema_json(schema_json, batch.schema, key)
         rows = batch.select(
             F.col(key),
             F.col("seq_no").alias("last_seq"),
-            F.col("payload_value"),
+            *[F.col(c) for c in payload_cols_of(batch.schema.json(), key)],
             F.col("op"),
         ).withColumn("bucket", self._bucket(F.col(key)))
         counts = {
@@ -589,11 +646,35 @@ class DeltaLogSink:
             st["numRemoves"] = counts.get(int(a["partitionValues"]["bucket"]), 0)
             a["stats"] = json.dumps(st)
         for _ in range(max_attempts):
+            meta_actions: list[dict] = []
+            if evolved:
+                # re-union against the CURRENT schema each attempt: a
+                # racing writer may have evolved too, and publishing our
+                # stale union would silently drop its added columns
+                try:
+                    cur_schema, cur_config, _ = self._state()
+                except (ValueError, FileNotFoundError):
+                    v = self.latest_version() + 1
+                    continue
+                merged_schema, still_new = evolve_schema_json(
+                    cur_schema, batch.schema, key
+                )
+                if still_new:
+                    meta_actions.append(
+                        {
+                            "metaData": {
+                                "schemaString": merged_schema,
+                                "partitionColumns": ["bucket"],
+                                "configuration": cur_config,
+                            }
+                        }
+                    )
             try:
                 self._commit(
                     v,
                     [
                         {"commitInfo": {"operation": "WRITE"}},
+                        *meta_actions,
                         *({"add": a} for a in adds),
                     ],
                 )
@@ -895,6 +976,18 @@ class DeltaLogSink:
                         and aged_out(full)
                     ):
                         os.remove(full)
+            # attempt-scoped staging debris in _delta_log (crashed
+            # commit .tmp-<uuid>, checkpoint/_last_checkpoint
+            # *.tmp-<uuid>) is never consumed by a later attempt — each
+            # retry stages under a fresh name — so without this sweep it
+            # accumulates forever (the Iceberg sink reclaims its hint
+            # tmps the same way). Real log objects never contain
+            # ".tmp-"; the age floor spares in-flight attempts about to
+            # be linked/replaced.
+            for fn in os.listdir(self._log_dir()):
+                full = os.path.join(self._log_dir(), fn)
+                if ".tmp-" in fn and aged_out(full):
+                    os.remove(full)
         return expired
 
 
@@ -954,6 +1047,61 @@ FROM (
         sink.expire_versions(keep_last=2, sweep_orphans=True, orphan_grace_s=0.0)
         result = tracked_persist(
             sink.visible().select("key", "last_seq", "payload_value")
+        )
+        result.count()  # materialize before the backing dirs go away
+        shutil.rmtree(base, ignore_errors=True)
+        return result
+
+    @register(
+        "q_cdc_delta_schema_evolution",
+        oracle=with_changelog(
+            """
+, p AS (SELECT (2 * max(seq_no)) // 3 AS c2 FROM changelog)
+SELECT key, seq_no AS last_seq, payload_value,
+       CASE WHEN seq_no > c2 THEN payload_props END AS payload_props
+FROM (
+    SELECT key, seq_no, op, payload_value, payload_props,
+           row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
+    FROM changelog
+) r, p WHERE rn = 1 AND op <> 'REMOVE'
+"""
+        ),
+    )
+    def q_cdc_delta_schema_evolution(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Add-column schema evolution through the Delta-protocol
+        commit path, end to end under one oracle hash: init + one MERGE
+        carry only payload_value; the final MERGE arrives with a NEW
+        payload_props column (the reference's schemaless payload drift
+        — `lambda-backfill/main.py:35-39` passes NewImage opaquely, so
+        writers can grow attributes mid-stream), publishing the widened
+        schema as a metaData action in the same commit. Retention then
+        truncates the log past the evolution point, so the checkpoint
+        must carry the widened schema. The surviving state must equal
+        the plain changelog fold where only rows whose WINNING entry
+        postdates the evolution carry the new column — rows folded from
+        older images null-fill (schema-on-read), which is exactly what
+        a full-image put without the attribute means."""
+        cl = changelog(spark, sf_dir).select(
+            "seq_no", "op", "key", "payload_value", "payload_props"
+        )
+        max_seq = cl.agg(F.max("seq_no")).first()[0]  # orchestration scalar
+        c1, c2 = max_seq // 3, (2 * max_seq) // 3
+        base = tempfile.mkdtemp(prefix="deltaevo-")
+        sink = DeltaLogSink(spark, os.path.join(base, "t"))
+        narrow = cl.drop("payload_props")
+        sink.init(fold_changelog(narrow.where(F.col("seq_no") <= c1)))
+        sink.apply_batch(
+            narrow.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2))
+        )
+        sink.apply_batch(cl.where(F.col("seq_no") > c2))  # evolves
+        # grace 0 is safe here: this builder is the table's only writer
+        sink.expire_versions(keep_last=2, sweep_orphans=True, orphan_grace_s=0.0)
+        result = tracked_persist(
+            sink.visible().select(
+                "key", "last_seq", "payload_value", "payload_props"
+            )
         )
         result.count()  # materialize before the backing dirs go away
         shutil.rmtree(base, ignore_errors=True)

@@ -82,9 +82,12 @@ from pyspark.sql import functions as F
 
 from ..operators.cdc import cdc_merge_tombstone, visible
 from .table_files import (
+    align_to_payloads,
     bucket_counters,
     empty_frame,
+    evolve_schema_json,
     optimize_decisions,
+    payload_cols_of,
     write_bucketed_files,
 )
 from .versioned_sink import diff_states
@@ -335,7 +338,16 @@ class IcebergLogSink:
         if not entries:
             return empty_frame(self.spark, schema_json)
         paths = sorted(e["data_file"]["file_path"] for e in entries)
-        return self.spark.read.parquet(*(os.path.join(self.path, p) for p in paths))
+        # explicit schema (matched by name): files written before an
+        # add-column evolution lack the new columns and read back as
+        # nulls — Iceberg's schema-evolution read contract (column
+        # projection by id there, by name here; same null-fill result)
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(schema_json))
+        return self.spark.read.schema(schema).parquet(
+            *(os.path.join(self.path, p) for p in paths)
+        )
 
     @staticmethod
     def _is_pending(e: dict) -> bool:
@@ -366,12 +378,45 @@ class IcebergLogSink:
         rows = self._read_entries(pending, schema_json).withColumnRenamed(
             "last_seq", "seq_no"
         )
-        return cdc_merge_tombstone(cur, rows, key=key)
+        return cdc_merge_tombstone(
+            cur, rows, key=key, payload_cols=payload_cols_of(schema_json, key)
+        )
 
     def _merge_key(self, meta: dict) -> str:
         """The merge key is the partition-spec SOURCE field (persisted
         by init) — never assume the default on a read path."""
         return meta["partition-spec"][0]["source"]
+
+    # -- schema evolution ---------------------------------------------------
+
+    def _apply_schema(self, meta: dict, new_schema_json: str) -> dict:
+        """Metadata copy with a NEW schema appended to the schema
+        history (the spec's schemas list + current-schema-id); the flat
+        ``schema`` key stays the current schema for every existing read
+        path. Snapshots committed after this carry the new schema-id,
+        so time travel resolves the schema in effect at each version."""
+        m = dict(meta)
+        cur_id = m.get("current-schema-id", 0)
+        schemas = list(
+            m.get("schemas", [{"schema-id": cur_id, "schema": m["schema"]}])
+        )
+        new_id = cur_id + 1
+        schemas.append({"schema-id": new_id, "schema": new_schema_json})
+        m["schemas"], m["current-schema-id"], m["schema"] = (
+            schemas, new_id, new_schema_json,
+        )
+        return m
+
+    def _schema_at(self, meta: dict, snap: dict) -> str:
+        """Schema in effect when `snap` was committed (its schema-id
+        resolved against the metadata's schema history); pre-evolution
+        tables and snapshots fall back to the flat current schema."""
+        sid = snap.get("schema-id")
+        if sid is not None:
+            for s in meta.get("schemas", []):
+                if s["schema-id"] == sid:
+                    return s["schema"]
+        return meta["schema"]
 
     # -- snapshot construction ----------------------------------------------
 
@@ -417,10 +462,17 @@ class IcebergLogSink:
         seq = 1 if prev is None else prev["sequence-number"] + 1
         sid = uuid.uuid4().int >> 65  # 63-bit snapshot id, Iceberg-style
         ml_rel = self._write_ndjson(f"snap-{seq:06d}", manifest_list)
+        # clamped monotonic (max(prev_ts, now), as Iceberg effectively
+        # does): wall clocks of concurrent writer PROCESSES can skew,
+        # and a timestamp dip would break expire_versions' prefix rule
+        # and the death-time walk's successor pairing
+        ts = int(time.time() * 1000)
+        if prev is not None:
+            ts = max(ts, prev.get("timestamp-ms", 0))
         return {
             "snapshot-id": sid,
             "sequence-number": seq,
-            "timestamp-ms": int(time.time() * 1000),  # spec field; GC
+            "timestamp-ms": ts,  # spec field; GC
             # retention compares against it (expire_versions)
             "manifest-list": ml_rel,
             "summary": {"operation": operation},
@@ -430,6 +482,9 @@ class IcebergLogSink:
         new_meta = dict(meta)
         new_meta["snapshots"] = meta["snapshots"] + [snap]
         new_meta["current-snapshot-id"] = snap["snapshot-id"]
+        # spec field: the schema in effect when this snapshot committed,
+        # so time travel reads under the right width (_schema_at)
+        snap.setdefault("schema-id", meta.get("current-schema-id", 0))
         self._commit_meta(meta_num, new_meta)
 
     # -- SinkFormat -----------------------------------------------------------
@@ -445,6 +500,8 @@ class IcebergLogSink:
             "format-version": 2,
             "table-uuid": uuid.uuid4().hex,
             "schema": schema_json,
+            "schemas": [{"schema-id": 0, "schema": schema_json}],
+            "current-schema-id": 0,
             "partition-spec": [
                 {"name": "bucket",
                  "transform": f"{self._transform_arg}[{self.n_buckets}]",
@@ -482,11 +539,27 @@ class IcebergLogSink:
                 cand = self._entries(prev, buckets=touched)
             except FileNotFoundError:
                 continue  # expiry GC'd our base metadata: re-pin and retry
+            # add-column schema evolution (union-by-name): a batch
+            # carrying payload columns the table doesn't know widens
+            # the schema in the SAME commit (a new schema-id in the
+            # metadata file's schema history). Evolved inside the retry
+            # loop so a racing writer's own evolution is unioned on
+            # recompute, never overwritten.
+            schema_json, evolved = evolve_schema_json(
+                meta["schema"], batch.schema, key
+            )
+            if evolved:
+                meta = self._apply_schema(meta, schema_json)
             # _fold_entries (not a raw read): a touched bucket may carry
             # pending merge-on-read files, which this commit retires by
             # folding them into the rewritten base files
-            current = self._fold_entries(cand, meta["schema"], key=key)
-            merged = cdc_merge_tombstone(current, batch.drop("bucket"), key=key)
+            current = self._fold_entries(cand, schema_json, key=key)
+            merged = cdc_merge_tombstone(
+                current,
+                align_to_payloads(batch.drop("bucket"), schema_json, key),
+                key=key,
+                payload_cols=payload_cols_of(schema_json, key),
+            )
             entries = self._write_data(
                 merged.withColumn("bucket", self._bucket(F.col(key))),
                 prev["sequence-number"] + 1,
@@ -513,7 +586,11 @@ class IcebergLogSink:
         meta = self._current_meta()
         snap = self._snapshot_record(meta, version)
         return self._fold_entries(
-            self._entries(snap), meta["schema"], key=self._merge_key(meta)
+            self._entries(snap),
+            self._schema_at(meta, snap),  # the schema in effect AT the
+            # snapshot: time travel below an add-column evolution must
+            # not show the later column (Iceberg's snapshot schema-id)
+            key=self._merge_key(meta),
         )
 
     def visible(self) -> DataFrame:
@@ -627,11 +704,38 @@ class IcebergLogSink:
 
         ``key`` defaults to the table's persisted merge key — the
         hardcoded-default defect class the round-8 review flagged."""
-        key = key or self._merge_key(self._current_meta())
+        # pre-write metadata reads (merge key, seq hint) take the same
+        # bounded retry-on-FileNotFoundError as the commit loop: a
+        # racing expire_versions GC-ing our pinned metadata file is a
+        # lost race, never a crash (the Delta twin's append got exactly
+        # this wrapper for its mergeKey resolution)
+        last: Exception | None = None
+        for _ in range(max_attempts):
+            try:
+                meta0 = self._current_meta()
+                key = key or self._merge_key(meta0)
+                seq_hint = (
+                    meta0["snapshots"][-1]["sequence-number"] + 1
+                    if meta0["snapshots"]
+                    else 1
+                )
+                break
+            except FileNotFoundError as e:
+                last = e
+                continue  # expiry GC'd our base metadata: re-pin and retry
+        else:
+            raise RuntimeError(
+                f"append metadata resolution failed {max_attempts} times "
+                f"at {self.path}"
+            ) from last
+        # add-column schema evolution, same union-by-name rule as
+        # apply_batch; schemas only ever WIDEN, so a batch whose columns
+        # fit the pinned schema fits every later schema too
+        _, evolved = evolve_schema_json(meta0["schema"], batch.schema, key)
         rows = batch.select(
             F.col(key),
             F.col("seq_no").alias("last_seq"),
-            F.col("payload_value"),
+            *[F.col(c) for c in payload_cols_of(batch.schema.json(), key)],
             F.col("op"),
         ).withColumn("bucket", self._bucket(F.col(key)))
         is_del = F.col("op") == "REMOVE"
@@ -640,7 +744,6 @@ class IcebergLogSink:
             part = rows.where(pred)
             if part.limit(1).count() == 0:
                 continue
-            seq_hint = self.latest_version() + 1
             for e in self._write_data(part, seq_hint):
                 e["tags"] = {"mor": "true"}
                 e["data_file"]["content"] = content
@@ -656,6 +759,15 @@ class IcebergLogSink:
                 prev = self._snapshot_record(meta, None)
             except FileNotFoundError:
                 continue  # expiry GC'd our base metadata: re-pin and retry
+            if evolved:
+                # re-union against the CURRENT schema each attempt: a
+                # racing writer may have evolved too, and publishing our
+                # stale union would silently drop its added columns
+                merged_schema, still_new = evolve_schema_json(
+                    meta["schema"], batch.schema, key
+                )
+                if still_new:
+                    meta = self._apply_schema(meta, merged_schema)
             snap_rec = self._build_snapshot(prev, set(), entries, "append")
             try:
                 self._commit_snapshot(meta_num, meta, snap_rec)
@@ -829,28 +941,27 @@ class IcebergLogSink:
             # expireSnapshots(olderThan, retainLast): both constraints
             # RETAIN — a snapshot expires only when it is outside the
             # trailing keep_last window AND (when olderThan is given)
-            # older than the timestamp. Snapshot timestamps ascend with
-            # commit order, so both filters select a prefix and the
-            # retained suffix stays contiguous (the death-time walk
-            # below relies on that).
-            expired = [
-                s
-                for s in snaps
-                if s["sequence-number"] < horizon
-                and (
-                    older_than_ms is None
-                    or s.get("timestamp-ms", 0) < older_than_ms
-                )
-            ]
+            # older than the timestamp. The expired set is a STRICT
+            # PREFIX (stop at the first snapshot failing either
+            # constraint): snapshot timestamps come from each
+            # committer's wall clock, so clock skew between concurrent
+            # writer processes can make the raw olderThan filter select
+            # a non-contiguous set — which would pair wrong successors
+            # in the death-time walk below and understate death times
+            # (files reclaimable inside their grace). Stopping at the
+            # first survivor only ever retains MORE, and keeps the
+            # retained suffix contiguous (the walk relies on that).
+            expired: list[dict] = []
+            for s in snaps:
+                if s["sequence-number"] >= horizon or (
+                    older_than_ms is not None
+                    and s.get("timestamp-ms", 0) >= older_than_ms
+                ):
+                    break
+                expired.append(s)
             if not expired:
                 return []
-            # retained = the exact complement of expired (NOT the
-            # horizon alone): a time-spared snapshot below the horizon
-            # must stay in the list or it would vanish un-GC'd
-            expired_seqs = {s["sequence-number"] for s in expired}
-            retained = [
-                s for s in snaps if s["sequence-number"] not in expired_seqs
-            ]
+            retained = snaps[len(expired):]
             new_meta = dict(meta)
             new_meta["snapshots"] = retained
             try:
@@ -1094,6 +1205,63 @@ FROM (
         sink.expire_versions(keep_last=2, sweep_orphans=True, orphan_grace_s=0.0)
         result = tracked_persist(
             sink.visible().select("key", "last_seq", "payload_value")
+        )
+        result.count()  # materialize before the backing dirs go away
+        shutil.rmtree(base, ignore_errors=True)
+        return result
+
+    @register(
+        "q_cdc_iceberg_schema_evolution",
+        oracle=with_changelog(
+            """
+, p AS (SELECT (2 * max(seq_no)) // 3 AS c2 FROM changelog)
+SELECT key, seq_no AS last_seq, payload_value,
+       CASE WHEN seq_no > c2 THEN payload_props END AS payload_props
+FROM (
+    SELECT key, seq_no, op, payload_value, payload_props,
+           row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
+    FROM changelog
+) r, p WHERE rn = 1 AND op <> 'REMOVE'
+"""
+        ),
+    )
+    def q_cdc_iceberg_schema_evolution(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Add-column schema evolution through the manifest-tree
+        protocol's MERGE-ON-READ lane, end to end under one oracle
+        hash (the Delta twin evolves via MERGE; this drill proves the
+        harder interleaving): init + one MERGE carry only
+        payload_value; the final batch arrives as a blind APPEND with a
+        NEW payload_props column, publishing a new schema-id in the
+        metadata file's schema history in the same commit. compact_mor
+        then folds half the buckets' pending wide files over narrow
+        base files (null-fill on read), and expireSnapshots GCs past
+        the evolution point. The surviving state must equal the plain
+        changelog fold where only rows whose WINNING entry postdates
+        the evolution carry the new column — reference parity: the
+        schemaless payload drift of `lambda-backfill/main.py:35-39`
+        surviving a restore."""
+        cl = changelog(spark, sf_dir).select(
+            "seq_no", "op", "key", "payload_value", "payload_props"
+        )
+        max_seq = cl.agg(F.max("seq_no")).first()[0]  # orchestration scalar
+        c1, c2 = max_seq // 3, (2 * max_seq) // 3
+        base = tempfile.mkdtemp(prefix="icebergevo-")
+        sink = IcebergLogSink(spark, os.path.join(base, "t"))
+        narrow = cl.drop("payload_props")
+        sink.init(fold_changelog(narrow.where(F.col("seq_no") <= c1)))
+        sink.apply_batch(
+            narrow.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2))
+        )
+        sink.append(cl.where(F.col("seq_no") > c2))  # evolves, MOR lane
+        sink.compact_mor(set(range(sink.n_buckets // 2)))
+        # grace 0 is safe here: this builder is the table's only writer
+        sink.expire_versions(keep_last=2, sweep_orphans=True, orphan_grace_s=0.0)
+        result = tracked_persist(
+            sink.visible().select(
+                "key", "last_seq", "payload_value", "payload_props"
+            )
         )
         result.count()  # materialize before the backing dirs go away
         shutil.rmtree(base, ignore_errors=True)

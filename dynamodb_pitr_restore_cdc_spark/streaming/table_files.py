@@ -144,3 +144,75 @@ def empty_frame(spark, schema_json: str) -> DataFrame:
     schema = StructType.fromJson(json.loads(schema_json))
     cols = [F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
     return spark.range(1).select(*cols).where(F.lit(False))
+
+
+# -- schema evolution (shared by both table-format sinks) --------------------
+
+# columns owned by the sink protocols, never payload: the batch's
+# ordering column, the table's folded form of it, the op marker and the
+# physical partition column
+PROTOCOL_COLS = frozenset({"seq_no", "last_seq", "op", "bucket"})
+
+
+def evolve_schema_json(
+    schema_json: str, batch_schema: StructType, key: str
+) -> tuple[str, bool]:
+    """Union-by-name widened table schema: batch payload columns absent
+    from the table schema are APPENDED as nullable fields (add-column
+    is the only evolution shape supported — the reference's payload is
+    schemaless, `lambda-backfill/main.py:35-39` passes NewImage
+    opaquely, so mid-stream attribute ADDS are the user path; renames/
+    drops/retypes are rejected loudly). Returns (new_json, changed).
+
+    A type CONFLICT on an existing payload column is an error, not an
+    evolution: silently casting would corrupt rows written under the
+    old type."""
+    from pyspark.sql.types import StructField
+
+    old = StructType.fromJson(json.loads(schema_json))
+    have = {f.name: f for f in old.fields}
+    added: list[StructField] = []
+    for f in batch_schema.fields:
+        if f.name == key or f.name in PROTOCOL_COLS:
+            continue
+        if f.name in have:
+            if have[f.name].dataType != f.dataType:
+                raise ValueError(
+                    f"schema conflict on column {f.name!r}: table has "
+                    f"{have[f.name].dataType.simpleString()}, batch has "
+                    f"{f.dataType.simpleString()} (add-column is the only "
+                    f"supported evolution)"
+                )
+            continue
+        added.append(StructField(f.name, f.dataType, nullable=True))
+    if not added:
+        return schema_json, False
+    return StructType(old.fields + added).json(), True
+
+
+def payload_cols_of(schema_json: str, key: str) -> tuple[str, ...]:
+    """Payload columns of a table schema: everything that isn't the
+    merge key or a protocol column, in schema order (the one list both
+    the merge and the read-side fold must agree on)."""
+    schema = StructType.fromJson(json.loads(schema_json))
+    return tuple(
+        f.name
+        for f in schema.fields
+        if f.name != key and f.name not in PROTOCOL_COLS
+    )
+
+
+def align_to_payloads(df: DataFrame, schema_json: str, key: str) -> DataFrame:
+    """Null-fill a batch to the table's payload column set: columns the
+    batch lacks become typed nulls, so a NARROW batch arriving after an
+    evolution merges cleanly (and, per full-image semantics, a winning
+    narrow row REPLACES the wide row — the missing attribute reads back
+    null, exactly what a full-image put of the narrow item means)."""
+    schema = StructType.fromJson(json.loads(schema_json))
+    have = set(df.columns)
+    missing = [
+        F.lit(None).cast(f.dataType).alias(f.name)
+        for f in schema.fields
+        if f.name not in have and f.name != key and f.name not in PROTOCOL_COLS
+    ]
+    return df.select("*", *missing) if missing else df

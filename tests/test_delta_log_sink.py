@@ -4,6 +4,7 @@ skipping, checkpoint-bounded replay, vacuum)."""
 
 import json
 import os
+import time
 
 import pandas as pd
 import pytest
@@ -521,3 +522,40 @@ def test_transform_resolution_retries_truncation_race(sink, monkeypatch):
     monkeypatch.setattr(sink, "_state", flaky)
     assert sink._transform() == ("bucket", 4)
     assert calls["n"] == 3
+
+
+def test_append_on_never_inited_table_raises_user_error(spark, tmp_path):
+    # ADVICE r10: 'no commits' is a USER error — it must surface
+    # immediately, not burn retries and misreport as a concurrency race
+    s = DeltaLogSink(spark, str(tmp_path / "fresh"), n_buckets=4)
+    with pytest.raises(ValueError, match="no commits"):
+        s.append(_batch(spark, [(1, 10, "MODIFY", 1.5)]))
+
+
+def test_orphan_sweep_reclaims_log_tmp_debris(sink, spark):
+    # ADVICE r10: crashed-attempt staging tmps in _delta_log (commit,
+    # checkpoint, _last_checkpoint) are never consumed by later attempts
+    # (attempt-scoped names) — the orphan sweep must reclaim aged ones
+    log_dir = os.path.join(sink.path, LOG_DIR)
+    debris = [
+        os.path.join(log_dir, ".tmp-deadbeef0001"),
+        os.path.join(log_dir, f"{3:020d}.checkpoint.json.tmp-cafe0001"),
+        os.path.join(log_dir, "_last_checkpoint.tmp-cafe0002"),
+    ]
+    for p in debris:
+        with open(p, "w") as fh:
+            fh.write("{}")
+    fresh = os.path.join(log_dir, ".tmp-fresh0001")
+    with open(fresh, "w") as fh:
+        fh.write("{}")
+    ancient = time.time() - 3600
+    for p in debris:
+        os.utime(p, (ancient, ancient))
+    sink.apply_batch(_batch(spark, [(1, 10, "MODIFY", 1.5)]))
+    sink.apply_batch(_batch(spark, [(2, 11, "MODIFY", 2.5)]))
+    sink.expire_versions(keep_last=1, sweep_orphans=True, orphan_grace_s=300.0)
+    for p in debris:
+        assert not os.path.exists(p), f"aged tmp debris survived: {p}"
+    assert os.path.exists(fresh), "swept an in-flight attempt's tmp"
+    # real log objects are untouched
+    assert os.path.exists(sink._log_path(sink.latest_version()))

@@ -5,6 +5,7 @@ version-hint recovery paths)."""
 
 import json
 import os
+import time
 
 import pandas as pd
 import pytest
@@ -614,3 +615,61 @@ def test_expire_older_than_retains_recent_beyond_keep_last(sink, spark):
         sink.snapshot(1)
     # without the time constraint the count axis applies alone
     assert sink.expire_versions(keep_last=1) == [2]
+
+
+def test_expire_older_than_skewed_clock_keeps_prefix(sink, spark):
+    # ADVICE r10: wall-clock skew between committers can dip a middle
+    # snapshot's timestamp below olderThan; the expired set must stop
+    # at the FIRST surviving snapshot (strict prefix) or the death-time
+    # walk pairs wrong successors and understates death times
+    sink.apply_batch(_batch(spark, [(1, 10, "MODIFY", 1.5)]))  # snap 2
+    sink.apply_batch(_batch(spark, [(2, 11, "MODIFY", 2.5)]))  # snap 3
+    sink.apply_batch(_batch(spark, [(3, 12, "MODIFY", 3.5)]))  # snap 4
+    meta_num = sink._latest_meta_num()
+    meta = sink._load_meta(meta_num)
+    # snap 1 ancient, snap 2 RECENT (survivor), snap 3 ancient (skewed
+    # committer clock) — the raw filter would pick {1, 3}
+    meta["snapshots"][0]["timestamp-ms"] = 1_000
+    meta["snapshots"][1]["timestamp-ms"] = 10_000
+    meta["snapshots"][2]["timestamp-ms"] = 1_500
+    with open(sink._meta_path(meta_num), "w") as fh:
+        json.dump(meta, fh)
+    assert sink.expire_versions(keep_last=1, older_than_ms=5_000) == [1]
+    assert [s["sequence-number"] for s in _meta(sink)["snapshots"]] == [2, 3, 4]
+
+
+def test_snapshot_timestamps_clamped_monotonic(sink, spark):
+    # ADVICE r10: commit timestamps are clamped max(prev_ts, now) so a
+    # skewed committer clock can never write a timestamp dip
+    meta_num = sink._latest_meta_num()
+    meta = sink._load_meta(meta_num)
+    future = int(time.time() * 1000) + 3_600_000
+    meta["snapshots"][-1]["timestamp-ms"] = future
+    with open(sink._meta_path(meta_num), "w") as fh:
+        json.dump(meta, fh)
+    sink.apply_batch(_batch(spark, [(1, 10, "MODIFY", 1.5)]))
+    snaps = _meta(sink)["snapshots"]
+    assert snaps[-1]["timestamp-ms"] >= future
+
+
+def test_append_metadata_resolution_retries_gc_race(sink, spark, monkeypatch):
+    # ADVICE r10: append's pre-write metadata reads (merge key + seq
+    # hint) must treat a GC'd pinned metadata file as a lost race and
+    # retry — the same rule the commit loop already follows
+    calls = {"n": 0}
+    real = sink._load_meta
+
+    def flaky(n):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise FileNotFoundError("expired metadata file")
+        return real(n)
+
+    monkeypatch.setattr(sink, "_load_meta", flaky)
+    sink.append(_batch(spark, [(1, 10, "MODIFY", 1.5)]))
+    assert calls["n"] >= 3
+    monkeypatch.undo()
+    assert sorted(
+        (r.key, r.payload_value)
+        for r in sink.visible().where(F.col("key") == 1).collect()
+    ) == [(1, 1.5)]
