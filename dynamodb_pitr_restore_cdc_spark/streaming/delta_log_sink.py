@@ -81,6 +81,7 @@ from .table_files import (
     evolve_schema_json,
     optimize_decisions,
     payload_cols_of,
+    read_with_schema,
     write_bucketed_files,
 )
 from .versioned_sink import diff_states
@@ -338,14 +339,7 @@ class DeltaLogSink:
         if not adds:
             return empty_frame(self.spark, schema_json)
         paths = [os.path.join(self.path, p) for p in sorted(a["path"] for a in adds)]
-        # explicit table schema (matched by name): files written before
-        # an add-column evolution lack the new columns and read back as
-        # nulls — Spark's schema-on-read contract, the same mechanism
-        # mergeSchema proves on plain parquet (q_cdc_schema_evolution)
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(json.loads(schema_json))
-        return self.spark.read.schema(schema).parquet(*paths)
+        return read_with_schema(self.spark, schema_json, paths)
 
     # -- SinkFormat ------------------------------------------------------
 
@@ -810,9 +804,14 @@ class DeltaLogSink:
                      if int(a["partitionValues"]["bucket"]) in changed]
         side_to = [a for a in a_to.values()
                    if int(a["partitionValues"]["bucket"]) in changed]
-        a = visible(self._fold_adds(side_from, s_from, key=key))
+        # BOTH sides fold under the TO schema (schemas only widen, so
+        # it covers the FROM side; pre-evolution files null-fill) and
+        # the feed carries every TO-side payload column — a consumer
+        # mirroring through the feed must converge to visible(), new
+        # columns included (round-10 review)
+        a = visible(self._fold_adds(side_from, s_to, key=key))
         b = visible(self._fold_adds(side_to, s_to, key=key))
-        return diff_states(a, b)
+        return diff_states(a, b, payload_cols=payload_cols_of(s_to, key))
 
     def expire_versions(
         self,

@@ -71,7 +71,9 @@ is `lambda-backfill/main.py:33-39` under a third storage protocol.
 
 from __future__ import annotations
 
+import gzip
 import json
+import math
 import os
 import re
 import time
@@ -88,6 +90,7 @@ from .table_files import (
     evolve_schema_json,
     optimize_decisions,
     payload_cols_of,
+    read_with_schema,
     write_bucketed_files,
 )
 from .versioned_sink import diff_states
@@ -214,19 +217,27 @@ class IcebergLogSink:
         os.replace(hint_tmp, self._hint_path())
 
     def _write_ndjson(self, prefix: str, rows: list[dict]) -> str:
-        """Immutable uuid-named NDJSON metadata object; returns the
-        path relative to the table root."""
+        """Immutable uuid-named NDJSON metadata object, gzip-compressed
+        (Iceberg's manifests and manifest lists are deflate-compressed
+        avro; compression is what keeps the per-commit manifest-LIST
+        republication — the one metadata cost proportional to table
+        width — at ~10% of its raw bytes, SCALE.md round-10 table).
+        Returns the path relative to the table root."""
         rel = os.path.join(META_DIR, f"{prefix}-{uuid.uuid4().hex[:12]}.json")
-        with open(os.path.join(self.path, rel), "w") as fh:
-            for r in rows:
-                fh.write(json.dumps(r) + "\n")
+        body = "".join(json.dumps(r) + "\n" for r in rows).encode()
+        with open(os.path.join(self.path, rel), "wb") as fh:
+            fh.write(gzip.compress(body, compresslevel=1))
             fh.flush()
             os.fsync(fh.fileno())
         return rel
 
     def _read_ndjson(self, rel: str) -> list[dict]:
-        with open(os.path.join(self.path, rel)) as fh:
-            return [json.loads(line) for line in fh]
+        with open(os.path.join(self.path, rel), "rb") as fh:
+            raw = fh.read()
+        if raw[:2] == b"\x1f\x8b":  # gzip magic; plain NDJSON = a table
+            # written before compression landed — still readable
+            raw = gzip.decompress(raw)
+        return [json.loads(line) for line in raw.decode().splitlines() if line]
 
     # -- snapshot resolution ----------------------------------------------
 
@@ -338,15 +349,10 @@ class IcebergLogSink:
         if not entries:
             return empty_frame(self.spark, schema_json)
         paths = sorted(e["data_file"]["file_path"] for e in entries)
-        # explicit schema (matched by name): files written before an
-        # add-column evolution lack the new columns and read back as
-        # nulls — Iceberg's schema-evolution read contract (column
-        # projection by id there, by name here; same null-fill result)
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(json.loads(schema_json))
-        return self.spark.read.schema(schema).parquet(
-            *(os.path.join(self.path, p) for p in paths)
+        # schema-on-read (Iceberg projects by column id, we project by
+        # name; same null-fill result for pre-evolution files)
+        return read_with_schema(
+            self.spark, schema_json, [os.path.join(self.path, p) for p in paths]
         )
 
     @staticmethod
@@ -459,6 +465,13 @@ class IcebergLogSink:
         if new_entries:
             rel = self._write_ndjson("manifest", new_entries)
             manifest_list.append(self._manifest_summary(rel, new_entries))
+        return self._snapshot_shell(prev, manifest_list, operation)
+
+    def _snapshot_shell(
+        self, prev: dict | None, manifest_list: list[dict], operation: str
+    ) -> dict:
+        """Snapshot record over an already-built manifest list (shared
+        by _build_snapshot and the metadata-only rewrite_manifests)."""
         seq = 1 if prev is None else prev["sequence-number"] + 1
         sid = uuid.uuid4().int >> 65  # 63-bit snapshot id, Iceberg-style
         ml_rel = self._write_ndjson(f"snap-{seq:06d}", manifest_list)
@@ -868,6 +881,107 @@ class IcebergLogSink:
             f"MOR OPTIMIZE lost the commit race {max_attempts} times at {self.path}"
         )
 
+    def rewrite_manifests(
+        self, target_entries: int | None = None, max_attempts: int = 5
+    ) -> int:
+        """rewriteManifests analog — the maintenance op that bounds
+        per-commit METADATA width (round-9 scale finding): a
+        metadata-only commit that repacks the live manifest entries
+        into manifests of ~``target_entries`` each, grouped by
+        contiguous bucket ranges (tight partition summaries, so the
+        two-level prune stays exact). No data file is touched.
+
+        Why it matters at 10⁴+ buckets: init lands the whole table in
+        ONE manifest, so every trickle MERGE that removes a file from
+        it must rewrite all O(table) surviving entries — the measured
+        ~400 KB/commit (SCALE.md round-9 table). After repacking, a
+        commit touching b buckets rewrites only the ≤b small manifests
+        covering them: O(b·target) entries instead of O(table). The
+        default target balances the two per-commit costs — rewritten
+        manifest entries (∝ target) against manifest-list rows
+        (∝ entries/target) — at √total, giving O(√table) per-commit
+        metadata instead of O(table).
+
+        Returns the number of manifests after the rewrite (0 = empty
+        table, nothing committed). Same pin-before-read loser-retry as
+        every other commit; a no-op (already packed) publishes nothing.
+        """
+        if target_entries is not None and target_entries < 1:
+            raise ValueError(f"target_entries must be >= 1, got {target_entries}")
+        for _ in range(max_attempts):
+            meta_num = self._latest_meta_num() + 1
+            try:
+                meta = self._load_meta(meta_num - 1)
+                prev = self._snapshot_record(meta, None)
+                old_list = self._manifest_list(prev)
+                entries = self._entries(prev)
+            except FileNotFoundError:
+                continue  # expiry GC'd our base metadata: re-pin and retry
+            if not entries:
+                return 0
+            target = (
+                target_entries
+                if target_entries is not None
+                else max(16, math.isqrt(len(entries)))
+            )
+            # pack by bucket: a bucket's files stay together (one
+            # oversized bucket overflows its own manifest rather than
+            # splitting — bounds stay tight either way), groups close
+            # at the target on bucket boundaries
+            entries.sort(key=lambda e: e["data_file"]["partition"]["bucket"])
+            groups: list[list[dict]] = []
+            cur: list[dict] = []
+            for e in entries:
+                b = e["data_file"]["partition"]["bucket"]
+                if (
+                    cur
+                    and len(cur) >= target
+                    and cur[-1]["data_file"]["partition"]["bucket"] != b
+                ):
+                    groups.append(cur)
+                    cur = []
+                cur.append({**e, "status": "EXISTING"})
+            if cur:
+                groups.append(cur)
+            # already packed = same manifest count, every old manifest
+            # within target, and old bucket spans DISJOINT (an
+            # overlapping layout — e.g. init + append both spanning all
+            # buckets — must repack even if each piece is small, or
+            # every one-bucket MERGE keeps rewriting all of them).
+            # Decided from manifest-list SUMMARIES alone: no manifest
+            # reads (round-10 review, both halves).
+            spans = sorted(
+                (
+                    m["partitions"]["bucket"]["lower"],
+                    m["partitions"]["bucket"]["upper"],
+                    m["added_files_count"] + m["existing_files_count"],
+                )
+                for m in old_list
+            )
+            packed = (
+                len(old_list) == len(groups)
+                and all(n <= target for _lo, _hi, n in spans)
+                and all(
+                    spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1)
+                )
+            )
+            if packed:
+                return len(old_list)  # no no-op commit
+            manifest_list = [
+                self._manifest_summary(self._write_ndjson("manifest", g), g)
+                for g in groups
+            ]
+            snap_rec = self._snapshot_shell(prev, manifest_list, "replace")
+            try:
+                self._commit_snapshot(meta_num, meta, snap_rec)
+                return len(groups)
+            except FileExistsError:
+                continue  # lost the race: repack the winner's tree
+        raise RuntimeError(
+            f"rewriteManifests lost the commit race {max_attempts} times "
+            f"at {self.path}"
+        )
+
     # -- VersionedSinkFormat ----------------------------------------------------
 
     def changes_between(self, v_from: int, v_to: int) -> DataFrame:
@@ -896,14 +1010,17 @@ class IcebergLogSink:
         key = self._merge_key(meta)
         # _fold_entries on each side: a changed bucket may carry pending
         # merge-on-read files, and the changefeed classifies STATES, not
-        # physical layouts
+        # physical layouts. BOTH sides fold under the TO schema (schemas
+        # only widen; pre-evolution files null-fill) and the feed
+        # carries every TO-side payload column (round-10 review)
+        schema_to = self._schema_at(meta, s_to)
         a = visible(
-            self._fold_entries(self._entries(s_from, changed), meta["schema"], key=key)
+            self._fold_entries(self._entries(s_from, changed), schema_to, key=key)
         )
         b = visible(
-            self._fold_entries(self._entries(s_to, changed), meta["schema"], key=key)
+            self._fold_entries(self._entries(s_to, changed), schema_to, key=key)
         )
-        return diff_states(a, b)
+        return diff_states(a, b, payload_cols=payload_cols_of(schema_to, key))
 
     def expire_versions(
         self,

@@ -137,6 +137,16 @@ def optimize_decisions(
     )
 
 
+def read_with_schema(spark, schema_json: str, paths: list[str]) -> DataFrame:
+    """Parquet read under an explicit table schema (matched by name):
+    files written before an add-column evolution lack the new columns
+    and read back as nulls — the schema-on-read half of evolution, ONE
+    implementation for both table formats (their read paths must never
+    drift on this)."""
+    schema = StructType.fromJson(json.loads(schema_json))
+    return spark.read.schema(schema).parquet(*paths)
+
+
 def empty_frame(spark, schema_json: str) -> DataFrame:
     """Zero-row frame in the table schema: typed null casts behind
     WHERE FALSE fold to a LocalRelation — zero Spark jobs (the

@@ -1090,12 +1090,21 @@ def _changes_between(sink: VersionedCdcSink, v_from: int, v_to: int) -> DataFram
     return diff_states(a, b)
 
 
-def diff_states(a_vis: DataFrame, b_vis: DataFrame) -> DataFrame:
+def diff_states(
+    a_vis: DataFrame,
+    b_vis: DataFrame,
+    payload_cols: tuple[str, ...] = ("payload_value",),
+) -> DataFrame:
     """Classified per-key diff of two VISIBLE states: the engine-side
     half of the changefeed, shared by every versioned sink format
     (VersionedCdcSink above, DeltaLogSink's CDF read) so the
     classification semantics cannot silently diverge. The pre-image
-    column is what an incremental consumer needs to retract."""
+    columns are what an incremental consumer needs to retract.
+    `payload_cols` comes from the TO-side schema on evolved tables
+    (both inputs aligned by the caller) so the feed carries every
+    payload column — a consumer mirroring the table through the feed
+    must converge to visible(), new columns included (round-10
+    review)."""
     j = a_vis.alias("a").join(b_vis.alias("b"), on="key", how="full_outer")
     return (
         j.select(
@@ -1105,10 +1114,11 @@ def diff_states(a_vis: DataFrame, b_vis: DataFrame) -> DataFrame:
             .otherwise(F.lit("UPDATE"))
             .alias("change_type"),
             F.coalesce(F.col("b.last_seq"), F.col("a.last_seq")).alias("last_seq"),
-            F.col("b.payload_value").alias("payload_value"),  # NULL for DELETE
+            # NULL for DELETE
+            *[F.col(f"b.{c}").alias(c) for c in payload_cols],
             # pre-image: what the row was at v_from (NULL for INSERT) —
             # exactly what an incremental consumer needs to retract
-            F.col("a.payload_value").alias("payload_value_old"),
+            *[F.col(f"a.{c}").alias(f"{c}_old") for c in payload_cols],
         )
         # an unchanged key living in a changed bucket is not a change
         .where(

@@ -64,17 +64,27 @@ def resolve_time(fn) -> float:
     return time.perf_counter() - t0
 
 
-def bench(fmt: str, sink, meta_root: str, base_df, trickles) -> dict:
+def bench(
+    fmt: str, sink, meta_root: str, base_df, trickles, rewrite_every: int = 0
+) -> dict:
+    """rewrite_every > 0 adds the round-10 maintenance lane: a
+    rewriteManifests repack after init and every N commits, so trickle
+    MERGEs rewrite O(touched·√table) manifest entries instead of
+    O(table) — the mitigation for the round-9 manifest-width finding."""
     t0 = time.perf_counter()
     sink.init(base_df)
     t_init = time.perf_counter() - t0
+    if rewrite_every:
+        sink.rewrite_manifests()
     per_commit = []
-    for batch in trickles:
+    for i, batch in enumerate(trickles):
         before = dir_bytes(meta_root)
         t0 = time.perf_counter()
         sink.apply_batch(batch)
         wall = time.perf_counter() - t0
         per_commit.append({"wall_s": wall, "meta_bytes": dir_bytes(meta_root) - before})
+        if rewrite_every and (i + 1) % rewrite_every == 0:
+            sink.rewrite_manifests()
     # reader cost: enumerate the live file set, metadata only (no data
     # read) — Delta replays the log, Iceberg walks the manifest tree
     if fmt == "delta":
@@ -140,9 +150,9 @@ def main() -> None:
         for i in range(N_COMMITS)
     ]
 
-    for fmt in ("delta", "iceberg"):
+    for fmt in ("delta", "iceberg", "iceberg+rm"):
         work = os.path.join(
-            tempfile.gettempdir(), f"icescale-{fmt}-{uuid.uuid4().hex[:8]}"
+            tempfile.gettempdir(), f"icescale-{uuid.uuid4().hex[:8]}"
         )
         t = os.path.join(work, "t")
         if fmt == "delta":
@@ -152,7 +162,14 @@ def main() -> None:
             sink = IcebergLogSink(spark, t, n_buckets=N_BUCKETS)
             meta_root = os.path.join(t, "metadata")
         try:
-            r = bench(fmt, sink, meta_root, base_fold, trickles)
+            r = bench(
+                fmt,
+                sink,
+                meta_root,
+                base_fold,
+                trickles,
+                rewrite_every=6 if fmt == "iceberg+rm" else 0,
+            )
             first, last = r["per_commit"][0], r["per_commit"][-1]
             print(
                 f"{fmt} n_buckets={N_BUCKETS} commits={N_COMMITS} "

@@ -673,3 +673,73 @@ def test_append_metadata_resolution_retries_gc_race(sink, spark, monkeypatch):
         (r.key, r.payload_value)
         for r in sink.visible().where(F.col("key") == 1).collect()
     ) == [(1, 1.5)]
+
+
+def _manifest_paths(sink):
+    return [
+        m["manifest_path"] for m in sink._manifest_list(_cursnap(sink))
+    ]
+
+
+def test_rewrite_manifests_preserves_state_and_prunes(spark, tmp_path):
+    s = IcebergLogSink(spark, str(tmp_path / "t"), n_buckets=8, transform="mod")
+    s.init(_snapshot(spark, [(k, 0, float(k)) for k in range(16)]))
+    # several appends → many small manifests, incl. pending MOR files
+    s.append(_batch(spark, [(1, 10, "MODIFY", 1.5), (9, 11, "INSERT", 9.0)]))
+    s.append(_batch(spark, [(2, 12, "REMOVE", None), (5, 13, "MODIFY", 5.5)]))
+    s.apply_batch(_batch(spark, [(3, 14, "MODIFY", 3.5)]))
+    before = {
+        (r.key, r.last_seq, r.payload_value) for r in s.visible().collect()
+    }
+    n_before = len(_manifest_paths(s))
+    n_after = s.rewrite_manifests(target_entries=4)
+    assert n_after == len(_manifest_paths(s)) and n_after < n_before
+    # metadata-only: the data file SET is unchanged
+    assert {
+        (r.key, r.last_seq, r.payload_value) for r in s.visible().collect()
+    } == before
+    # two-level pruning still exact after the repack
+    snap = _cursnap(s)
+    only3 = s._entries(snap, buckets={3})
+    assert only3 and all(
+        e["data_file"]["partition"]["bucket"] == 3 for e in only3
+    )
+    # pending MOR entries survive the repack and compact_mor still
+    # retires them
+    assert any(s._is_pending(e) for e in s._entries(snap))
+    s.compact_mor(set(range(8)))
+    assert {
+        (r.key, r.last_seq, r.payload_value) for r in s.visible().collect()
+    } == before
+    assert not any(s._is_pending(e) for e in s._entries(_cursnap(s)))
+
+
+def test_rewrite_manifests_bounds_merge_rewrite_width(spark, tmp_path):
+    # the round-9 scale finding: with the whole table in one manifest,
+    # every trickle MERGE rewrites O(table) manifest entries. After the
+    # repack, a one-bucket MERGE reuses every manifest it doesn't touch
+    # BY PATH and rewrites only the small ones covering its bucket.
+    s = IcebergLogSink(spark, str(tmp_path / "t"), n_buckets=8, transform="mod")
+    s.init(_snapshot(spark, [(k, 0, float(k)) for k in range(32)]))  # 1 manifest
+    s.rewrite_manifests(target_entries=1)  # one manifest per bucket
+    paths = set(_manifest_paths(s))
+    assert len(paths) == 8
+    s.apply_batch(_batch(spark, [(3, 10, "MODIFY", 3.5)]))  # bucket 3 only
+    after = _manifest_paths(s)
+    # 7 of 8 repacked manifests reused by path; bucket 3's manifest is
+    # dropped (its only file was removed) and the rewritten bucket
+    # lands in one fresh ADDED manifest
+    assert len(set(after) & paths) == 7
+    assert len(after) == 8
+
+
+def test_rewrite_manifests_noop_when_packed(spark, tmp_path):
+    s = IcebergLogSink(spark, str(tmp_path / "t"), n_buckets=4, transform="mod")
+    s.init(_snapshot(spark, [(k, 0, float(k)) for k in range(4)]))
+    v = s.latest_version()
+    s.rewrite_manifests(target_entries=1)
+    assert s.latest_version() == v + 1
+    v = s.latest_version()
+    # already packed: publishes nothing
+    s.rewrite_manifests(target_entries=1)
+    assert s.latest_version() == v

@@ -126,11 +126,15 @@ def test_type_conflict_is_an_error_not_an_evolution(sink, spark):
 def test_changefeed_across_evolution_boundary(sink, spark):
     v0 = sink.latest_version()
     sink.apply_batch(_wide_batch(spark, [(2, 10, "MODIFY", 2.5, "n2")]))
+    # the feed carries the evolved column (post-image AND pre-image): a
+    # consumer mirroring the table through it must converge to
+    # visible(), new columns included (round-10 review)
     feed = {
-        r.key: (r.change_type, r.payload_value)
+        r.key: (r.change_type, r.payload_value, r.payload_note,
+                r.payload_value_old, r.payload_note_old)
         for r in sink.changes_between(v0, sink.latest_version()).collect()
     }
-    assert feed == {2: ("UPDATE", 2.5)}
+    assert feed == {2: ("UPDATE", 2.5, "n2", 2.0, None)}
 
 
 def test_second_evolution_widens_again(sink, spark):
