@@ -481,6 +481,7 @@ def all_queries() -> dict[str, QuerySpec]:
         clusters,
         curation,
         dedup,
+        index_maintenance,
         kmeans,
         multimodal,
         pq,

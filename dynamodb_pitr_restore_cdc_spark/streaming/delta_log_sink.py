@@ -811,7 +811,7 @@ class DeltaLogSink:
         # columns included (round-10 review)
         a = visible(self._fold_adds(side_from, s_to, key=key))
         b = visible(self._fold_adds(side_to, s_to, key=key))
-        return diff_states(a, b, payload_cols=payload_cols_of(s_to, key))
+        return diff_states(a, b, payload_cols=payload_cols_of(s_to, key), key=key)
 
     def expire_versions(
         self,

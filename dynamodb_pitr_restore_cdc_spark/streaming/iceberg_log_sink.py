@@ -1020,7 +1020,7 @@ class IcebergLogSink:
         b = visible(
             self._fold_entries(self._entries(s_to, changed), schema_to, key=key)
         )
-        return diff_states(a, b, payload_cols=payload_cols_of(schema_to, key))
+        return diff_states(a, b, payload_cols=payload_cols_of(schema_to, key), key=key)
 
     def expire_versions(
         self,

@@ -186,7 +186,11 @@ def evolve_schema_json(
         if f.name == key or f.name in PROTOCOL_COLS:
             continue
         if f.name in have:
-            if have[f.name].dataType != f.dataType:
+            # simpleString: nullability-insensitive comparison — a
+            # lit(None).cast("array<long>") batch column differs from
+            # the stored ArrayType only in containsNull, which is not
+            # a type CONFLICT
+            if have[f.name].dataType.simpleString() != f.dataType.simpleString():
                 raise ValueError(
                     f"schema conflict on column {f.name!r}: table has "
                     f"{have[f.name].dataType.simpleString()}, batch has "

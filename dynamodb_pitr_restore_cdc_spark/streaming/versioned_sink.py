@@ -1094,6 +1094,7 @@ def diff_states(
     a_vis: DataFrame,
     b_vis: DataFrame,
     payload_cols: tuple[str, ...] = ("payload_value",),
+    key: str = "key",
 ) -> DataFrame:
     """Classified per-key diff of two VISIBLE states: the engine-side
     half of the changefeed, shared by every versioned sink format
@@ -1105,10 +1106,10 @@ def diff_states(
     payload column — a consumer mirroring the table through the feed
     must converge to visible(), new columns included (round-10
     review)."""
-    j = a_vis.alias("a").join(b_vis.alias("b"), on="key", how="full_outer")
+    j = a_vis.alias("a").join(b_vis.alias("b"), on=key, how="full_outer")
     return (
         j.select(
-            F.col("key"),
+            F.col(key),
             F.when(F.col("a.last_seq").isNull(), F.lit("INSERT"))
             .when(F.col("b.last_seq").isNull(), F.lit("DELETE"))
             .otherwise(F.lit("UPDATE"))
