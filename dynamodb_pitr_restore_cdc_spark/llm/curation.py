@@ -294,10 +294,12 @@ def bloom_might_contain(col: str = "gram"):
     )
 
 
-@register(
-    "q_llm_decontaminate",
-    oracle=f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+# decontamination truth CTEs — ONE text shared by q_llm_decontaminate
+# and the per-domain report, so the gram/split semantics cannot
+# silently diverge between the oracles. Yields per_doc(doc_id,
+# n_shared, contaminated) over the test split.
+_DECON_CTES = f"""
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 g AS (SELECT doc_id,
              unnest(list_distinct(list_transform(range(1, len(ws) - 3),
                     i -> array_to_string(ws[i:i+4], ' ')))) AS gram
@@ -310,12 +312,17 @@ hits AS (
     SELECT g.doc_id, count(*) AS n_shared
     FROM g JOIN train_grams t ON g.gram = t.gram
     WHERE {_SPLIT_BUCKET_SQL} >= {VALID_PERMILLE}
-    GROUP BY g.doc_id)
-SELECT d.doc_id,
-       COALESCE(h.n_shared, 0) AS n_shared,
-       CAST(COALESCE(h.n_shared, 0) > 0 AS INTEGER) AS contaminated
-FROM test_docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
-""",
+    GROUP BY g.doc_id),
+per_doc AS (
+    SELECT d.doc_id,
+           COALESCE(h.n_shared, 0) AS n_shared,
+           CAST(COALESCE(h.n_shared, 0) > 0 AS INTEGER) AS contaminated
+    FROM test_docs d LEFT JOIN hits h ON d.doc_id = h.doc_id)"""
+
+
+@register(
+    "q_llm_decontaminate",
+    oracle=f"WITH {_DECON_CTES}\nSELECT doc_id, n_shared, contaminated FROM per_doc\n",
 )
 def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered entry: `decontaminate` in auto-bloom mode (the
@@ -413,6 +420,50 @@ def decontaminate(
         "doc_id",
         F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
         (F.coalesce("n_shared", F.lit(0)) > 0).cast("int").alias("contaminated"),
+    )
+
+
+@register(
+    "q_llm_contamination_report",
+    oracle=f"""
+WITH {_DECON_CTES}
+SELECT s.source,
+       CAST(count(*) AS BIGINT) AS n_test_docs,
+       CAST(sum(p.contaminated) AS BIGINT) AS n_contaminated,
+       CAST(sum(p.n_shared) AS BIGINT) AS shared_grams,
+       CAST((2000 * sum(p.contaminated) + count(*)) // (2 * count(*))
+            AS BIGINT) AS contamination_permille
+FROM per_doc p JOIN documents s ON p.doc_id = s.doc_id
+GROUP BY s.source
+""",
+)
+def q_llm_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contamination report (round-9 verdict, north-star
+    list): the q_llm_decontaminate per-doc result joined back to the
+    corpus's source domain and rolled up — which DOMAINS leak training
+    n-grams into the held-out split, at what rate (integer half-up
+    permille), and how many grams. This is the artifact a curation
+    owner actually reads before re-cutting a split: the per-doc frame
+    is diagnosis, the per-domain rate is the decision. Composition of
+    existing operators — one extra broadcast-able join + one partial-agg
+    groupBy over the test split (~10% of the corpus); the n-gram
+    equijoin cost is decontaminate's, unchanged."""
+    rep = decontaminate(spark, sf_dir, use_bloom=None)
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        rep.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_test_docs"),
+            F.sum(F.col("contaminated").cast("bigint")).alias("n_contaminated"),
+            F.sum("n_shared").alias("shared_grams"),
+        )
+        .withColumn(
+            "contamination_permille",
+            F.expr(
+                "(2000 * n_contaminated + n_test_docs) div (2 * n_test_docs)"
+            ),
+        )
     )
 
 

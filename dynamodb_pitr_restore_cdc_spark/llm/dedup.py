@@ -133,17 +133,26 @@ _ARTIFACT_ROOT = os.path.join(tempfile.gettempdir(), "spark_cdc_engine_sigs")
 atexit.register(shutil.rmtree, _ARTIFACT_ROOT, ignore_errors=True)
 
 
-def to_band_buckets(docs: DataFrame) -> DataFrame:
-    """(doc_id, band, bucket) for a (doc_id, text) DataFrame: signature
-    via the Arrow-vectorized UDF, then one band hash per LSH band."""
+def band_array(docs: DataFrame) -> DataFrame:
+    """(doc_id, bands array<long>) for a (doc_id, text) batch:
+    signature via the Arrow-vectorized UDF, then the per-band hashes
+    as ONE array column — THE band-hash definition (to_band_buckets
+    and the CDC-maintained index both derive from it; a banding tweak
+    can never desynchronize them)."""
     return docs.withColumn("sig", minhash_signature("text")).select(
         "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {LSH_BANDS - 1}), "
-                f"b -> xxhash64(concat_ws(',', slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}))))"
-            )
-        ).alias("band", "bucket"),
+        F.expr(
+            f"transform(sequence(0, {LSH_BANDS - 1}), "
+            f"b -> xxhash64(concat_ws(',', slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}))))"
+        ).alias("bands"),
+    )
+
+
+def to_band_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) for a (doc_id, text) DataFrame — the
+    exploded form of band_array."""
+    return band_array(docs).select(
+        "doc_id", F.posexplode("bands").alias("band", "bucket")
     )
 
 
@@ -163,10 +172,21 @@ def band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-@register(
-    "q_llm_near_dedup",
-    oracle="""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+# THE shingle-Jaccard truth template (q_llm_near_dedup and the
+# index-maintenance drills all hash against it — one text, so a
+# rounding or shingling tweak cannot silently diverge between oracles).
+# Continues an open WITH list; yields `jp(doc_a, doc_b, j_milli)` over
+# relation `source(doc_id, text)`. The threshold must be applied to the
+# half-up-rounded MILLI value the Spark side filters on (j_milli >=
+# 500), not the exact 2i >= u predicate: exact J in [0.4995, 0.5)
+# rounds to 500 and must be kept by BOTH engines.
+# (q_llm_jaccard_exact deliberately differs: it IS the exact-predicate
+# baseline, not a milli-threshold consumer.)
+
+
+def shingle_pair_ctes(source: str) -> str:
+    return f"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {source}),
 sh AS (SELECT DISTINCT doc_id,
               unnest(list_transform(generate_series(1, len(t) - 2),
                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
@@ -174,17 +194,25 @@ sh AS (SELECT DISTINCT doc_id,
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
-SELECT doc_a, doc_b,
-       ((2000 * i + (sa.n + sb.n - i)) // (2 * (sa.n + sb.n - i))) / 1000.0 AS jaccard
-FROM pairs
-JOIN sz sa ON doc_a = sa.doc_id
-JOIN sz sb ON doc_b = sb.doc_id
--- threshold on the SAME half-up-rounded milli value the Spark side
--- filters on (j_milli >= 500), not the exact 2i >= u predicate: exact
--- J in [0.4995, 0.5) rounds to 500 and must be kept by BOTH engines
-WHERE ((2000 * i + (sa.n + sb.n - i)) // (2 * (sa.n + sb.n - i))) >= 500
-""",
+          GROUP BY 1, 2),
+jp AS (
+    SELECT doc_a, doc_b,
+           ((2000 * i + (sa.n + sb.n - i)) // (2 * (sa.n + sb.n - i))) AS j_milli
+    FROM pairs
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+)"""
+
+
+PAIR_SELECT_SQL = (
+    "SELECT doc_a, doc_b, j_milli / 1000.0 AS jaccard\n"
+    f"FROM jp WHERE j_milli >= {int(JACCARD_THRESHOLD * 1000)}"
+)
+
+
+@register(
+    "q_llm_near_dedup",
+    oracle=f"WITH {shingle_pair_ctes('documents')}\n{PAIR_SELECT_SQL}\n",
 )
 def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs (J ≥ 0.5), exact-verified.

@@ -43,27 +43,11 @@ from ..sources import table
 from ..streaming.delta_log_sink import DeltaLogSink
 from .dedup import (
     JACCARD_THRESHOLD,
-    LSH_BANDS,
-    ROWS_PER_BAND,
+    PAIR_SELECT_SQL,
+    band_array,
     jaccard_milli,
-    minhash_signature,
+    shingle_pair_ctes,
 )
-
-_BANDS_EXPR = (
-    f"transform(sequence(0, {LSH_BANDS - 1}), "
-    f"b -> xxhash64(concat_ws(',', slice(sig, b * {ROWS_PER_BAND} + 1, "
-    f"{ROWS_PER_BAND}))))"
-)
-
-
-def band_array(docs: DataFrame) -> DataFrame:
-    """(doc_id, bands array<long>) for a (doc_id, text) batch: one
-    Arrow-vectorized signature pass over the BATCH (never the corpus),
-    then the 16 per-band hashes as a single payload column — the row
-    shape the index table stores."""
-    return docs.withColumn("sig", minhash_signature("text")).select(
-        "doc_id", F.expr(_BANDS_EXPR).alias("bands")
-    )
 
 
 class LshIndex:
@@ -71,10 +55,12 @@ class LshIndex:
 
     Wraps a DeltaLogSink (key=doc_id): `init` folds the starting
     corpus, `upsert`/`remove` are O(batch) blind appends through the
-    merge-on-read lane, `compact` hands maintenance to the sink's
-    policy ops. Readers (`band_rows`, `pairs`, `delta_pairs`) see the
-    folded state — an updated document's OLD signature can never leak
-    into a candidate set (the per-key max-seq fold guarantees it)."""
+    merge-on-read lane; table maintenance (optimize_plan, compact_mor,
+    expire_versions) is the SINK's job — run it on `.sink` directly,
+    the index is just a keyed table. Readers (`band_rows`, `pairs`,
+    `delta_pairs`) see the folded state — an updated document's OLD
+    signature can never leak into a candidate set (the per-key max-seq
+    fold guarantees it)."""
 
     def __init__(self, spark: SparkSession, path: str, n_buckets: int = 32):
         self.spark = spark
@@ -215,23 +201,9 @@ fin AS (
     WHERE r.doc_id % {_REMOVE_MOD} <> 5
 )"""
 
-_PAIRS_SQL = """
-toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM fin),
-sh AS (SELECT DISTINCT doc_id,
-              unnest(list_transform(generate_series(1, len(t) - 2),
-                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-       FROM toks),
-sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-jp AS (
-    SELECT doc_a, doc_b,
-           ((2000 * i + (sa.n + sb.n - i)) // (2 * (sa.n + sb.n - i))) AS j_milli
-    FROM pairs
-    JOIN sz sa ON doc_a = sa.doc_id
-    JOIN sz sb ON doc_b = sb.doc_id
-)"""
+# truth pairs over the final corpus: the SHARED shingle-Jaccard
+# template (dedup.shingle_pair_ctes — one text with q_llm_near_dedup)
+_PAIRS_SQL = shingle_pair_ctes("fin")
 
 
 def _run_maintenance(spark: SparkSession, sf_dir: str) -> tuple[LshIndex, DataFrame, int, str]:
@@ -272,7 +244,10 @@ def _run_maintenance(spark: SparkSession, sf_dir: str) -> tuple[LshIndex, DataFr
         .where(F.col("doc_id") % _REMOVE_MOD != 5)
         .select("doc_id", "text")
     )
-    return idx, final, v0, base
+    # _verify joins the corpus twice (doc_a and doc_b sides — no
+    # cross-branch CSE), so the edit-application join must not rebuild
+    # per branch; released by the harness via release_persisted()
+    return idx, tracked_persist(final), v0, base
 
 
 def _register() -> None:
@@ -281,8 +256,7 @@ def _register() -> None:
         oracle=f"""
 WITH {_FINAL_CORPUS_SQL},
 {_PAIRS_SQL}
-SELECT doc_a, doc_b, j_milli / 1000.0 AS jaccard
-FROM jp WHERE j_milli >= {int(JACCARD_THRESHOLD * 1000)}
+{PAIR_SELECT_SQL}
 """,
     )
     def q_llm_lsh_index_maintenance(
@@ -313,9 +287,15 @@ FROM jp WHERE j_milli >= {int(JACCARD_THRESHOLD * 1000)}
 WITH {_FINAL_CORPUS_SQL},
 {_PAIRS_SQL},
 changed AS (
-    SELECT doc_id FROM raw
-    WHERE (doc_id % {_UPSERT_MOD} = 2 OR doc_id % {_EDIT_MOD} = 3)
-      AND doc_id % {_REMOVE_MOD} <> 5
+    -- mirrors the engine's maintenance exactly: the late-ingest third,
+    -- plus edited docs — which the engine only upserts when the
+    -- predecessor EXISTS (inner join in _run_maintenance), so the
+    -- arithmetic alone would over-count on sparse doc_id fixtures
+    SELECT r.doc_id FROM raw r
+    WHERE (r.doc_id % {_UPSERT_MOD} = 2
+           OR (r.doc_id % {_EDIT_MOD} = 3
+               AND EXISTS (SELECT 1 FROM raw p WHERE p.doc_id = r.doc_id - 1)))
+      AND r.doc_id % {_REMOVE_MOD} <> 5
 )
 SELECT doc_a, doc_b, j_milli / 1000.0 AS jaccard
 FROM jp

@@ -433,6 +433,13 @@ _REVERIFY_R10: frozenset[str] = frozenset(
         "q_cdc_iceberg_log_fold", "q_cdc_iceberg_mor_fold",
         "q_cdc_iceberg_optimize_plan", "q_stream_mor_ingest",
         "q_stream_mor_ingest_iceberg",
+        # oracle text rewritten onto the shared shingle_pair_ctes
+        # template (same semantics, but the hash must re-prove it) and
+        # the band pipeline now derives from band_array
+        "q_llm_near_dedup", "q_stream_near_dedup",
+        # changefeed consumers: diff_states grew payload-cols/key
+        # passthrough (default output unchanged; re-prove it)
+        "q_cdc_changefeed", "q_cdc_alerting",
     }
 )
 

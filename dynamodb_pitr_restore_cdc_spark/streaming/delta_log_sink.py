@@ -784,7 +784,9 @@ class DeltaLogSink:
         read; only differing buckets are scanned from each side, then
         `diff_states` classifies INSERT/UPDATE/DELETE — the same
         classification text the native versioned sink uses."""
-        s_from, c_from, a_from = self._state(v_from)
+        # only the FROM-side file set matters: both sides FOLD under
+        # the TO schema below (schemas only widen)
+        _s_from, _c_from, a_from = self._state(v_from)
         s_to, c_to, a_to = self._state(v_to)
         key = c_to.get("mergeKey", "key")
 

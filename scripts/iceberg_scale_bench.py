@@ -74,8 +74,13 @@ def bench(
     t0 = time.perf_counter()
     sink.init(base_df)
     t_init = time.perf_counter() - t0
+    rm_bytes = 0  # the repacks' own metadata bytes — reported
+    # amortized so the +rm lane's per-commit numbers aren't flattered
+    # by cost that landed between measurement windows
     if rewrite_every:
+        before = dir_bytes(meta_root)
         sink.rewrite_manifests()
+        rm_bytes += dir_bytes(meta_root) - before
     per_commit = []
     for i, batch in enumerate(trickles):
         before = dir_bytes(meta_root)
@@ -84,7 +89,9 @@ def bench(
         wall = time.perf_counter() - t0
         per_commit.append({"wall_s": wall, "meta_bytes": dir_bytes(meta_root) - before})
         if rewrite_every and (i + 1) % rewrite_every == 0:
+            before = dir_bytes(meta_root)
             sink.rewrite_manifests()
+            rm_bytes += dir_bytes(meta_root) - before
     # reader cost: enumerate the live file set, metadata only (no data
     # read) — Delta replays the log, Iceberg walks the manifest tree
     if fmt == "delta":
@@ -98,6 +105,7 @@ def bench(
     return {
         "init_s": t_init,
         "per_commit": per_commit,
+        "rm_bytes": rm_bytes,
         "resolve_s": t_resolve,
         "meta_total_bytes": dir_bytes(meta_root),
     }
@@ -168,7 +176,13 @@ def main() -> None:
                 meta_root,
                 base_fold,
                 trickles,
-                rewrite_every=6 if fmt == "iceberg+rm" else 0,
+                # repack once after the bulk load (the production
+                # cadence: init lands the whole table in ONE manifest,
+                # which every trickle MERGE would otherwise rewrite);
+                # N_COMMITS+1 means no mid-drill repack fires, so the
+                # per-commit numbers show the bounded-width effect and
+                # rm_bytes amortizes exactly one repack
+                rewrite_every=N_COMMITS + 1 if fmt == "iceberg+rm" else 0,
             )
             first, last = r["per_commit"][0], r["per_commit"][-1]
             print(
@@ -181,6 +195,11 @@ def main() -> None:
             )
             growth = [c["meta_bytes"] for c in r["per_commit"]]
             print(f"{fmt} per-commit meta bytes: {growth}")
+            if r["rm_bytes"]:
+                print(
+                    f"{fmt} rewrite_manifests bytes total={r['rm_bytes']} "
+                    f"(amortized {r['rm_bytes'] // N_COMMITS}B/commit)"
+                )
             e = expire_and_remeasure(fmt, sink, meta_root)
             print(
                 f"{fmt} after expire(keep_last=2): "
