@@ -683,30 +683,25 @@ def q_cdc_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
-@register(
-    "q_stream_near_dedup",
-    oracle="""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-sh AS (SELECT DISTINCT doc_id,
-              unnest(list_transform(generate_series(1, len(t) - 2),
-                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-       FROM toks),
-sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-verified AS (
-    SELECT doc_a, doc_b,
-           ((2000 * i + (sa.n + sb.n - i)) // (2 * (sa.n + sb.n - i))) / 1000.0 AS jaccard
-    FROM pairs
-    JOIN sz sa ON doc_a = sa.doc_id
-    JOIN sz sb ON doc_b = sb.doc_id
-    WHERE i * 2 >= (sa.n + sb.n - i)
-)
-SELECT doc_b AS doc_id, count(*) AS n_dup_sources, max(jaccard) AS best_jaccard
-FROM verified GROUP BY doc_b
-""",
-)
+def _near_dedup_oracle() -> str:
+    # the SHARED shingle-Jaccard truth template (dedup.shingle_pair_ctes):
+    # the threshold applies to the half-up MILLI value the Spark side
+    # filters on (j_milli >= 500) — the exact 2i >= u predicate this
+    # oracle previously used drops exact J in [0.4995, 0.5) that both
+    # engines' milli rounding keeps (round-10 review)
+    from ..llm.dedup import JACCARD_THRESHOLD, shingle_pair_ctes
+
+    return f"""
+WITH {shingle_pair_ctes('documents')}
+SELECT doc_b AS doc_id,
+       count(*) AS n_dup_sources,
+       max(j_milli / 1000.0) AS best_jaccard
+FROM jp WHERE j_milli >= {int(JACCARD_THRESHOLD * 1000)}
+GROUP BY doc_b
+"""
+
+
+@register("q_stream_near_dedup", oracle=_near_dedup_oracle())
 def q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dedup against the STATIC LSH index — the production
     ingestion shape: documents arrive in micro-batches (3 pinned
