@@ -148,10 +148,10 @@ _BM25_TERM = (
 )
 
 
-@register(
-    "q_llm_bm25_search",
-    oracle=f"""
-WITH dl AS (
+# One text for the BM25 scoring CTEs (q_llm_bm25_search and the
+# cross-feature reranker's recall stage hash against the same body)
+_BM25_SCORED_CTES = f"""
+dl AS (
     SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
 ), stats AS (
     SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl
@@ -169,23 +169,13 @@ WITH dl AS (
     FROM tf JOIN df USING (w) JOIN dl ON tf.doc_id = dl.doc_id
     CROSS JOIN stats
     GROUP BY tf.doc_id
-)
-SELECT doc_id, score_u / 1000000.0 AS score
-FROM scored ORDER BY score_u DESC, doc_id LIMIT {TOP_K_DOCS}
-""",
-)
-def q_llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 ranking (k1=1.2, b=0.75) for the fixed query-term set:
-    TF-IDF's production-grade successor, adding term-frequency
-    saturation and document-length normalization. tf / df / dl /
-    corpus stats are all exact integers feeding the byte-identical
-    float expression in both engines (_BM25_TERM), per-term scores are
-    integer-quantized before the order-independent per-doc sum, and
-    top-k is TakeOrdered on the integer score. Scale: the df and
-    corpus-stats frames are term-count- and 1-row-sized (broadcast);
-    dl is a map-side projection joined on doc_id — one shuffle; the
-    documents scan is shared by tok/dl branches at fixture scale and
-    worth a persist when the corpus is hot."""
+)"""
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score_u) Okapi BM25 micro-point scores for the fixed
+    query-term set — the shared recall stage (q_llm_bm25_search ranks
+    it; the reranker takes its top candidates)."""
     d = table(spark, sf_dir, "documents")
     # tf and dl each feed TWO plan branches (scored join + their own
     # aggregate); Catalyst has no cross-branch CSE, so without the
@@ -203,15 +193,184 @@ def q_llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     df = tf.groupBy("w").agg(F.count("*").alias("df"))
-    scored = (
+    return (
         tf.join(F.broadcast(df), "w")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.sum(F.expr(_BM25_TERM)).alias("score_u"))
     )
+
+
+@register(
+    "q_llm_bm25_search",
+    oracle=f"""
+WITH {_BM25_SCORED_CTES}
+SELECT doc_id, score_u / 1000000.0 AS score
+FROM scored ORDER BY score_u DESC, doc_id LIMIT {TOP_K_DOCS}
+""",
+)
+def q_llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranking (k1=1.2, b=0.75) for the fixed query-term set:
+    TF-IDF's production-grade successor, adding term-frequency
+    saturation and document-length normalization. tf / df / dl /
+    corpus stats are all exact integers feeding the byte-identical
+    float expression in both engines (_BM25_TERM), per-term scores are
+    integer-quantized before the order-independent per-doc sum, and
+    top-k is TakeOrdered on the integer score. Scale: the df and
+    corpus-stats frames are term-count- and 1-row-sized (broadcast);
+    dl is a map-side projection joined on doc_id — one shuffle; the
+    documents scan is shared by tok/dl branches at fixture scale and
+    worth a persist when the corpus is hot."""
     return (
-        scored.orderBy(F.col("score_u").desc(), "doc_id")
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("score_u").desc(), "doc_id")
         .limit(TOP_K_DOCS)
         .select("doc_id", (F.col("score_u") / 1000000.0).alias("score"))
+    )
+
+
+RERANK_CANDIDATES = 50
+RERANK_TOP = 10
+_GAP_SENTINEL = 10_000  # single-term docs: "no gap measurable"
+_QUERY_BIGRAMS = tuple(zip(QUERY_TERMS, QUERY_TERMS[1:]))
+_BIGRAM_SQL = " OR ".join(
+    f"(a.w = '{x}' AND b.w = '{y}')" for x, y in _QUERY_BIGRAMS
+)
+
+
+@register(
+    "q_llm_rerank_crossfeat",
+    oracle=f"""
+WITH {_BM25_SCORED_CTES},
+cand AS (
+    SELECT doc_id, score_u FROM scored
+    ORDER BY score_u DESC, doc_id LIMIT {RERANK_CANDIDATES}),
+cd AS (
+    SELECT c.doc_id, c.score_u, string_split(d.text, ' ') AS ws
+    FROM cand c JOIN documents d USING (doc_id)),
+qp AS (
+    SELECT doc_id, w, p FROM (
+        SELECT doc_id, unnest(ws) AS w,
+               unnest(generate_series(1, len(ws))) AS p
+        FROM cd)
+    WHERE w IN {tuple(QUERY_TERMS)}),
+cov AS (SELECT doc_id, count(DISTINCT w) AS coverage FROM qp GROUP BY doc_id),
+gap AS (
+    SELECT a.doc_id, min(abs(a.p - b.p)) AS min_gap
+    FROM qp a JOIN qp b ON a.doc_id = b.doc_id AND a.w <> b.w
+    GROUP BY a.doc_id),
+ph AS (
+    SELECT a.doc_id, count(*) AS phrase_hits
+    FROM qp a JOIN qp b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                       AND ({_BIGRAM_SQL})
+    GROUP BY a.doc_id),
+feat AS (
+    SELECT c.doc_id, c.score_u,
+           CAST(cov.coverage AS BIGINT) AS coverage,
+           CAST(COALESCE(ph.phrase_hits, 0) AS BIGINT) AS phrase_hits,
+           CAST(COALESCE(gap.min_gap, {_GAP_SENTINEL}) AS BIGINT) AS min_gap
+    FROM cand c
+    JOIN cov USING (doc_id)
+    LEFT JOIN gap USING (doc_id)
+    LEFT JOIN ph USING (doc_id)),
+rr AS (
+    SELECT *, coverage * 10000000 + phrase_hits * 100000
+              + ({_GAP_SENTINEL} - LEAST(min_gap, {_GAP_SENTINEL})) AS rerank_u
+    FROM feat)
+SELECT CAST(row_number() OVER (ORDER BY rerank_u DESC, score_u DESC, doc_id)
+            AS BIGINT) AS rank,
+       doc_id, coverage, phrase_hits, min_gap,
+       score_u / 1000000.0 AS bm25_score
+FROM rr ORDER BY rank LIMIT {RERANK_TOP}
+""",
+)
+def q_llm_rerank_crossfeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval with a cross-encoder-SHAPED reranker
+    (round-9 verdict, north-star list): BM25 recalls the top
+    {RERANK_CANDIDATES} candidates cheaply (corpus-wide, bag-of-words),
+    then a precision stage computes query×document CROSS features that
+    need the joint token sequence — distinct-term coverage, query
+    bigram (phrase) hits, and minimum position gap between different
+    query terms — and re-ranks on an integer score. This is the
+    production cost model a neural cross-encoder inherits: the
+    expensive pairwise stage touches ONLY the candidate set (positions
+    exploded for ≤{RERANK_CANDIDATES} docs, self-joined per doc), never
+    the corpus; swapping the integer scorer for a model UDF changes one
+    stage. All features are exact integers, so the rerank is
+    hash-checkable end to end."""
+    cand = tracked_persist(
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("score_u").desc(), "doc_id")
+        .limit(RERANK_CANDIDATES)
+    )  # referenced by the text join AND the final feature join
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # positions for candidate docs only — the stage-2 cost contract
+    # (0- vs 1-based across engines is irrelevant: only DIFFERENCES
+    # of positions feed the features)
+    qp = tracked_persist(
+        d.join(F.broadcast(cand.select("doc_id")), "doc_id")
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("p", "w"),
+        )
+        .where(F.col("w").isin(*QUERY_TERMS))
+    )  # referenced by cov + both sides of gap/phrase self-joins
+    cov = qp.groupBy("doc_id").agg(
+        F.countDistinct("w").alias("coverage")
+    )
+    a, b = qp.alias("a"), qp.alias("b")
+    gap = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.w") != F.col("b.w")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.min(F.abs(F.col("a.p") - F.col("b.p"))).alias("min_gap"))
+    )
+    is_bigram = None
+    for x, y in _QUERY_BIGRAMS:
+        cond = (F.col("a.w") == x) & (F.col("b.w") == y)
+        is_bigram = cond if is_bigram is None else (is_bigram | cond)
+    ph = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.p") == F.col("a.p") + 1)
+            & is_bigram,
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.count("*").alias("phrase_hits"))
+    )
+    feat = (
+        cand.join(cov, "doc_id")
+        .join(gap, "doc_id", "left")
+        .join(ph, "doc_id", "left")
+        .select(
+            "doc_id",
+            "score_u",
+            F.col("coverage").cast("bigint").alias("coverage"),
+            F.coalesce("phrase_hits", F.lit(0)).cast("bigint").alias("phrase_hits"),
+            F.coalesce("min_gap", F.lit(_GAP_SENTINEL)).cast("bigint").alias("min_gap"),
+        )
+        .withColumn(
+            "rerank_u",
+            F.col("coverage") * 10_000_000
+            + F.col("phrase_hits") * 100_000
+            + (F.lit(_GAP_SENTINEL) - F.least(F.col("min_gap"), F.lit(_GAP_SENTINEL))),
+        )
+    )
+    w = W.orderBy(
+        F.col("rerank_u").desc(), F.col("score_u").desc(), F.col("doc_id")
+    )
+    # global window over ≤RERANK_CANDIDATES rows (post-TakeOrdered):
+    # single-partition by construction, not a scale hazard
+    return (
+        feat.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= RERANK_TOP)
+        .select(
+            "rank", "doc_id", "coverage", "phrase_hits", "min_gap",
+            (F.col("score_u") / 1000000.0).alias("bm25_score"),
+        )
     )

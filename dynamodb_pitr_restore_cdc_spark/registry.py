@@ -440,6 +440,8 @@ _REVERIFY_R10: frozenset[str] = frozenset(
         # changefeed consumers: diff_states grew payload-cols/key
         # passthrough (default output unchanged; re-prove it)
         "q_cdc_changefeed", "q_cdc_alerting",
+        # recall stage factored into _bm25_scored + shared oracle CTEs
+        "q_llm_bm25_search",
     }
 )
 
