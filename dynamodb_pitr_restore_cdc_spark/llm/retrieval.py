@@ -233,6 +233,9 @@ def q_llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 RERANK_CANDIDATES = 50
 RERANK_TOP = 10
 _GAP_SENTINEL = 10_000  # single-term docs: "no gap measurable"
+_PHRASE_CAP = 99  # phrase hits capped to their packing bucket —
+# uncapped, 100+ repeats of one bigram would add a full coverage level
+# to rerank_u and let a phrase-spam doc outrank higher-coverage docs
 _QUERY_BIGRAMS = tuple(zip(QUERY_TERMS, QUERY_TERMS[1:]))
 _BIGRAM_SQL = " OR ".join(
     f"(a.w = '{x}' AND b.w = '{y}')" for x, y in _QUERY_BIGRAMS
@@ -247,7 +250,7 @@ cand AS (
     SELECT doc_id, score_u FROM scored
     ORDER BY score_u DESC, doc_id LIMIT {RERANK_CANDIDATES}),
 cd AS (
-    SELECT c.doc_id, c.score_u, string_split(d.text, ' ') AS ws
+    SELECT c.doc_id, string_split(d.text, ' ') AS ws
     FROM cand c JOIN documents d USING (doc_id)),
 qp AS (
     SELECT doc_id, w, p FROM (
@@ -256,24 +259,26 @@ qp AS (
         FROM cd)
     WHERE w IN {tuple(QUERY_TERMS)}),
 cov AS (SELECT doc_id, count(DISTINCT w) AS coverage FROM qp GROUP BY doc_id),
-gap AS (
-    SELECT a.doc_id, min(abs(a.p - b.p)) AS min_gap
+xf AS (
+    -- ONE self-join computes both cross features (the phrase pairs
+    -- are a subset of the distinct-term pairs)
+    SELECT a.doc_id,
+           min(abs(a.p - b.p)) AS min_gap,
+           sum(CASE WHEN b.p = a.p + 1 AND ({_BIGRAM_SQL})
+                    THEN 1 ELSE 0 END) AS phrase_hits
     FROM qp a JOIN qp b ON a.doc_id = b.doc_id AND a.w <> b.w
-    GROUP BY a.doc_id),
-ph AS (
-    SELECT a.doc_id, count(*) AS phrase_hits
-    FROM qp a JOIN qp b ON a.doc_id = b.doc_id AND b.p = a.p + 1
-                       AND ({_BIGRAM_SQL})
     GROUP BY a.doc_id),
 feat AS (
     SELECT c.doc_id, c.score_u,
            CAST(cov.coverage AS BIGINT) AS coverage,
-           CAST(COALESCE(ph.phrase_hits, 0) AS BIGINT) AS phrase_hits,
-           CAST(COALESCE(gap.min_gap, {_GAP_SENTINEL}) AS BIGINT) AS min_gap
+           -- capped to its packing bucket, like min_gap: uncapped, a
+           -- phrase-spam doc would overflow into the coverage level
+           CAST(LEAST(COALESCE(xf.phrase_hits, 0), {_PHRASE_CAP})
+                AS BIGINT) AS phrase_hits,
+           CAST(COALESCE(xf.min_gap, {_GAP_SENTINEL}) AS BIGINT) AS min_gap
     FROM cand c
     JOIN cov USING (doc_id)
-    LEFT JOIN gap USING (doc_id)
-    LEFT JOIN ph USING (doc_id)),
+    LEFT JOIN xf USING (doc_id)),
 rr AS (
     SELECT *, coverage * 10000000 + phrase_hits * 100000
               + ({_GAP_SENTINEL} - LEAST(min_gap, {_GAP_SENTINEL})) AS rerank_u
@@ -319,39 +324,39 @@ def q_llm_rerank_crossfeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = qp.groupBy("doc_id").agg(
         F.countDistinct("w").alias("coverage")
     )
-    a, b = qp.alias("a"), qp.alias("b")
-    gap = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("a.w") != F.col("b.w")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_id"))
-        .agg(F.min(F.abs(F.col("a.p") - F.col("b.p"))).alias("min_gap"))
-    )
     is_bigram = None
     for x, y in _QUERY_BIGRAMS:
         cond = (F.col("a.w") == x) & (F.col("b.w") == y)
         is_bigram = cond if is_bigram is None else (is_bigram | cond)
-    ph = (
-        a.join(
-            b,
+    # ONE self-join computes both cross features (the phrase pairs are
+    # a subset of the distinct-term pairs) — twin of the oracle's xf
+    xf = (
+        qp.alias("a")
+        .join(
+            qp.alias("b"),
             (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("b.p") == F.col("a.p") + 1)
-            & is_bigram,
+            & (F.col("a.w") != F.col("b.w")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_id"))
-        .agg(F.count("*").alias("phrase_hits"))
+        .agg(
+            F.min(F.abs(F.col("a.p") - F.col("b.p"))).alias("min_gap"),
+            F.sum(
+                F.when(
+                    (F.col("b.p") == F.col("a.p") + 1) & is_bigram, 1
+                ).otherwise(0)
+            ).alias("phrase_hits"),
+        )
     )
     feat = (
         cand.join(cov, "doc_id")
-        .join(gap, "doc_id", "left")
-        .join(ph, "doc_id", "left")
+        .join(xf, "doc_id", "left")
         .select(
             "doc_id",
             "score_u",
             F.col("coverage").cast("bigint").alias("coverage"),
-            F.coalesce("phrase_hits", F.lit(0)).cast("bigint").alias("phrase_hits"),
+            F.least(
+                F.coalesce("phrase_hits", F.lit(0)), F.lit(_PHRASE_CAP)
+            ).cast("bigint").alias("phrase_hits"),
             F.coalesce("min_gap", F.lit(_GAP_SENTINEL)).cast("bigint").alias("min_gap"),
         )
         .withColumn(
