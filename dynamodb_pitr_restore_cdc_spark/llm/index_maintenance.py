@@ -178,6 +178,96 @@ class LshIndex:
         return self._verify(cand, corpus)
 
 
+class IvfIndex:
+    """IVF (cell-partitioned ANN) index as a CDC-maintained keyed table
+    — the frozen-quantizer production shape: the coarse quantizer is
+    trained ONCE on the loaded corpus (`init`), later arrivals are
+    assigned to cells with the FROZEN centroids in O(batch) blind
+    appends, retractions are tombstones, and searches read the folded
+    membership (probe cells → candidate rows → exact scoring).
+    Retraining the quantizer is an index REBUILD by design (as in
+    production IVF systems — centroids drift invalidates every stored
+    assignment), so the centroids live with the instance, not the log."""
+
+    K = 8
+    ITERS = 3
+    NPROBE = 3
+
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 32):
+        self.spark = spark
+        self.sink = DeltaLogSink(spark, path, n_buckets=n_buckets)
+        self._cents: DataFrame | None = None
+
+    def init(self, vectors: DataFrame, seq: int = 1) -> None:
+        """Train the quantizer on `vectors` (vec_id, qv — must contain
+        vec_id 1..K, the deterministic seeds) and fold their cell
+        assignments as the starting index state."""
+        from .kmeans import _assign, kmeans_centroids
+
+        self._cents = kmeans_centroids(vectors, k=self.K, iters=self.ITERS)
+        self.sink.init(
+            _assign(vectors, self._cents)
+            .select("vec_id", "cid")
+            .withColumn("last_seq", F.lit(seq).cast("long")),
+            key="vec_id",
+        )
+
+    def upsert(self, vectors: DataFrame, seq: int) -> None:
+        """Assign a batch with the FROZEN centroids and blind-append —
+        O(batch): the quantizer never rescans the corpus."""
+        from .kmeans import _assign
+
+        self.sink.append(
+            _assign(vectors, self._cents)
+            .select("vec_id", "cid")
+            .withColumn("seq_no", F.lit(seq).cast("long"))
+            .withColumn("op", F.lit("MODIFY"))
+        )
+
+    def remove(self, vec_ids: DataFrame, seq: int) -> None:
+        self.sink.append(
+            vec_ids.select(
+                "vec_id",
+                F.lit(seq).cast("long").alias("seq_no"),
+                F.lit("REMOVE").alias("op"),
+                F.lit(None).cast("long").alias("cid"),
+            )
+        )
+
+    def search(self, probe_q: DataFrame, floats: DataFrame, probe_id: int) -> DataFrame:
+        """Top-5 cosine ANN over the CURRENT index state: rank the
+        probe against the frozen centroids (K rows), read only the
+        NPROBE nearest cells' members from the folded index, score
+        candidates exactly against the float embeddings."""
+        from .kmeans import assignment_ranking
+
+        probe_cells = (
+            assignment_ranking(probe_q, self._cents)
+            .where(F.col("rn") <= self.NPROBE)
+            .select("cid")
+        )
+        probe = floats.where(F.col("vec_id") == probe_id).select(
+            F.col("v").alias("pv")
+        )
+        cand = (
+            self.sink.visible()
+            .join(F.broadcast(probe_cells), "cid", "left_semi")
+            .where(F.col("vec_id") != probe_id)
+            .join(floats, "vec_id")
+            .crossJoin(F.broadcast(probe))
+        )
+        from .similarity import cosine_col
+
+        return (
+            cand.select(
+                "vec_id", "cid", cosine_col(F.col("v"), F.col("pv")).alias("cos")
+            )
+            .orderBy(F.col("cos").desc(), "vec_id")
+            .limit(5)
+            .select("vec_id", "cid", F.round("cos", 4).alias("cos_sim"))
+        )
+
+
 # ---------------------------------------------------------------------------
 # the maintenance drill both registered queries share
 # ---------------------------------------------------------------------------
@@ -277,6 +367,71 @@ WITH {_FINAL_CORPUS_SQL},
         dedup viable at 10⁹ docs."""
         idx, final, _v0, base = _run_maintenance(spark, sf_dir)
         result = tracked_persist(idx.pairs(final))
+        result.count()  # materialize before the backing dirs go away
+        shutil.rmtree(base, ignore_errors=True)
+        return result
+
+    from .kmeans import lloyd_oracle_ctes
+    from .similarity import PROBE_VEC_ID
+
+    @register(
+        "q_llm_ivf_index_maintenance",
+        oracle=f"""
+WITH pmax AS (SELECT (2 * max(vec_id)) // 3 AS c2 FROM embeddings),
+{lloyd_oracle_ctes(str(IvfIndex.K), IvfIndex.ITERS,
+                   train_cond="vec_id <= (SELECT c2 FROM pmax)")},
+live AS (SELECT vec_id FROM embeddings WHERE vec_id % {_REMOVE_MOD} <> 5),
+probe_cells AS (SELECT cid FROM rank_final
+                WHERE vec_id = {PROBE_VEC_ID} AND rn <= {IvfIndex.NPROBE}),
+p AS (SELECT v AS pv FROM e WHERE vec_id = {PROBE_VEC_ID}),
+cand AS (SELECT e.vec_id, asg.cid,
+                list_cosine_similarity(e.v, p.pv) AS cos
+         FROM e JOIN asg USING (vec_id) JOIN live USING (vec_id) CROSS JOIN p
+         WHERE asg.cid IN (SELECT cid FROM probe_cells)
+           AND e.vec_id <> {PROBE_VEC_ID})
+SELECT vec_id, cid, round(cos, 4) AS cos_sim
+FROM cand ORDER BY cos DESC, vec_id LIMIT 5
+""",
+    )
+    def q_llm_ivf_index_maintenance(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """The IVF ANN index as CDC-maintained state — the LSH drill's
+        sibling for embedding search (round-9 verdict named both):
+        train the coarse quantizer on the first two-thirds of the
+        corpus (frozen from then on — the production cadence; retrain =
+        rebuild), blind-append the late third's cell assignments in
+        O(batch), retract every vec_id%17==5, then answer the probe's
+        top-5 ANN FROM THE INDEX (3 of 8 cells read). The oracle
+        re-derives the frozen quantizer with the unrolled integer Lloyd
+        chain TRAINED ON THE SAME PREFIX (lloyd_oracle_ctes train_cond
+        — later arrivals must not perturb the centroids), assigns every
+        live vector against it, and brute-forces the probed cells.
+        A stale assignment (an upsert folded against retrained
+        centroids, or a removal leaking back) would change the
+        candidate set and break the hash."""
+        from .kmeans import _quantized
+
+        q = _quantized(spark, sf_dir)
+        mx = q.agg(F.max("vec_id")).first()[0]  # orchestration scalar
+        c2 = (2 * int(mx)) // 3
+        base = tempfile.mkdtemp(prefix="ivfidx-")
+        idx = IvfIndex(spark, os.path.join(base, "t"))
+        idx.init(q.where(F.col("vec_id") <= c2), seq=1)
+        idx.upsert(q.where(F.col("vec_id") > c2), seq=2)
+        idx.remove(
+            q.where(F.col("vec_id") % _REMOVE_MOD == 5).select("vec_id"), seq=3
+        )
+        from .similarity import _as_double
+
+        floats = table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("v")
+        )
+        result = tracked_persist(
+            idx.search(
+                q.where(F.col("vec_id") == PROBE_VEC_ID), floats, PROBE_VEC_ID
+            )
+        )
         result.count()  # materialize before the backing dirs go away
         shutil.rmtree(base, ignore_errors=True)
         return result

@@ -130,7 +130,7 @@ def kmeans_fit(vectors: DataFrame, k: int = K, iters: int = ITERS) -> DataFrame:
 EMBED_DIM = 64  # fixture contract (embeddings.embedding: array<float>[64])
 
 
-def lloyd_oracle_ctes(k_sql: str, iters: int) -> str:
+def lloyd_oracle_ctes(k_sql: str, iters: int, train_cond: str | None = None) -> str:
     """DuckDB CTE chain mirroring the exact-integer Lloyd trainer: same
     floor-quantization, same initialization (vec_id 1..k), `iters`
     unrolled updates (tied argmin by cid, truncating integer means),
@@ -138,11 +138,17 @@ def lloyd_oracle_ctes(k_sql: str, iters: int) -> str:
     math is what makes the iterative trainer oracle-expressible at all
     — double centroid means would diverge between engines on summation
     order. `k_sql` is an aggregate expression over `embeddings`
-    (a literal for a fixed k)."""
+    (a literal for a fixed k). `train_cond` restricts TRAINING to a
+    vector subset (the frozen-quantizer index-maintenance shape: train
+    once on the loaded corpus, assign later arrivals with the frozen
+    centroids); `rank_final`/`asg` still rank EVERY vector. The default
+    emits byte-identical text to the pre-parameter version, so existing
+    oracles are unchanged."""
     d2 = (
         "list_sum(list_transform(list_zip(q.qv, c.cv), "
         "z -> (z[1] - z[2]) * (z[1] - z[2])))"
     )
+    train_src = "qt q" if train_cond else "q"
     parts = [
         "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
         (
@@ -152,12 +158,14 @@ def lloyd_oracle_ctes(k_sql: str, iters: int) -> str:
         f"kk AS (SELECT {k_sql} AS k FROM embeddings)",
         "c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk))",
     ]
+    if train_cond:
+        parts.append(f"qt AS (SELECT * FROM q WHERE {train_cond})")
     for i in range(1, iters + 1):
         parts += [
             (
                 f"a{i} AS (SELECT q.vec_id, c.cid, row_number() OVER "
                 f"(PARTITION BY q.vec_id ORDER BY {d2}, c.cid) AS rn "
-                f"FROM q CROSS JOIN c{i - 1} c)"
+                f"FROM {train_src} CROSS JOIN c{i - 1} c)"
             ),
             f"asg{i} AS (SELECT vec_id, cid FROM a{i} WHERE rn = 1)",
             (
