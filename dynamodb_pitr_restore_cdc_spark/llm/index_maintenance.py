@@ -198,15 +198,35 @@ class IvfIndex:
         self.sink = DeltaLogSink(spark, path, n_buckets=n_buckets)
         self._cents: DataFrame | None = None
 
+    def _quantizer_path(self) -> str:
+        return os.path.join(self.sink.path, "quantizer")
+
+    def _centroids(self) -> DataFrame:
+        """The frozen centroids — persisted at init next to the log so
+        a FRESH handle (or a later session) can still maintain and
+        search the durable index; a never-trained index fails loudly
+        instead of broadcasting None."""
+        if self._cents is None:
+            p = self._quantizer_path()
+            if not os.path.isdir(p):
+                raise ValueError(
+                    f"no trained quantizer at {p}: init() trains it; "
+                    f"retraining is an index REBUILD by design"
+                )
+            self._cents = self.spark.read.parquet(p)
+        return self._cents
+
     def init(self, vectors: DataFrame, seq: int = 1) -> None:
         """Train the quantizer on `vectors` (vec_id, qv — must contain
-        vec_id 1..K, the deterministic seeds) and fold their cell
-        assignments as the starting index state."""
+        vec_id 1..K, the deterministic seeds), persist it beside the
+        log, and fold the cell assignments as the starting state."""
         from .kmeans import _assign, kmeans_centroids
 
-        self._cents = kmeans_centroids(vectors, k=self.K, iters=self.ITERS)
+        cents = kmeans_centroids(vectors, k=self.K, iters=self.ITERS)
+        cents.write.mode("overwrite").parquet(self._quantizer_path())
+        self._cents = cents
         self.sink.init(
-            _assign(vectors, self._cents)
+            _assign(vectors, cents)
             .select("vec_id", "cid")
             .withColumn("last_seq", F.lit(seq).cast("long")),
             key="vec_id",
@@ -218,7 +238,7 @@ class IvfIndex:
         from .kmeans import _assign
 
         self.sink.append(
-            _assign(vectors, self._cents)
+            _assign(vectors, self._centroids())
             .select("vec_id", "cid")
             .withColumn("seq_no", F.lit(seq).cast("long"))
             .withColumn("op", F.lit("MODIFY"))
@@ -238,34 +258,22 @@ class IvfIndex:
         """Top-5 cosine ANN over the CURRENT index state: rank the
         probe against the frozen centroids (K rows), read only the
         NPROBE nearest cells' members from the folded index, score
-        candidates exactly against the float embeddings."""
+        candidates exactly against the float embeddings — the shared
+        probe tail (similarity.ivf_probe_topk, one implementation with
+        q_llm_ann_ivf)."""
         from .kmeans import assignment_ranking
+        from .similarity import ivf_probe_topk
 
         probe_cells = (
-            assignment_ranking(probe_q, self._cents)
+            assignment_ranking(probe_q, self._centroids())
             .where(F.col("rn") <= self.NPROBE)
             .select("cid")
         )
         probe = floats.where(F.col("vec_id") == probe_id).select(
             F.col("v").alias("pv")
         )
-        cand = (
-            self.sink.visible()
-            .join(F.broadcast(probe_cells), "cid", "left_semi")
-            .where(F.col("vec_id") != probe_id)
-            .join(floats, "vec_id")
-            .crossJoin(F.broadcast(probe))
-        )
-        from .similarity import cosine_col
-
-        return (
-            cand.select(
-                "vec_id", "cid", cosine_col(F.col("v"), F.col("pv")).alias("cos")
-            )
-            .orderBy(F.col("cos").desc(), "vec_id")
-            .limit(5)
-            .select("vec_id", "cid", F.round("cos", 4).alias("cos_sim"))
-        )
+        members = self.sink.visible().select("vec_id", "cid").join(floats, "vec_id")
+        return ivf_probe_topk(members, probe_cells, probe)
 
 
 # ---------------------------------------------------------------------------
@@ -372,7 +380,11 @@ WITH {_FINAL_CORPUS_SQL},
         return result
 
     from .kmeans import lloyd_oracle_ctes
-    from .similarity import PROBE_VEC_ID
+    from .similarity import PROBE_VEC_ID, ivf_probe_tail_sql
+
+    _LIVE_MEMBERS_REL = (
+        "(SELECT asg.vec_id, asg.cid FROM asg JOIN live USING (vec_id))"
+    )
 
     @register(
         "q_llm_ivf_index_maintenance",
@@ -381,16 +393,7 @@ WITH pmax AS (SELECT (2 * max(vec_id)) // 3 AS c2 FROM embeddings),
 {lloyd_oracle_ctes(str(IvfIndex.K), IvfIndex.ITERS,
                    train_cond="vec_id <= (SELECT c2 FROM pmax)")},
 live AS (SELECT vec_id FROM embeddings WHERE vec_id % {_REMOVE_MOD} <> 5),
-probe_cells AS (SELECT cid FROM rank_final
-                WHERE vec_id = {PROBE_VEC_ID} AND rn <= {IvfIndex.NPROBE}),
-p AS (SELECT v AS pv FROM e WHERE vec_id = {PROBE_VEC_ID}),
-cand AS (SELECT e.vec_id, asg.cid,
-                list_cosine_similarity(e.v, p.pv) AS cos
-         FROM e JOIN asg USING (vec_id) JOIN live USING (vec_id) CROSS JOIN p
-         WHERE asg.cid IN (SELECT cid FROM probe_cells)
-           AND e.vec_id <> {PROBE_VEC_ID})
-SELECT vec_id, cid, round(cos, 4) AS cos_sim
-FROM cand ORDER BY cos DESC, vec_id LIMIT 5
+{ivf_probe_tail_sql(_LIVE_MEMBERS_REL, IvfIndex.NPROBE)}
 """,
     )
     def q_llm_ivf_index_maintenance(

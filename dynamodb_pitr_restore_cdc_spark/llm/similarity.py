@@ -88,6 +88,44 @@ IVF_TRAIN_ITERS = 3   # = kmeans.ITERS: the quantizer IS q_llm_kmeans's trainer
 EMBED_DIM = 64        # fixture contract (embeddings.embedding: array<float>[64])
 
 
+def ivf_probe_tail_sql(members_rel: str, nprobe: int) -> str:
+    """The IVF probe's candidate/score/top-5 SQL — ONE text for every
+    cell-pruned ANN oracle (q_llm_ann_ivf; the CDC-maintained index
+    drill passes its live-filtered membership), so a scoring or
+    tie-break change cannot silently diverge between them. Continues an
+    open WITH list; expects `rank_final` (probe cell ranking) and `e`
+    (float vectors) upstream. `members_rel` is a relation text with
+    (vec_id, cid) — a CTE name or a parenthesized subquery."""
+    return f"""probe_cells AS (SELECT cid FROM rank_final
+                WHERE vec_id = {PROBE_VEC_ID} AND rn <= {nprobe}),
+p AS (SELECT v AS pv FROM e WHERE vec_id = {PROBE_VEC_ID}),
+cand AS (SELECT e.vec_id, m.cid,
+                list_cosine_similarity(e.v, p.pv) AS cos
+         FROM e JOIN {members_rel} m USING (vec_id) CROSS JOIN p
+         WHERE m.cid IN (SELECT cid FROM probe_cells)
+           AND e.vec_id <> {PROBE_VEC_ID})
+SELECT vec_id, cid, round(cos, 4) AS cos_sim
+FROM cand ORDER BY cos DESC, vec_id LIMIT 5"""
+
+
+def ivf_probe_topk(
+    members: DataFrame, probe_cells: DataFrame, probe: DataFrame
+) -> DataFrame:
+    """Spark twin of ivf_probe_tail_sql: members (vec_id, cid, v) ×
+    broadcast probe cells → exact cosine → TakeOrdered top-5."""
+    cand = (
+        members.join(F.broadcast(probe_cells), "cid", "left_semi")
+        .where(F.col("vec_id") != PROBE_VEC_ID)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", "cid", cosine_col(F.col("v"), F.col("pv")).alias("cos"))
+    )
+    return (
+        cand.orderBy(F.col("cos").desc(), "vec_id")
+        .limit(5)
+        .select("vec_id", "cid", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
 def ivf_cell_count(n: int) -> int:
     """K-vs-n sizing rule: K = max(4, ceil(sqrt(n))) — the standard IVF
     nlist heuristic. Cells then hold ~sqrt(n) vectors, so within-cell
@@ -188,15 +226,7 @@ def _ivf_oracle_prefix() -> str:
     "q_llm_ann_ivf",
     oracle=f"""
 WITH {_ivf_oracle_prefix()},
-probe_cells AS (SELECT cid FROM rank_final
-                WHERE vec_id = {PROBE_VEC_ID} AND rn <= {IVF_PROBE_CELLS}),
-p AS (SELECT v AS pv FROM e WHERE vec_id = {PROBE_VEC_ID}),
-cand AS (SELECT e.vec_id, asg.cid,
-                list_cosine_similarity(e.v, p.pv) AS cos
-         FROM e JOIN asg USING (vec_id) CROSS JOIN p
-         WHERE asg.cid IN (SELECT cid FROM probe_cells) AND e.vec_id <> {PROBE_VEC_ID})
-SELECT vec_id, cid, round(cos, 4) AS cos_sim
-FROM cand ORDER BY cos DESC, vec_id LIMIT 5
+{ivf_probe_tail_sql("asg", IVF_PROBE_CELLS)}
 """,
 )
 def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,17 +255,7 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid")
     )
     probe = e.where(F.col("vec_id") == PROBE_VEC_ID).select(F.col("v").alias("pv"))
-    cand = (
-        members.join(F.broadcast(probe_cells), "cid", "left_semi")
-        .where(F.col("vec_id") != PROBE_VEC_ID)
-        .crossJoin(F.broadcast(probe))
-        .select("vec_id", "cid", cosine_col(F.col("v"), F.col("pv")).alias("cos"))
-    )
-    return (
-        cand.orderBy(F.col("cos").desc(), "vec_id")
-        .limit(5)
-        .select("vec_id", "cid", F.round("cos", 4).alias("cos_sim"))
-    )
+    return ivf_probe_topk(members, probe_cells, probe)
 
 
 NEARDUP_COS = 0.35

@@ -442,6 +442,9 @@ _REVERIFY_R10: frozenset[str] = frozenset(
         "q_cdc_changefeed", "q_cdc_alerting",
         # recall stage factored into _bm25_scored + shared oracle CTEs
         "q_llm_bm25_search",
+        # probe tail factored into similarity.ivf_probe_tail_sql /
+        # ivf_probe_topk (one text with the IVF index drill)
+        "q_llm_ann_ivf",
     }
 )
 

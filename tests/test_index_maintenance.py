@@ -59,3 +59,56 @@ def test_delta_pairs_scoped_to_changed_docs(spark, tmp_path):
     full = {(r.doc_a, r.doc_b) for r in idx.pairs(corpus).collect()}
     release_persisted()
     assert full == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_ivf_index_fold_and_fresh_handle(spark, tmp_path):
+    """IvfIndex fold invariants the registered drill can't isolate (its
+    init/upsert key sets are disjoint): an upsert of an EXISTING vec_id
+    must replace its cell, a stale lower-seq replay must lose, and a
+    FRESH handle on the durable path must search/maintain via the
+    persisted quantizer (no in-memory centroid dependency)."""
+    import pandas as pd
+
+    from dynamodb_pitr_restore_cdc_spark.llm.index_maintenance import IvfIndex
+
+    rng_rows = []
+    # 12 deterministic 64-dim vectors: ids 1..8 seed the 8 centroids
+    for i in range(12):
+        rng_rows.append((i, [float((i * 37 + d * 11) % 100) / 100 for d in range(64)]))
+    vecs = spark.createDataFrame(
+        pd.DataFrame(rng_rows, columns=["vec_id", "embedding"]),
+        schema="vec_id long, embedding array<double>",
+    )
+    from dynamodb_pitr_restore_cdc_spark.llm.kmeans import quantize_expr
+
+    q = vecs.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
+    idx = IvfIndex(spark, str(tmp_path / "idx"))
+    idx.init(q, seq=1)
+    state0 = {r.vec_id: r.cid for r in idx.sink.visible().collect()}
+    # move vec 11 to vec 2's vector → its cell must become vec 2's
+    moved = q.where(F.col("vec_id") == 2).select(
+        F.lit(11).cast("long").alias("vec_id"), "qv"
+    )
+    idx.upsert(moved, seq=2)
+    state1 = {r.vec_id: r.cid for r in idx.sink.visible().collect()}
+    assert state1[11] == state0[2]
+    assert state1[11] != state0[11] or state0[11] == state0[2]
+    # stale replay of the ORIGINAL vec 11 (seq 1 < 2) must lose
+    idx2 = IvfIndex(spark, str(tmp_path / "idx"))  # fresh handle: the
+    # persisted quantizer must serve assignment without init()
+    idx2.upsert(q.where(F.col("vec_id") == 11), seq=1)
+    state2 = {r.vec_id: r.cid for r in idx2.sink.visible().collect()}
+    assert state2[11] == state0[2], "stale replay resurrected the old cell"
+    # removal tombstones the row
+    idx2.remove(q.where(F.col("vec_id") == 11).select("vec_id"), seq=3)
+    assert 11 not in {r.vec_id for r in idx2.sink.visible().collect()}
+
+
+def test_ivf_index_never_trained_fails_loudly(spark, tmp_path):
+    import pytest
+
+    from dynamodb_pitr_restore_cdc_spark.llm.index_maintenance import IvfIndex
+
+    idx = IvfIndex(spark, str(tmp_path / "fresh"))
+    with pytest.raises(ValueError, match="no trained quantizer"):
+        idx._centroids()
