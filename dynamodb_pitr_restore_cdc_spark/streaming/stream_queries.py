@@ -784,3 +784,70 @@ def q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in (src, out, ck):
         shutil.rmtree(p, ignore_errors=True)
     return result
+
+
+def _lsh_ingest_oracle() -> str:
+    # the shared shingle-Jaccard template over the FULL corpus: the
+    # streamed, index-maintained pair set must converge to exactly the
+    # batch near-dedup answer (same oracle family as q_llm_near_dedup /
+    # the index-maintenance drill — one text, versioned_sink.py
+    # rationale)
+    from ..llm.dedup import PAIR_SELECT_SQL, shingle_pair_ctes
+
+    return f"WITH {shingle_pair_ctes('documents')}\n{PAIR_SELECT_SQL}\n"
+
+
+@register("q_stream_lsh_index_ingest", oracle=_lsh_ingest_oracle())
+def q_stream_lsh_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into the CDC-MAINTAINED LSH index —
+    q_stream_near_dedup's production successor: that drill joins each
+    batch against a FROZEN corpus artifact (new docs never become
+    findable); here every micro-batch UPSERTS the arriving docs'
+    signatures into the index table (O(batch) blind appends through the
+    sink seam, llm/index_maintenance.LshIndex), so later batches pair
+    against earlier ones and the final index answers the full near-dup
+    query. Micro-batch seq = epoch id (pinned splits ⇒ deterministic);
+    epoch REPLAY double-appends a batch and is value-idempotent by the
+    same argument as q_stream_mor_ingest — a duplicated signature row
+    ties with itself in the per-key max-seq fold. The hash match
+    against the batch oracle proves stream-order independence: the
+    pair set equals the one-shot corpus answer whatever the batching."""
+    from ..llm.index_maintenance import LshIndex
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    row = docs.agg(
+        F.expr("percentile(doc_id, 0.3333)").alias("p1"),
+        F.expr("percentile(doc_id, 0.6667)").alias("p2"),
+    ).first()
+    d = F.col("doc_id")
+    src, work, base = (
+        _fresh_dir("lshing-src"),
+        _fresh_dir("lshing-ck"),
+        _fresh_dir("lshing-idx"),
+    )
+    _write_split_files(
+        docs, [d < row.p1, (d >= row.p1) & (d < row.p2), d >= row.p2], src
+    )
+    idx = LshIndex(spark, os.path.join(base, "t"))
+    # empty init: the table exists before the stream attaches (the
+    # reference's create-then-attach orchestration, A17)
+    idx.init(docs.where(F.lit(False)), seq=1)
+
+    def upsert_batch(batch: DataFrame, epoch_id: int) -> None:
+        idx.upsert(batch, seq=int(epoch_id) + 2)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", os.path.join(work, "_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = tracked_persist(idx.pairs(docs))
+    result.count()  # materialize before removing the backing dirs
+    for p in (src, work, base):
+        shutil.rmtree(p, ignore_errors=True)
+    return result
