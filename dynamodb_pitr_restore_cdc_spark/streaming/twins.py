@@ -1380,6 +1380,97 @@ def _mor_ingest_drill(spark: SparkSession, sf_dir: str, sink_of) -> DataFrame:
     return result
 
 
+@register(
+    "q_stream_schema_evolution",
+    oracle="""
+WITH changelog AS (
+    SELECT event_id AS seq_no,
+           CASE WHEN event_type = 'error' THEN 'REMOVE'
+                WHEN event_type = 'signup' THEN 'INSERT'
+                ELSE 'MODIFY' END AS op,
+           user_id AS key,
+           round(value, 2) AS payload_value,
+           props AS payload_props
+    FROM events),
+p AS (SELECT max(seq_no) // 3 AS c1,
+             max(seq_no) // 3
+             + (max(seq_no) - max(seq_no) // 3) // 2 AS cw
+      FROM changelog)
+SELECT key, seq_no AS last_seq, payload_value,
+       CASE WHEN seq_no > cw THEN payload_props END AS payload_props
+FROM (
+    SELECT key, seq_no, op, payload_value, payload_props,
+           row_number() OVER (PARTITION BY key ORDER BY seq_no DESC) AS rn
+    FROM changelog
+) r, p WHERE rn = 1 AND op <> 'REMOVE'
+""",
+)
+def q_stream_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-STREAM add-column schema evolution through the blind-append
+    ingest lane — the composition the batch drills
+    (q_cdc_delta_schema_evolution / _iceberg_) can't show: init = fold
+    of the changelog's first third (payload_value only), then the tail
+    replays as two pinned micro-batches where the SECOND arrives with a
+    NEW payload_props column (writers drift mid-stream, the reference's
+    schemaless payload). The evolution publishes inside that batch's
+    append commit; compact_mor then folds WIDE pending files over
+    NARROW base files (schema-on-read null-fill inside the fold), and
+    the final state must equal the changelog fold where only rows whose
+    winning entry postdates the evolution carry the column. Epoch
+    replay stays value-idempotent (same argument as
+    q_stream_mor_ingest; the evolution commit re-unions on retry)."""
+    from ..operators.cdc import changelog, fold_changelog
+    from .delta_log_sink import DeltaLogSink
+
+    cl = changelog(spark, sf_dir).select(
+        "seq_no", "op", "key", "payload_value", "payload_props"
+    )
+    max_seq = int(cl.agg(F.max("seq_no")).first()[0])  # orchestration scalar
+    c1 = max_seq // 3
+    cw = c1 + (max_seq - c1) // 2  # the evolution boundary
+    seq = F.col("seq_no")
+    src, work, base = (
+        _fresh_dir("sevo-src"),
+        _fresh_dir("sevo-work"),
+        _fresh_dir("sevo-table"),
+    )
+    _write_split_files(
+        cl, [(seq > c1) & (seq <= cw), seq > cw], src
+    )
+    sink = DeltaLogSink(spark, os.path.join(base, "t"))
+    sink.init(fold_changelog(cl.where(seq <= c1)))
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if int(epoch_id) == 0:
+            # the first micro-batch is a pre-drift writer: narrow shape
+            batch_df = batch_df.drop("payload_props")
+        sink.append(batch_df)
+
+    q = (
+        spark.readStream.schema(
+            "seq_no long, op string, key long, payload_value double, "
+            "payload_props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(work, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink.compact_mor(set(range(sink.n_buckets)))
+    result = tracked_persist(
+        sink.visible().select(
+            "key", "last_seq", "payload_value", "payload_props"
+        )
+    )
+    result.count()  # materialize before the backing dirs go away
+    for dpath in (src, work, base):
+        shutil.rmtree(dpath, ignore_errors=True)
+    return result
+
+
 @register("q_stream_mor_ingest", oracle=_mor_fold_oracle())
 def q_stream_mor_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming merge-on-read ingest ≡ the batch changelog fold (same
