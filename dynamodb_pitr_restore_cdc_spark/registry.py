@@ -448,6 +448,62 @@ _REVERIFY_R10: frozenset[str] = frozenset(
     }
 )
 
+# Queries with a green driver row in CORRECTNESS_r10.json — 50/50
+# hash-match: the 9 new round-10 queries (index maintenance, schema
+# evolution, reranker, contamination report), the whole _REVERIFY_R10
+# set, and the r04 cohort that sat at the age-5 ceiling.
+_DRIVER_VERIFIED_R10: frozenset[str] = frozenset(
+    {
+        "q_agg_histogram", "q_agg_mode", "q_agg_stats_moments",
+        "q_agg_weighted_avg", "q_cdc_alerting", "q_cdc_changefeed",
+        "q_cdc_delta_log_fold", "q_cdc_delta_schema_evolution",
+        "q_cdc_iceberg_log_fold", "q_cdc_iceberg_mor_fold",
+        "q_cdc_iceberg_optimize_plan", "q_cdc_iceberg_schema_evolution",
+        "q_cdc_optimize_plan", "q_join_anti", "q_join_cross_limited",
+        "q_join_full", "q_join_left", "q_join_semi", "q_join_theta_range",
+        "q_llm_ann_ivf", "q_llm_bm25_search", "q_llm_contamination_report",
+        "q_llm_doc_chunking", "q_llm_domain_cap", "q_llm_embed_quantize",
+        "q_llm_ivf_index_maintenance", "q_llm_lsh_index_delta_pairs",
+        "q_llm_lsh_index_maintenance", "q_llm_near_dedup",
+        "q_llm_rarity_score", "q_llm_rerank_crossfeat", "q_pivot_status",
+        "q_scan_orc_source", "q_stream_complete_mode", "q_stream_dedup",
+        "q_stream_interval_join", "q_stream_lsh_index_ingest",
+        "q_stream_mor_ingest", "q_stream_mor_ingest_iceberg",
+        "q_stream_near_dedup", "q_stream_schema_evolution",
+        "q_stream_static_join", "q_stream_tumbling",
+        "q_tpch_q14_promo_effect", "q_tpch_q6_forecast_revenue",
+        "q_ts_anomaly_zscore", "q_ts_cohort_retention", "q_ts_funnel",
+        "q_ts_seasonal_profile", "q_ts_sessionize",
+    }
+)
+
+# Queries whose implementation or oracle changes in round 11 — fronted
+# for driver re-verification.
+_REVERIFY_R11: frozenset[str] = frozenset(
+    {
+        # zorder_layout write made deterministic (explicit bucket-id
+        # bounds instead of sampled repartitionByRange) — the layout
+        # under q_scan_zorder_box changed (it is in the r05 rotation
+        # anyway, but the impl change is the stronger reason)
+        "q_scan_zorder_box",
+        # optimize_plan grew a REPACK decision (manifest-fragmentation
+        # pricing) — the Iceberg policy query's output logic changed
+        "q_cdc_iceberg_optimize_plan",
+    }
+)
+
+# One-shot (round 11): rows-only entries whose driver evidence is three
+# eras old (simhash_pairs r03; approx_distinct/hll_merge r04) get ONE
+# window slot each to refresh their `spark_rows`, per the round-10
+# verdict item 3.  They are placed in the recheck tier for THIS round
+# only — rule 4 below otherwise keeps them out of the window forever.
+_FRONT_ROWS_ONLY_R11: frozenset[str] = frozenset(
+    {
+        "q_agg_approx_distinct", "q_agg_hll_merge",
+        "q_llm_simhash", "q_llm_simhash_pairs",
+    }
+)
+
 
 def all_queries() -> dict[str, QuerySpec]:
     """Import all operator modules (side-effect: registration) and return the registry.
@@ -522,6 +578,7 @@ def all_queries() -> dict[str, QuerySpec]:
         _DRIVER_VERIFIED_R06,
         _DRIVER_VERIFIED_R07,
         _DRIVER_VERIFIED_R09,
+        _DRIVER_VERIFIED_R10,
     )
 
     def last_checked(n: str) -> int:
@@ -533,16 +590,22 @@ def all_queries() -> dict[str, QuerySpec]:
         n
         for n in order
         if last_checked(n) == 0
-        and n not in _REVERIFY_R10
+        and n not in _REVERIFY_R11
         and n not in rows_only
     ]
     # a rows-only name accidentally listed in a reverify set must not
     # claim a recheck slot (dict first-insert wins, so without this
-    # filter it would keep its recheck position despite rule 4)
-    recheck = [n for n in order if n in _REVERIFY_R10 and n not in set(rows_only)]
+    # filter it would keep its recheck position despite rule 4) — the
+    # _FRONT_ROWS_ONLY_R11 exception below is deliberate and one-shot.
+    recheck = [n for n in order if n in _REVERIFY_R11 and n not in set(rows_only)]
+    fronted_rows_only = [n for n in rows_only if n in _FRONT_ROWS_ONLY_R11]
+    tail_rows_only = [n for n in rows_only if n not in _FRONT_ROWS_ONLY_R11]
     head = set(fresh) | set(recheck) | set(rows_only)
     rest = sorted(
         (n for n in order if n not in head),
         key=lambda n: (last_checked(n), order.index(n)),
     )
-    return {n: _REGISTRY[n] for n in (*fresh, *recheck, *rest, *rows_only)}
+    return {
+        n: _REGISTRY[n]
+        for n in (*fresh, *recheck, *fronted_rows_only, *rest, *tail_rows_only)
+    }
