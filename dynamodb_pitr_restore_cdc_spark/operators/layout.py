@@ -449,12 +449,24 @@ def zorder_layout(
     bits = 16
     sx = f"((CAST(l_partkey AS BIGINT) * {1 << bits}) div {int(row.pk) + 1})"
     sy = f"((CAST(l_suppkey AS BIGINT) * {1 << bits}) div {int(row.sk) + 1})"
+    # DETERMINISTIC range split: zv < 2^(2*bits) after normalization, so
+    # equal-width z-ranges are a pure expression — bucket id
+    # `zv div (zspace div n_files)`.  repartitionByRange's sampled
+    # bounds shift with session state (AQE advisory sizes, shuffle-width
+    # toggles from earlier tests moved a file boundary and flipped the
+    # pruning assertion — round-10 verdict item 2); explicit bounds make
+    # the layout byte-stable under any session.  partitionBy (not a
+    # hash repartition alone) keeps each z-range in its own file even
+    # when two bucket ids hash-collide into one shuffle partition.
+    width = (1 << (2 * bits)) // n_files
     (
         li.withColumn("zv", zvalue_expr(sx, sy, bits=bits))
-        .repartitionByRange(n_files, "zv")
-        .sortWithinPartitions("zv")
+        .withColumn("zb", F.expr(f"CAST(zv div {width} AS INT)"))
+        .repartition(n_files, "zb")
+        .sortWithinPartitions("zb", "zv")
         .drop("zv")
         .write.mode("overwrite")
+        .partitionBy("zb")
         .parquet(out)
     )
     # cache the domain maxima WITH the layout: box queries derive

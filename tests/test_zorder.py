@@ -20,12 +20,17 @@ from .conftest import SF_SMOKE
 
 
 def _file_stats(path, cols):
-    """[(min, max) per col] for each parquet data file under path."""
+    """[(min, max) per col] for each parquet data file under path
+    (recursive: the z-ordered layout writes one file per zb= range
+    directory)."""
+    files = []
+    for root, _dirs, names in os.walk(path):
+        files.extend(
+            os.path.join(root, f) for f in names if f.endswith(".parquet")
+        )
     out = []
-    for f in sorted(os.listdir(path)):
-        if not f.endswith(".parquet"):
-            continue
-        md = pq.ParquetFile(os.path.join(path, f)).metadata
+    for f in sorted(files):
+        md = pq.ParquetFile(f).metadata
         lo = {c: None for c in cols}
         hi = {c: None for c in cols}
         for rg in range(md.num_row_groups):
