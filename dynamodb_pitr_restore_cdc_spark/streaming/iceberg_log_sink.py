@@ -111,6 +111,65 @@ ORPHAN_GRACE_DEFAULT_S = 300.0
 PREVIOUS_METADATA_KEPT = 8
 
 
+def _pack_groups(entries: list[dict], target: int) -> list[list[dict]]:
+    """Group live entries into manifests of ~target each, packed by
+    contiguous bucket ranges: a bucket's files stay together (one
+    oversized bucket overflows its own manifest rather than splitting —
+    bounds stay tight either way), groups close at the target on bucket
+    boundaries. Shared by rewrite_manifests (the action) and
+    optimize_plan (the pricing) so the two can never disagree on what
+    "packed" means."""
+    entries = sorted(
+        entries, key=lambda e: e["data_file"]["partition"]["bucket"]
+    )
+    groups: list[list[dict]] = []
+    cur: list[dict] = []
+    for e in entries:
+        b = e["data_file"]["partition"]["bucket"]
+        if (
+            cur
+            and len(cur) >= target
+            and cur[-1]["data_file"]["partition"]["bucket"] != b
+        ):
+            groups.append(cur)
+            cur = []
+        cur.append({**e, "status": "EXISTING"})
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def _manifests_packed(
+    old_list: list[dict], n_groups: int, target: int
+) -> bool:
+    """Already-packed test from manifest-list SUMMARIES alone (no
+    manifest reads): same manifest count as a fresh pack, every old
+    manifest within target, and old bucket spans DISJOINT (an
+    overlapping layout — e.g. init + append both spanning all buckets —
+    must repack even if each piece is small, or every one-bucket MERGE
+    keeps rewriting all of them)."""
+    spans = sorted(
+        (
+            m["partitions"]["bucket"]["lower"],
+            m["partitions"]["bucket"]["upper"],
+            m["added_files_count"] + m["existing_files_count"],
+        )
+        for m in old_list
+    )
+    return (
+        len(old_list) == n_groups
+        and all(n <= target for _lo, _hi, n in spans)
+        and all(spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1))
+    )
+
+
+def _manifest_target(n_entries: int) -> int:
+    """√-packing default: per-commit metadata cost is rewritten-manifest
+    entries (∝ target) + manifest-list rows (∝ entries/target) —
+    balanced at √total (SCALE.md round-10 measurements)."""
+    return max(16, math.isqrt(n_entries))
+
+
 class IcebergLogSink:
     """VersionedSinkFormat + CompactingSinkFormat over an Iceberg-shaped
     metadata tree. See module docstring for the protocol."""
@@ -807,12 +866,25 @@ class IcebergLogSink:
         tombstone_pct% of the bucket's rows). The decision itself is
         the SHARED policy (table_files.optimize_decisions — one
         implementation for both protocols); only the stats extraction
-        here is manifest-specific."""
+        here is manifest-specific.
+
+        Iceberg-specific extra: the plan also prices MANIFEST
+        fragmentation (round-10 verdict item 4 — the flat-metadata
+        property must hold without operator intervention). When the
+        live manifest layout is not what rewrite_manifests would
+        produce (same packed test, _manifests_packed, from the
+        manifest-list summaries alone), one TABLE-scoped row is
+        appended: ``bucket = -1, decision = 'REPACK'`` with the pricing
+        in the counter columns — base_files = live manifests,
+        base_records = live entries, delta_files = ideal manifest
+        count ceil(entries/target), delta_records = the √-packing
+        target. Callers apply it with rewrite_manifests()."""
         last: Exception | None = None
         for _ in range(5):
             try:
                 meta = self._current_meta()
                 prev = self._snapshot_record(meta, None)
+                old_list = self._manifest_list(prev)
                 entries = self._entries(prev)
                 break
             except FileNotFoundError as e:
@@ -837,8 +909,29 @@ class IcebergLogSink:
             else:
                 d["base_files"] += 1
                 d["base_records"] += df_["record_count"]
+        table_rows: list[dict] = []
+        if entries:
+            target = _manifest_target(len(entries))
+            groups = _pack_groups(entries, target)
+            if not _manifests_packed(old_list, len(groups), target):
+                table_rows.append(
+                    {
+                        "bucket": -1,
+                        "base_files": len(old_list),
+                        "base_records": len(entries),
+                        "delta_files": -(-len(entries) // target),
+                        "delta_records": target,
+                        "delta_removes": 0,
+                        "small_delta_files": 0,
+                        "decision": "REPACK",
+                    }
+                )
         return optimize_decisions(
-            self.spark, per_bucket, min_small_files, tombstone_pct
+            self.spark,
+            per_bucket,
+            min_small_files,
+            tombstone_pct,
+            table_rows=table_rows,
         )
 
     def compact_mor(
@@ -922,50 +1015,10 @@ class IcebergLogSink:
             target = (
                 target_entries
                 if target_entries is not None
-                else max(16, math.isqrt(len(entries)))
+                else _manifest_target(len(entries))
             )
-            # pack by bucket: a bucket's files stay together (one
-            # oversized bucket overflows its own manifest rather than
-            # splitting — bounds stay tight either way), groups close
-            # at the target on bucket boundaries
-            entries.sort(key=lambda e: e["data_file"]["partition"]["bucket"])
-            groups: list[list[dict]] = []
-            cur: list[dict] = []
-            for e in entries:
-                b = e["data_file"]["partition"]["bucket"]
-                if (
-                    cur
-                    and len(cur) >= target
-                    and cur[-1]["data_file"]["partition"]["bucket"] != b
-                ):
-                    groups.append(cur)
-                    cur = []
-                cur.append({**e, "status": "EXISTING"})
-            if cur:
-                groups.append(cur)
-            # already packed = same manifest count, every old manifest
-            # within target, and old bucket spans DISJOINT (an
-            # overlapping layout — e.g. init + append both spanning all
-            # buckets — must repack even if each piece is small, or
-            # every one-bucket MERGE keeps rewriting all of them).
-            # Decided from manifest-list SUMMARIES alone: no manifest
-            # reads (round-10 review, both halves).
-            spans = sorted(
-                (
-                    m["partitions"]["bucket"]["lower"],
-                    m["partitions"]["bucket"]["upper"],
-                    m["added_files_count"] + m["existing_files_count"],
-                )
-                for m in old_list
-            )
-            packed = (
-                len(old_list) == len(groups)
-                and all(n <= target for _lo, _hi, n in spans)
-                and all(
-                    spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1)
-                )
-            )
-            if packed:
+            groups = _pack_groups(entries, target)
+            if _manifests_packed(old_list, len(groups), target):
                 return len(old_list)  # no no-op commit
             manifest_list = [
                 self._manifest_summary(self._write_ndjson("manifest", g), g)
@@ -1430,6 +1483,25 @@ SELECT COALESCE(b.bucket, d.bucket) AS bucket,
                  > 15 * (COALESCE(b.base_records, 0) + COALESCE(d.delta_records, 0))
             THEN 'COMPACT' ELSE 'SKIP' END AS decision
 FROM base b FULL OUTER JOIN deltas d ON b.bucket = d.bucket
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS bucket,
+       m.manifests AS base_files,
+       m.entries AS base_records,
+       (m.entries + m.target - 1) // m.target AS delta_files,
+       m.target AS delta_records,
+       CAST(0 AS BIGINT) AS delta_removes,
+       CAST(0 AS BIGINT) AS small_delta_files,
+       'REPACK' AS decision
+FROM (
+    SELECT CAST(1 + (SELECT count(DISTINCT commit_i) FROM files) AS BIGINT)
+               AS manifests,
+           CAST((SELECT count(*) FROM base) + (SELECT count(*) FROM files)
+                AS BIGINT) AS entries,
+           GREATEST(CAST(16 AS BIGINT),
+                    CAST(floor(sqrt((SELECT count(*) FROM base)
+                                    + (SELECT count(*) FROM files)))
+                         AS BIGINT)) AS target
+) m
 """
         ),
     )
@@ -1444,7 +1516,14 @@ FROM base b FULL OUTER JOIN deltas d ON b.bucket = d.bucket
         record_count — no stats blob needed, the v2 manifest entries
         carry everything. Decision thresholds and output schema are
         byte-identical to the Delta twin (small-file fan-in ≥ 3 under
-        100 rows, or tombstone debt > 15% of bucket rows)."""
+        100 rows, or tombstone debt > 15% of bucket rows), plus one
+        Iceberg-only TABLE row (bucket = -1): the manifest REPACK
+        pricing. On this fixture it is deterministically present — the
+        init manifest spans every base bucket and each append manifest
+        overlaps it, so the layout can never be "packed" — and its
+        counters are pure changelog arithmetic: manifests = 1 init + 1
+        per non-empty append; entries = base buckets + delta file
+        groups; target = √-packing floor (16 here)."""
         cl = changelog(spark, sf_dir).select(
             "seq_no", "op", "key", "payload_value"
         )

@@ -105,7 +105,11 @@ def bucket_counters(b: int) -> dict:
 
 
 def optimize_decisions(
-    spark, per_bucket: dict[int, dict], min_small_files: int, tombstone_pct: int
+    spark,
+    per_bucket: dict[int, dict],
+    min_small_files: int,
+    tombstone_pct: int,
+    table_rows: list[dict] | None = None,
 ) -> DataFrame:
     """The shared COMPACT/SKIP policy over per-bucket counters: compact
     when the read-side merge fan-in has grown (≥ min_small_files small
@@ -113,7 +117,12 @@ def optimize_decisions(
     exceed tombstone_pct% of the bucket's rows). ONE implementation so
     the Delta and Iceberg twins (and their oracles) can never silently
     diverge on a threshold tweak; integer in, integer out, so the
-    decision table is oracle-expressible."""
+    decision table is oracle-expressible.
+
+    ``table_rows``: TABLE-scoped maintenance decisions (decision
+    preset by the caller — e.g. the Iceberg sink's manifest REPACK
+    pricing) appended after the per-bucket rows under the same schema;
+    per-bucket thresholds never apply to them."""
     import pandas as pd
 
     rows = []
@@ -123,6 +132,7 @@ def optimize_decisions(
             > tombstone_pct * (d["base_records"] + d["delta_records"])
         )
         rows.append({**d, "decision": "COMPACT" if compact else "SKIP"})
+    rows.extend(table_rows or [])
     cols = [
         "bucket", "base_files", "base_records", "delta_files",
         "delta_records", "delta_removes", "small_delta_files", "decision",
