@@ -304,9 +304,15 @@ fin AS (
 _PAIRS_SQL = shingle_pair_ctes("fin")
 
 
-def _run_maintenance(spark: SparkSession, sf_dir: str) -> tuple[LshIndex, DataFrame, int, str]:
-    """init → late ingest → edits → retractions; returns (index,
-    final corpus frame, index version after init, tmp root)."""
+def _run_maintenance(
+    spark: SparkSession, sf_dir: str, mid_hook=None
+) -> tuple[LshIndex, DataFrame, int, str]:
+    """init → late ingest → edits → [mid_hook(idx)] → retractions;
+    returns (index, final corpus frame, index version after init, tmp
+    root). ``mid_hook`` runs BETWEEN upsert epochs — the seam where
+    table maintenance on the index state happens in production (the
+    compaction-under-query drill injects optimize_plan → compact_mor
+    there)."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     base = tempfile.mkdtemp(prefix="lshidx-")
     idx = LshIndex(spark, os.path.join(base, "t"))
@@ -323,6 +329,8 @@ def _run_maintenance(spark: SparkSession, sf_dir: str) -> tuple[LshIndex, DataFr
         .select("doc_id", F.col("p_text").alias("text"))
     )
     idx.upsert(edited, seq=3)
+    if mid_hook is not None:
+        mid_hook(idx)
     idx.remove(
         docs.where(F.col("doc_id") % _REMOVE_MOD == 5).select("doc_id"), seq=4
     )
@@ -476,6 +484,47 @@ WHERE j_milli >= {int(JACCARD_THRESHOLD * 1000)}
         signal, no pair compute needed."""
         idx, final, v0, base = _run_maintenance(spark, sf_dir)
         result = tracked_persist(idx.delta_pairs(v0, final))
+        result.count()  # materialize before the backing dirs go away
+        shutil.rmtree(base, ignore_errors=True)
+        return result
+
+    @register(
+        "q_llm_lsh_index_compaction",
+        oracle=f"""
+WITH {_FINAL_CORPUS_SQL},
+{_PAIRS_SQL}
+{PAIR_SELECT_SQL}
+""",
+    )
+    def q_llm_lsh_index_compaction(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Compaction-under-query (round-10 verdict item 5): the index
+        sink accumulates merge-on-read debt like any table, and table
+        maintenance must be invisible to index READERS. Same lifecycle
+        as q_llm_lsh_index_maintenance, but MID-lifecycle — after the
+        edit epoch, before the retractions — the sink's own policy runs
+        for real: optimize_plan prices the two pending delta files per
+        touched bucket, compact_mor folds the selected buckets into
+        rewritten base files. The retraction epoch then lands ON TOP of
+        the compacted state, and the pair query answers from the mixed
+        layout (compacted base + one pending tombstone delta). The
+        oracle is byte-identical to the no-maintenance drill — physical
+        layout must never leak into answers."""
+
+        def compact(idx: LshIndex) -> None:
+            plan = idx.sink.optimize_plan(
+                small_file_rows=1_000_000, min_small_files=2, tombstone_pct=15
+            ).collect()  # ≤ n_buckets rows: orchestration, not data
+            to_compact = {r.bucket for r in plan if r.decision == "COMPACT"}
+            # the late-ingest + edit epochs put 2 pending files in every
+            # bucket both touched — an empty selection means the drill
+            # exercised nothing; fail loudly rather than pass vacuously
+            assert to_compact, "fixture must trip the small-file fan-in rule"
+            idx.sink.compact_mor(to_compact)
+
+        idx, final, _v0, base = _run_maintenance(spark, sf_dir, mid_hook=compact)
+        result = tracked_persist(idx.pairs(final))
         result.count()  # materialize before the backing dirs go away
         shutil.rmtree(base, ignore_errors=True)
         return result
