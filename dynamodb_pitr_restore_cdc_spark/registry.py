@@ -489,6 +489,11 @@ _REVERIFY_R11: frozenset[str] = frozenset(
         # optimize_plan grew a REPACK decision (manifest-fragmentation
         # pricing) — the Iceberg policy query's output logic changed
         "q_cdc_iceberg_optimize_plan",
+        # the shared MOR ingest drill now applies the REPACK decision
+        # (rewrite_manifests) when the plan prices one — outputs are
+        # provably unchanged (metadata-only commit), but the lifecycle
+        # the queries execute changed, so the driver re-proves them
+        "q_stream_mor_ingest", "q_stream_mor_ingest_iceberg",
     }
 )
 
@@ -547,6 +552,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from .functions import maps, scalar, scalar2  # noqa: F401
     from .llm import (  # noqa: F401
         clusters,
+        corpus_build,
         curation,
         dedup,
         index_maintenance,
