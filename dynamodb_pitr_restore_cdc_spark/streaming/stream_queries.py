@@ -786,6 +786,90 @@ def q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def _decon_oracle() -> str:
+    # byte-identical truth to q_llm_decontaminate: the per-doc
+    # contamination report must not depend on HOW the test split
+    # arrived (one batch or many)
+    from ..llm.curation import _DECON_CTES
+
+    return f"WITH {_DECON_CTES}\nSELECT doc_id, n_shared, contaminated FROM per_doc\n"
+
+
+@register("q_stream_decontaminate", oracle=_decon_oracle())
+def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination — q_llm_decontaminate's ingest twin
+    (round-10 verdict item 7): held-out documents arrive in
+    micro-batches (3 pinned doc_id-range splits) and each batch is
+    checked against the STATIC train-split vocabulary inside
+    foreachBatch — the same stream-static shape as q_stream_near_dedup,
+    with the distinct-gram vocabulary as the reused build side
+    (materialized once, joined per batch; at 100 TB the bloom row of
+    the batch path broadcasts the same way). Every test doc arrives
+    exactly once and the report is per-doc, so appended batch outputs
+    union to the batch-mode answer under ANY batching — the oracle is
+    byte-identical to the batch query's."""
+    from ..llm.corpus_build import _grams
+    from ..llm.curation import TRAIN_PERMILLE, VALID_PERMILLE, split_bucket
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = split_bucket(F.col("doc_id"))
+    # the vocabulary is referenced by every micro-batch: one
+    # materialization, N probe joins
+    train_grams = tracked_persist(
+        _grams(docs.where(bucket < TRAIN_PERMILLE)).select("gram").distinct()
+    )
+    test_docs = docs.where(bucket >= VALID_PERMILLE)
+
+    row = test_docs.agg(
+        F.expr("percentile(doc_id, 0.3333)").alias("p1"),
+        F.expr("percentile(doc_id, 0.6667)").alias("p2"),
+    ).first()
+    d = F.col("doc_id")
+    src, out, ck = _fresh_dir("sdc-src"), _fresh_dir("sdc-out"), _fresh_dir("sdc-ck")
+    _write_split_files(
+        test_docs, [d < row.p1, (d >= row.p1) & (d < row.p2), d >= row.p2], src
+    )
+
+    def decon_batch(batch: DataFrame, epoch_id: int) -> None:
+        hits = (
+            _grams(batch)
+            .join(train_grams, "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shared"))
+        )
+        (
+            batch.select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+                (F.coalesce("n_shared", F.lit(0)) > 0)
+                .cast("int")
+                .alias("contaminated"),
+            )
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(decon_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = tracked_persist(
+        spark.read.schema("doc_id long, n_shared long, contaminated int").parquet(out)
+    )
+    result.count()  # materialize before removing the backing dirs
+    for p in (src, out, ck):
+        shutil.rmtree(p, ignore_errors=True)
+    return result
+
+
 def _lsh_ingest_oracle() -> str:
     # the shared shingle-Jaccard template over the FULL corpus: the
     # streamed, index-maintained pair set must converge to exactly the
