@@ -304,6 +304,28 @@ fin AS (
 _PAIRS_SQL = shingle_pair_ctes("fin")
 
 
+def ivf_maintenance_oracle() -> str:
+    """Shared truth for the IVF maintenance lifecycle: quantizer
+    trained on the first two-thirds (prefix-trained unrolled integer
+    Lloyd), every live (non-retracted) vector assigned against it,
+    probed cells brute-forced. ONE text for the batch drill and its
+    streaming ingest twin — the two lifecycles must answer
+    identically."""
+    from .kmeans import lloyd_oracle_ctes
+    from .similarity import ivf_probe_tail_sql
+
+    live_members_rel = (
+        "(SELECT asg.vec_id, asg.cid FROM asg JOIN live USING (vec_id))"
+    )
+    return f"""
+WITH pmax AS (SELECT (2 * max(vec_id)) // 3 AS c2 FROM embeddings),
+{lloyd_oracle_ctes(str(IvfIndex.K), IvfIndex.ITERS,
+                   train_cond="vec_id <= (SELECT c2 FROM pmax)")},
+live AS (SELECT vec_id FROM embeddings WHERE vec_id % {_REMOVE_MOD} <> 5),
+{ivf_probe_tail_sql(live_members_rel, IvfIndex.NPROBE)}
+"""
+
+
 def _run_maintenance(
     spark: SparkSession, sf_dir: str, mid_hook=None
 ) -> tuple[LshIndex, DataFrame, int, str]:
@@ -387,22 +409,11 @@ WITH {_FINAL_CORPUS_SQL},
         shutil.rmtree(base, ignore_errors=True)
         return result
 
-    from .kmeans import lloyd_oracle_ctes
-    from .similarity import PROBE_VEC_ID, ivf_probe_tail_sql
-
-    _LIVE_MEMBERS_REL = (
-        "(SELECT asg.vec_id, asg.cid FROM asg JOIN live USING (vec_id))"
-    )
+    from .similarity import PROBE_VEC_ID
 
     @register(
         "q_llm_ivf_index_maintenance",
-        oracle=f"""
-WITH pmax AS (SELECT (2 * max(vec_id)) // 3 AS c2 FROM embeddings),
-{lloyd_oracle_ctes(str(IvfIndex.K), IvfIndex.ITERS,
-                   train_cond="vec_id <= (SELECT c2 FROM pmax)")},
-live AS (SELECT vec_id FROM embeddings WHERE vec_id % {_REMOVE_MOD} <> 5),
-{ivf_probe_tail_sql(_LIVE_MEMBERS_REL, IvfIndex.NPROBE)}
-""",
+        oracle=ivf_maintenance_oracle(),
     )
     def q_llm_ivf_index_maintenance(
         spark: SparkSession, sf_dir: str

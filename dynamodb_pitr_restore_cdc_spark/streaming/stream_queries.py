@@ -935,3 +935,80 @@ def q_stream_lsh_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in (src, work, base):
         shutil.rmtree(p, ignore_errors=True)
     return result
+
+
+def _ivf_ingest_oracle() -> str:
+    # byte-identical truth to q_llm_ivf_index_maintenance: the probe
+    # answer must not depend on whether the late third arrived as one
+    # batch or a stream of micro-batches
+    from ..llm.index_maintenance import ivf_maintenance_oracle
+
+    return ivf_maintenance_oracle()
+
+
+@register("q_stream_ivf_index_ingest", oracle=_ivf_ingest_oracle())
+def q_stream_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into the CDC-maintained IVF ANN index —
+    q_stream_lsh_index_ingest's embedding-search sibling, closing the
+    round-10 symmetry gap: the coarse quantizer trains ONCE on the
+    loaded two-thirds (init — frozen from then on, the production
+    cadence), then the late third arrives as 3 pinned micro-batches,
+    each cell-assigned with the FROZEN centroids and blind-appended in
+    O(batch) through the sink seam (a retrain mid-stream would
+    invalidate every stored assignment — that is a REBUILD by design).
+    A final retraction epoch tombstones every vec_id%17==5, and the
+    probe answers top-5 ANN from the folded index (3 of 8 cells).
+    Micro-batch seq = epoch id (pinned splits ⇒ deterministic); epoch
+    replay is value-idempotent by the per-key max-seq fold. The oracle
+    is byte-identical to the batch maintenance drill's — stream-order
+    independence is the hash match."""
+    from ..llm.index_maintenance import _REMOVE_MOD, IvfIndex
+    from ..llm.kmeans import _quantized
+    from ..llm.similarity import PROBE_VEC_ID, _as_double
+
+    qv = _quantized(spark, sf_dir)
+    mx = int(qv.agg(F.max("vec_id")).first()[0])  # orchestration scalar
+    c2 = (2 * mx) // 3
+    late = qv.where(F.col("vec_id") > c2)
+    row = late.agg(
+        F.expr("percentile(vec_id, 0.3333)").alias("p1"),
+        F.expr("percentile(vec_id, 0.6667)").alias("p2"),
+    ).first()
+    v = F.col("vec_id")
+    src, work, base = (
+        _fresh_dir("ivfing-src"),
+        _fresh_dir("ivfing-ck"),
+        _fresh_dir("ivfing-idx"),
+    )
+    _write_split_files(
+        late, [v < row.p1, (v >= row.p1) & (v < row.p2), v >= row.p2], src
+    )
+    idx = IvfIndex(spark, os.path.join(base, "t"))
+    # init trains the quantizer on the loaded corpus BEFORE the stream
+    # attaches (the reference's create-then-attach orchestration, A17)
+    idx.init(qv.where(v <= c2), seq=1)
+
+    def upsert_batch(batch: DataFrame, epoch_id: int) -> None:
+        idx.upsert(batch, seq=int(epoch_id) + 2)
+
+    q = (
+        spark.readStream.schema("vec_id long, qv array<bigint>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", os.path.join(work, "_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    idx.remove(qv.where(v % _REMOVE_MOD == 5).select("vec_id"), seq=10)
+    floats = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    result = tracked_persist(
+        idx.search(qv.where(v == PROBE_VEC_ID), floats, PROBE_VEC_ID)
+    )
+    result.count()  # materialize before removing the backing dirs
+    for p in (src, work, base):
+        shutil.rmtree(p, ignore_errors=True)
+    return result
