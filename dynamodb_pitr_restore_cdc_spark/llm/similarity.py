@@ -24,6 +24,7 @@ import uuid
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -256,6 +257,86 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe = e.where(F.col("vec_id") == PROBE_VEC_ID).select(F.col("v").alias("pv"))
     return ivf_probe_topk(members, probe_cells, probe)
+
+
+# the batched-serving probe set: a deterministic arithmetic slice so
+# both dialects name the same queries without a lookup table
+MULTIPROBE_MOD, MULTIPROBE_RES = 97, 13
+MULTIPROBE_TOP_K = 5
+
+
+@register(
+    "q_llm_ann_ivf_multiprobe",
+    oracle=f"""
+WITH {_ivf_oracle_prefix()},
+probe_cells AS (
+    SELECT vec_id AS qid, cid FROM rank_final
+    WHERE vec_id % {MULTIPROBE_MOD} = {MULTIPROBE_RES} AND rn <= {IVF_PROBE_CELLS}),
+pv AS (SELECT vec_id AS qid, v AS pv FROM e
+       WHERE vec_id % {MULTIPROBE_MOD} = {MULTIPROBE_RES}),
+cand AS (
+    SELECT c.qid, e.vec_id,
+           list_cosine_similarity(e.v, p.pv) AS cos
+    FROM e
+    JOIN asg m USING (vec_id)
+    JOIN probe_cells c ON m.cid = c.cid
+    JOIN pv p ON p.qid = c.qid
+    WHERE e.vec_id <> c.qid)
+SELECT qid, vec_id, round(cos, 4) AS cos_sim
+FROM (SELECT qid, vec_id, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+      FROM cand)
+WHERE rn <= {MULTIPROBE_TOP_K}
+""",
+)
+def q_llm_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN serving — the shape inference actually runs: a SET of
+    query vectors (vec_id % 97 == 13) answered in ONE pass over the IVF
+    index instead of per-probe jobs. All probes' cell rankings come
+    from one broadcast-K window over the (small) probe set; the
+    (qid, cid) probe plan and the probe float vectors broadcast against
+    the materialized inverted lists, so the corpus is read ONCE and
+    each member row fans out only to the probes whose plan includes its
+    cell — candidate volume Q·nprobe·n/K. Per-query top-5 is a rank
+    window, which Spark's WindowGroupLimit rewrite pre-reduces to 5
+    rows per query PER MAP TASK before the shuffle (the
+    q_win_topk_per_group physical shape), so the exchange carries
+    O(Q·k), never the candidate set. At 100 TB with cid as partition
+    key this is a partition-pruned scan of the union of probed cells —
+    batching amortizes the scan across the whole query set, which is
+    why serving systems batch."""
+    from .kmeans import assignment_ranking
+
+    vectors, cents = trained_quantizer(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    members = _cell_members(spark, sf_dir)
+    is_probe = F.col("vec_id") % MULTIPROBE_MOD == MULTIPROBE_RES
+    probe_cells = (
+        assignment_ranking(vectors.where(is_probe), cents)
+        .where(F.col("rn") <= IVF_PROBE_CELLS)
+        .select(F.col("vec_id").alias("qid"), "cid")
+    )
+    probes = e.where(is_probe).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("pv")
+    )
+    # one broadcast carries the whole probe plan (qid, cid, pv):
+    # Q·nprobe tiny rows — the big side shuffles nothing extra
+    plan = probe_cells.join(probes, "qid")
+    cand = (
+        members.join(F.broadcast(plan), "cid")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", cosine_col(F.col("v"), F.col("pv")).alias("cos")
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= MULTIPROBE_TOP_K)
+        .select("qid", "vec_id", F.round("cos", 4).alias("cos_sim"))
+    )
 
 
 NEARDUP_COS = 0.35

@@ -763,3 +763,15 @@ def test_space_saving_truncation_is_distributed_topk(spark):
     assert "Window" not in p
     assert kept.count() == 8 and wm > 0  # eviction happened, wm derived
     release_persisted()
+
+
+def test_multiprobe_batches_one_scan_with_group_limit(plans):
+    # batched ANN serving: the probe plan must BROADCAST against the
+    # inverted lists (the corpus side never shuffles for the join) and
+    # per-query top-5 must take the WindowGroupLimit rewrite (map-side
+    # 5-per-query pre-reduce), with no Python stage anywhere
+    p = plans("q_llm_ann_ivf_multiprobe")
+    assert has_broadcast_join(p)
+    assert "WindowGroupLimit" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
