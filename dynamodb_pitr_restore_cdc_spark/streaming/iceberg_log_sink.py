@@ -170,6 +170,47 @@ def _manifest_target(n_entries: int) -> int:
     return max(16, math.isqrt(n_entries))
 
 
+# REPACK fires when the EXPECTED per-commit manifest-rewrite width —
+# for a uniformly random touched bucket, the entries of every manifest
+# whose span covers it — reaches REPACK_COVER_FACTOR × the packed
+# ideal (one target-sized manifest per touched bucket), or when the
+# manifest LIST has fragmented into more than 2× the ideal count
+# (list republication is the other per-commit cost axis). Rationale
+# (SCALE.md round-11, measured): a repack rewrites EVERY live entry,
+# so the trigger must price the tax a commit actually pays, not detect
+# any deviation from the packed layout — an overlap-based detector
+# fires on every narrow trickle append (whose wide-span manifest is
+# TINY and cheap to rewrite) and repacked the 10^4-bucket drill 13
+# times in 12 commits. Under this model a fresh bulk load (one
+# monolith manifest: expected width = the whole table) fires
+# immediately, and a repacked table absorbing w-entry trickle appends
+# accumulates ~w of expected width per commit, firing every
+# ~target/w commits — one full-table rewrite amortized across the
+# commits whose tax it removes.
+REPACK_COVER_FACTOR = 2
+
+
+def _repack_priced(old_list: list[dict], n_entries: int, target: int) -> bool:
+    """Cost-aware REPACK trigger from manifest-list summaries alone
+    (zero manifest reads, O(manifests) driver arithmetic). Integer
+    math: E[cover] ≥ f·target  ⇔  Σ entries·width ≥ f·target·total_width."""
+    spans = [
+        (
+            m["partitions"]["bucket"]["lower"],
+            m["partitions"]["bucket"]["upper"],
+            m["added_files_count"] + m["existing_files_count"],
+        )
+        for m in old_list
+    ]
+    total_w = max(hi for _lo, hi, _n in spans) - min(lo for lo, _hi, _n in spans) + 1
+    cover = sum(n * (hi - lo + 1) for lo, hi, n in spans)
+    ideal = -(-n_entries // target)
+    return (
+        cover >= REPACK_COVER_FACTOR * target * total_w
+        or len(old_list) > 2 * ideal
+    )
+
+
 class IcebergLogSink:
     """VersionedSinkFormat + CompactingSinkFormat over an Iceberg-shaped
     metadata tree. See module docstring for the protocol."""
@@ -871,14 +912,17 @@ class IcebergLogSink:
         Iceberg-specific extra: the plan also prices MANIFEST
         fragmentation (round-10 verdict item 4 — the flat-metadata
         property must hold without operator intervention). When the
-        live manifest layout is not what rewrite_manifests would
-        produce (same packed test, _manifests_packed, from the
-        manifest-list summaries alone), one TABLE-scoped row is
-        appended: ``bucket = -1, decision = 'REPACK'`` with the pricing
-        in the counter columns — base_files = live manifests,
-        base_records = live entries, delta_files = ideal manifest
-        count ceil(entries/target), delta_records = the √-packing
-        target. Callers apply it with rewrite_manifests()."""
+        expected per-commit rewrite width or the manifest-list length
+        crosses the cost model's threshold (_repack_priced, decided
+        from manifest-list summaries alone — a repack rewrites
+        EVERYTHING, so the trigger prices the tax commits actually
+        pay, never mere deviation from the packed layout), one
+        TABLE-scoped row is appended: ``bucket = -1, decision =
+        'REPACK'`` with the pricing in the counter columns —
+        base_files = live manifests, base_records = live entries,
+        delta_files = ideal manifest count ceil(entries/target),
+        delta_records = the √-packing target. Callers apply it with
+        rewrite_manifests()."""
         last: Exception | None = None
         for _ in range(5):
             try:
@@ -912,8 +956,7 @@ class IcebergLogSink:
         table_rows: list[dict] = []
         if entries:
             target = _manifest_target(len(entries))
-            groups = _pack_groups(entries, target)
-            if not _manifests_packed(old_list, len(groups), target):
+            if _repack_priced(old_list, len(entries), target):
                 table_rows.append(
                     {
                         "bucket": -1,

@@ -64,23 +64,51 @@ def resolve_time(fn) -> float:
     return time.perf_counter() - t0
 
 
+def policy_repack(sink, meta_root: str) -> int:
+    """Consult the maintenance plan (round-11: optimize_plan prices
+    manifest fragmentation as a table-scoped REPACK row) and apply it.
+    Returns the repack's metadata bytes (0 = the policy declined)."""
+    plan = sink.optimize_plan(
+        small_file_rows=100, min_small_files=3, tombstone_pct=15
+    ).collect()
+    if not any(r.decision == "REPACK" for r in plan):
+        return 0
+    before = dir_bytes(meta_root)
+    sink.rewrite_manifests()
+    return dir_bytes(meta_root) - before
+
+
 def bench(
-    fmt: str, sink, meta_root: str, base_df, trickles, rewrite_every: int = 0
+    fmt: str,
+    sink,
+    meta_root: str,
+    base_df,
+    trickles,
+    rewrite_every: int = 0,
+    policy: bool = False,
 ) -> dict:
     """rewrite_every > 0 adds the round-10 maintenance lane: a
     rewriteManifests repack after init and every N commits, so trickle
     MERGEs rewrite O(touched·√table) manifest entries instead of
-    O(table) — the mitigation for the round-9 manifest-width finding."""
+    O(table) — the mitigation for the round-9 manifest-width finding.
+    policy=True adds the round-11 lane: NO operator cadence — after
+    init and after every commit the sink's own optimize_plan decides
+    (debt-fraction trigger), and the repack runs only when priced."""
     t0 = time.perf_counter()
     sink.init(base_df)
     t_init = time.perf_counter() - t0
     rm_bytes = 0  # the repacks' own metadata bytes — reported
     # amortized so the +rm lane's per-commit numbers aren't flattered
     # by cost that landed between measurement windows
+    n_repacks = 0
     if rewrite_every:
         before = dir_bytes(meta_root)
         sink.rewrite_manifests()
         rm_bytes += dir_bytes(meta_root) - before
+    if policy:
+        b = policy_repack(sink, meta_root)
+        rm_bytes += b
+        n_repacks += 1 if b else 0
     per_commit = []
     for i, batch in enumerate(trickles):
         before = dir_bytes(meta_root)
@@ -92,6 +120,10 @@ def bench(
             before = dir_bytes(meta_root)
             sink.rewrite_manifests()
             rm_bytes += dir_bytes(meta_root) - before
+        if policy:
+            b = policy_repack(sink, meta_root)
+            rm_bytes += b
+            n_repacks += 1 if b else 0
     # reader cost: enumerate the live file set, metadata only (no data
     # read) — Delta replays the log, Iceberg walks the manifest tree
     if fmt == "delta":
@@ -106,6 +138,7 @@ def bench(
         "init_s": t_init,
         "per_commit": per_commit,
         "rm_bytes": rm_bytes,
+        "n_repacks": n_repacks,
         "resolve_s": t_resolve,
         "meta_total_bytes": dir_bytes(meta_root),
     }
@@ -158,7 +191,7 @@ def main() -> None:
         for i in range(N_COMMITS)
     ]
 
-    for fmt in ("delta", "iceberg", "iceberg+rm"):
+    for fmt in ("delta", "iceberg", "iceberg+rm", "iceberg+policy"):
         work = os.path.join(
             tempfile.gettempdir(), f"icescale-{uuid.uuid4().hex[:8]}"
         )
@@ -183,6 +216,9 @@ def main() -> None:
                 # per-commit numbers show the bounded-width effect and
                 # rm_bytes amortizes exactly one repack
                 rewrite_every=N_COMMITS + 1 if fmt == "iceberg+rm" else 0,
+                # round-11 lane: the sink's own debt-fraction policy
+                # decides when to repack — no operator cadence at all
+                policy=fmt == "iceberg+policy",
             )
             first, last = r["per_commit"][0], r["per_commit"][-1]
             print(
@@ -198,7 +234,13 @@ def main() -> None:
             if r["rm_bytes"]:
                 print(
                     f"{fmt} rewrite_manifests bytes total={r['rm_bytes']} "
-                    f"(amortized {r['rm_bytes'] // N_COMMITS}B/commit)"
+                    f"(amortized {r['rm_bytes'] // N_COMMITS}B/commit"
+                    + (
+                        f", {r['n_repacks']} policy-triggered repacks"
+                        if r["n_repacks"]
+                        else ""
+                    )
+                    + ")"
                 )
             e = expire_and_remeasure(fmt, sink, meta_root)
             print(

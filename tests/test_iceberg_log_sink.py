@@ -580,6 +580,44 @@ def test_optimize_plan_prices_manifest_repack(sink, spark):
     assert after == before
 
 
+def test_repack_pricing_is_cost_model_not_any_fragmentation():
+    # pure summary arithmetic, no Spark: a repack rewrites EVERY live
+    # entry, so the trigger prices the expected per-commit rewrite
+    # width — it must IGNORE cheap fragmentation (wide-span but TINY
+    # trickle-append manifests: the over-firing the first debt model
+    # showed, 13 repacks in 12 commits at 10^4 buckets) and fire on
+    # expensive shapes (bulk-load monolith; accumulated trickle debt;
+    # a shattered manifest list)
+    from dynamodb_pitr_restore_cdc_spark.streaming.iceberg_log_sink import (
+        _repack_priced,
+    )
+
+    def m(lo, hi, n):
+        return {
+            "partitions": {"bucket": {"lower": lo, "upper": hi}},
+            "added_files_count": n,
+            "existing_files_count": 0,
+        }
+
+    # 100 packed disjoint manifests of 100 entries over 10^4 buckets:
+    # E[cover] = 100 = target — no repack
+    packed = [m(i * 100, i * 100 + 99, 100) for i in range(100)]
+    assert not _repack_priced(packed, 10_000, target=100)
+    # + a few wide TINY trickle manifests (20 entries spanning the whole
+    # range): each adds ~20 to E[cover] — still below 2x target
+    trickles = [m(0, 9_999, 20) for _ in range(3)]
+    assert not _repack_priced(packed + trickles, 10_060, target=100)
+    # ...but accumulated trickle debt crosses the threshold (~5 here)
+    trickles = [m(0, 9_999, 20) for _ in range(5)]
+    assert _repack_priced(packed + trickles, 10_100, target=100)
+    # bulk load in one monolith: E[cover] = the whole table — fires
+    assert _repack_priced([m(0, 9_999, 10_000)], 10_000, target=100)
+    # shattered list (many near-empty manifests): count rule fires even
+    # though E[cover] stays tiny
+    shards = [m(i, i, 1) for i in range(64)]
+    assert _repack_priced(shards, 64, target=16)
+
+
 def test_fresh_handle_follows_persisted_transform(spark, tmp_path):
     # round-9 review twin: the partition-spec transform is the source
     # of truth for ANY handle (and any external engine reading the
