@@ -151,38 +151,11 @@ FROM packed GROUP BY lang, pack_id
 """
 
 
-@register("q_llm_corpus_build", oracle=_CORPUS_BUILD_ORACLE)
-def q_llm_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus a trainer would actually load, built end to end:
-
-    1. quality filter — length ≥ 40 tokens, stopword density < 20%
-       (q_llm_quality_score rules; map-side, fused into the scan);
-    2. exact dedup — keep lowest doc_id per content hash (one shuffle);
-    3. NEAR dedup from the CDC-maintained LSH index: survivors are
-       signatured ONCE into the index (the pipeline's only full-corpus
-       Python pass, Arrow-vectorized), verified pairs (J ≥ 0.5) come
-       from the banded self-join, and the greedy keep-lowest rule drops
-       every pair's higher doc_id — deterministic and order-free;
-    4. train-split cut — the multiplicative-hash 80% bucket;
-    5. decontamination — drop train docs sharing any word 5-gram with
-       the held-out split of the ORIGINAL corpus (the benchmark side
-       never goes through the pipeline's own filters), distinct
-       benchmark grams as the join build side;
-    6. domain mixture — per-source keep-rate on the independent
-       sampling hash (map-side);
-    7. per-language token budget — hash-order prefix under
-       SAMPLE_BUDGET_TOKENS (one window);
-    8. sequence packing — stable (lang, doc_id) order, pack_id =
-       prefix-tokens div PACK_BUDGET_TOKENS (same exchange as 7).
-
-    Output: one row per (lang, pack_id) with doc and token counts —
-    the pack manifest a resumable trainer consumes. The oracle
-    recomputes all eight stages in SQL, near-dup truth by brute-force
-    shingle Jaccard (dedup.shingle_pair_ctes — the SAME template every
-    LSH query oracles against)."""
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", "text"
-    )
+def quality_exact_dedup(docs: DataFrame) -> DataFrame:
+    """Stages 1-2 (quality filter + exact dedup) over a (doc_id, lang,
+    source, text) frame — shared by the batch capstone and its
+    streaming twin. Caller persists: the result is referenced by the
+    index action, both pair-verify text sides, and the anti-join."""
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     q = docs.select(
         "doc_id",
@@ -198,27 +171,20 @@ def q_llm_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tokens") >= 40) & (F.col("n_stop") * 5 < F.col("n_tokens"))
     )
     wd = W.partitionBy(F.md5("text")).orderBy("doc_id")
-    # referenced by index init (an action), both text sides of the pair
-    # verify, and the anti-join base — one materialization, four reads
-    deduped = tracked_persist(
-        kept.withColumn("rn", F.row_number().over(wd)).where(F.col("rn") == 1)
-    )
-    base = tempfile.mkdtemp(prefix="corpusbuild-")
-    idx = LshIndex(spark, os.path.join(base, "t"))
-    idx.init(deduped.select("doc_id", "text"))
-    near_drop = (
-        idx.pairs(deduped.select("doc_id", "text"))
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
-    survivors = deduped.join(near_drop, "doc_id", "left_anti")
+    return kept.withColumn("rn", F.row_number().over(wd)).where(F.col("rn") == 1)
+
+
+def downstream_build(docs: DataFrame, survivors: DataFrame) -> DataFrame:
+    """Stages 4-8 (train cut → decontamination → domain mix → token
+    budget → packing) over the near-dedup survivors; ``docs`` is the
+    ORIGINAL corpus (the benchmark side of decontamination never goes
+    through the pipeline's own filters). Shared by both capstones —
+    one implementation, one oracle text."""
     train = tracked_persist(
         survivors.where(split_bucket(F.col("doc_id")) < TRAIN_PERMILLE)
     )
     bench_grams = (
-        _grams(
-            docs.where(split_bucket(F.col("doc_id")) >= VALID_PERMILLE)
-        )
+        _grams(docs.where(split_bucket(F.col("doc_id")) >= VALID_PERMILLE))
         .select("gram")
         .distinct()
     )
@@ -255,7 +221,7 @@ def q_llm_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     packed = budgeted.withColumn("cum", F.sum("n_tokens").over(wp))
-    result = tracked_persist(
+    return (
         packed.select(
             "lang",
             F.expr(f"(cum - n_tokens) div {PACK_BUDGET_TOKENS}").alias("pack_id"),
@@ -267,6 +233,53 @@ def q_llm_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("pack_tokens"),
         )
     )
+
+
+@register("q_llm_corpus_build", oracle=_CORPUS_BUILD_ORACLE)
+def q_llm_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus a trainer would actually load, built end to end:
+
+    1. quality filter — length ≥ 40 tokens, stopword density < 20%
+       (q_llm_quality_score rules; map-side, fused into the scan);
+    2. exact dedup — keep lowest doc_id per content hash (one shuffle);
+    3. NEAR dedup from the CDC-maintained LSH index: survivors are
+       signatured ONCE into the index (the pipeline's only full-corpus
+       Python pass, Arrow-vectorized), verified pairs (J ≥ 0.5) come
+       from the banded self-join, and the greedy keep-lowest rule drops
+       every pair's higher doc_id — deterministic and order-free;
+    4. train-split cut — the multiplicative-hash 80% bucket;
+    5. decontamination — drop train docs sharing any word 5-gram with
+       the held-out split of the ORIGINAL corpus (the benchmark side
+       never goes through the pipeline's own filters), distinct
+       benchmark grams as the join build side;
+    6. domain mixture — per-source keep-rate on the independent
+       sampling hash (map-side);
+    7. per-language token budget — hash-order prefix under
+       SAMPLE_BUDGET_TOKENS (one window);
+    8. sequence packing — stable (lang, doc_id) order, pack_id =
+       prefix-tokens div PACK_BUDGET_TOKENS (same exchange as 7).
+
+    Output: one row per (lang, pack_id) with doc and token counts —
+    the pack manifest a resumable trainer consumes. The oracle
+    recomputes all eight stages in SQL, near-dup truth by brute-force
+    shingle Jaccard (dedup.shingle_pair_ctes — the SAME template every
+    LSH query oracles against)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    # referenced by index init (an action), both text sides of the pair
+    # verify, and the anti-join base — one materialization, four reads
+    deduped = tracked_persist(quality_exact_dedup(docs))
+    base = tempfile.mkdtemp(prefix="corpusbuild-")
+    idx = LshIndex(spark, os.path.join(base, "t"))
+    idx.init(deduped.select("doc_id", "text"))
+    near_drop = (
+        idx.pairs(deduped.select("doc_id", "text"))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = deduped.join(near_drop, "doc_id", "left_anti")
+    result = tracked_persist(downstream_build(docs, survivors))
     result.count()  # materialize before the index's backing dir goes away
     shutil.rmtree(base, ignore_errors=True)
     return result

@@ -1012,3 +1012,83 @@ def q_stream_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in (src, work, base):
         shutil.rmtree(p, ignore_errors=True)
     return result
+
+
+def _corpus_build_oracle() -> str:
+    # byte-identical truth to q_llm_corpus_build: the pack manifest
+    # must not depend on whether the corpus was indexed in one shot or
+    # streamed in
+    from ..llm.corpus_build import _CORPUS_BUILD_ORACLE
+
+    return _CORPUS_BUILD_ORACLE
+
+
+@register("q_stream_corpus_build", oracle=_corpus_build_oracle())
+def q_stream_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-build capstone over a LIVE ingest — the full
+    training-data pipeline answered from a STREAMED index: documents
+    arrive in 3 pinned micro-batches and every batch upserts its
+    signatures into the CDC-maintained LSH index (raw arrivals — the
+    index is the durable asset; curation decisions are downstream
+    policy, re-derivable at any time). After ingest the same eight
+    stages run (quality_exact_dedup / downstream_build — ONE
+    implementation with the batch capstone), with near dedup answered
+    from the streamed index: its pair set covers the raw corpus, so the
+    pipeline semi-joins both endpoints to the dedup survivors — pair
+    truth depends only on the two texts, so the filtered set equals the
+    batch capstone's pairs-over-survivors exactly. Epoch replay is
+    value-idempotent (per-key max-seq fold); the oracle is
+    byte-identical to q_llm_corpus_build's — batching must never leak
+    into the pack manifest."""
+    from ..llm.corpus_build import downstream_build, quality_exact_dedup
+    from ..llm.index_maintenance import LshIndex
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    row = docs.agg(
+        F.expr("percentile(doc_id, 0.3333)").alias("p1"),
+        F.expr("percentile(doc_id, 0.6667)").alias("p2"),
+    ).first()
+    d = F.col("doc_id")
+    src, work, base = (
+        _fresh_dir("scb-src"),
+        _fresh_dir("scb-ck"),
+        _fresh_dir("scb-idx"),
+    )
+    _write_split_files(
+        docs.select("doc_id", "text"),
+        [d < row.p1, (d >= row.p1) & (d < row.p2), d >= row.p2],
+        src,
+    )
+    idx = LshIndex(spark, os.path.join(base, "t"))
+    idx.init(docs.where(F.lit(False)).select("doc_id", "text"), seq=1)
+
+    def upsert_batch(batch: DataFrame, epoch_id: int) -> None:
+        idx.upsert(batch, seq=int(epoch_id) + 2)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", os.path.join(work, "_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    deduped = tracked_persist(quality_exact_dedup(docs))
+    dd = deduped.select("doc_id")
+    pairs = idx.pairs(docs.select("doc_id", "text"))
+    near_drop = (
+        pairs.join(dd.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(dd.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = deduped.join(near_drop, "doc_id", "left_anti")
+    result = tracked_persist(downstream_build(docs, survivors))
+    result.count()  # materialize before removing the backing dirs
+    for p in (src, work, base):
+        shutil.rmtree(p, ignore_errors=True)
+    return result
