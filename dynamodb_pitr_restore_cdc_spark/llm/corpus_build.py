@@ -36,6 +36,7 @@ from ..registry import register, tracked_persist
 from ..sources import table
 from .curation import (
     PACK_BUDGET_TOKENS,
+    QUALITY_DEDUP_CTES,
     SAMPLE_BUDGET_TOKENS,
     SAMPLE_MULT,
     SPLIT_MULT,
@@ -44,11 +45,12 @@ from .curation import (
     _RATE_SQL,
     _SAMPLE_BUCKET_SQL,
     _SPLIT_BUCKET_SQL,
+    five_grams,
+    quality_exact_dedup,
     split_bucket,
 )
 from .dedup import JACCARD_THRESHOLD, shingle_pair_ctes
 from .index_maintenance import LshIndex
-from .textstats import _STOP_SQL, STOPWORDS
 
 # 5-gram text, identical fragment on both dialects' train and benchmark
 # sides (the q_llm_decontaminate definition, restated over a generic
@@ -59,41 +61,8 @@ _GRAMS_SQL = (
 )
 
 
-def _grams(df: DataFrame) -> DataFrame:
-    """(doc_id, distinct 5-gram) — the q_llm_decontaminate gram shape
-    over any (doc_id, text) frame; map-side explode only."""
-    w = df.select("doc_id", F.split("text", " ").alias("w"))
-    return w.where(F.size("w") >= 5).select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                # guard above makes sequence() ascending (size-4 >= 1)
-                F.expr(
-                    "transform(sequence(1, size(w) - 4), "
-                    "i -> concat_ws(' ', slice(w, i, 5)))"
-                )
-            )
-        ).alias("gram"),
-    )
-
-
 _CORPUS_BUILD_ORACLE = f"""
-WITH q AS (
-    SELECT doc_id, lang, source, text,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-           len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS n_stop
-    FROM documents
-),
-kept AS (
-    SELECT * FROM q
-    WHERE n_tokens >= 40 AND n_stop * 5 < n_tokens
-),
-deduped AS (
-    SELECT * FROM (
-        SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-        FROM kept
-    ) WHERE rn = 1
-),
+WITH {QUALITY_DEDUP_CTES},
 {shingle_pair_ctes('deduped')},
 near_drop AS (
     SELECT DISTINCT doc_b AS doc_id FROM jp
@@ -151,29 +120,6 @@ FROM packed GROUP BY lang, pack_id
 """
 
 
-def quality_exact_dedup(docs: DataFrame) -> DataFrame:
-    """Stages 1-2 (quality filter + exact dedup) over a (doc_id, lang,
-    source, text) frame — shared by the batch capstone and its
-    streaming twin. Caller persists: the result is referenced by the
-    index action, both pair-verify text sides, and the anti-join."""
-    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
-    q = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        "text",
-        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
-        F.expr(f"size(filter(split(text, ' '), x -> x IN ({stop_list})))")
-        .cast("bigint")
-        .alias("n_stop"),
-    )
-    kept = q.where(
-        (F.col("n_tokens") >= 40) & (F.col("n_stop") * 5 < F.col("n_tokens"))
-    )
-    wd = W.partitionBy(F.md5("text")).orderBy("doc_id")
-    return kept.withColumn("rn", F.row_number().over(wd)).where(F.col("rn") == 1)
-
-
 def downstream_build(docs: DataFrame, survivors: DataFrame) -> DataFrame:
     """Stages 4-8 (train cut → decontamination → domain mix → token
     budget → packing) over the near-dedup survivors; ``docs`` is the
@@ -184,12 +130,12 @@ def downstream_build(docs: DataFrame, survivors: DataFrame) -> DataFrame:
         survivors.where(split_bucket(F.col("doc_id")) < TRAIN_PERMILLE)
     )
     bench_grams = (
-        _grams(docs.where(split_bucket(F.col("doc_id")) >= VALID_PERMILLE))
+        five_grams(docs.where(split_bucket(F.col("doc_id")) >= VALID_PERMILLE))
         .select("gram")
         .distinct()
     )
     contaminated = (
-        _grams(train.select("doc_id", "text"))
+        five_grams(train.select("doc_id", "text"))
         .join(bench_grams, "gram")
         .select("doc_id")
         .distinct()

@@ -176,10 +176,58 @@ def q_llm_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_llm_corpus_curation",
-    oracle=f"""
-WITH q AS (
+def five_grams(df) -> "DataFrame":
+    """(doc_id, distinct word 5-gram) over any (doc_id, text) frame —
+    THE gram definition (decontaminate, its per-domain report, the
+    streaming twin and both corpus-build capstones all derive from it;
+    a gram-shape change can never desynchronize their shared oracles).
+    Map-side explode only; the size guard keeps sequence() ascending
+    (size-4 >= 1)."""
+    w = df.select("doc_id", F.split("text", " ").alias("w"))
+    return w.where(F.size("w") >= 5).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(w) - 4), "
+                    "i -> concat_ws(' ', slice(w, i, 5)))"
+                )
+            )
+        ).alias("gram"),
+    )
+
+
+def quality_exact_dedup(docs) -> "DataFrame":
+    """Stages 1-2 of the curation pipeline (quality filter: length ≥ 40
+    tokens + stopword density < 20%; exact dedup: keep lowest doc_id
+    per content hash) over a (doc_id, lang, source, text) frame — ONE
+    implementation for q_llm_corpus_curation and both corpus-build
+    capstones (the thresholds live here and in the shared oracle CTEs
+    only). Output carries n_tokens/n_stop/rn alongside the input
+    columns. Callers that reference the result more than once persist
+    it."""
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    q = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.expr(f"size(filter(split(text, ' '), x -> x IN ({stop_list})))")
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    kept = q.where(
+        (F.col("n_tokens") >= 40) & (F.col("n_stop") * 5 < F.col("n_tokens"))
+    )
+    wd = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    return kept.withColumn("rn", F.row_number().over(wd)).where(F.col("rn") == 1)
+
+
+# the q/kept/deduped CTE text matching quality_exact_dedup — shared by
+# the corpus-curation and corpus-build oracles (one statement of the
+# thresholds per dialect)
+QUALITY_DEDUP_CTES = f"""q AS (
     SELECT doc_id, lang, source, text,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
            len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS n_stop
@@ -194,7 +242,14 @@ deduped AS (
         SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         FROM kept
     ) WHERE rn = 1
-),
+)"""
+
+
+
+@register(
+    "q_llm_corpus_curation",
+    oracle=f"""
+WITH {QUALITY_DEDUP_CTES},
 train AS (
     SELECT * FROM deduped WHERE {_SPLIT_BUCKET_SQL} < {TRAIN_PERMILLE}
 )
@@ -205,27 +260,14 @@ FROM train GROUP BY lang, source
 def q_llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pipeline — quality filter ('good' docs only:
     length + stopword-density rules from q_llm_quality_score) → exact
-    dedup (keep lowest doc_id per content hash) → train-split selection
-    (the q_llm_train_test_split hash) → corpus stats per (lang,
-    source). One query, three shuffles (dedup window, final agg, and
-    nothing else — filters and the split are map-side), which is the
-    whole point: curation over 100 TB is a pipeline of fused scans,
-    not a sequence of materialized passes."""
-    d = table(spark, sf_dir, "documents")
-    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
-    q = d.select(
-        "doc_id",
-        "lang",
-        "source",
-        "text",
-        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
-        F.expr(f"size(filter(split(text, ' '), x -> x IN ({stop_list})))")
-        .cast("bigint")
-        .alias("n_stop"),
-    )
-    kept = q.where((F.col("n_tokens") >= 40) & (F.col("n_stop") * 5 < F.col("n_tokens")))
-    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
-    deduped = kept.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    dedup (keep lowest doc_id per content hash; both stages =
+    quality_exact_dedup, one implementation with the corpus-build
+    capstones) → train-split selection (the q_llm_train_test_split
+    hash) → corpus stats per (lang, source). One query, three shuffles
+    (dedup window, final agg, and nothing else — filters and the split
+    are map-side), which is the whole point: curation over 100 TB is a
+    pipeline of fused scans, not a sequence of materialized passes."""
+    deduped = quality_exact_dedup(table(spark, sf_dir, "documents"))
     train = deduped.where(split_bucket(F.col("doc_id")) < TRAIN_PERMILLE)
     return train.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("sum_tokens")
@@ -381,17 +423,8 @@ def decontaminate(
     The train vocabulary is referenced twice (bloom build + join
     build) and therefore tracked_persist-ed — the one-materialization
     rule for multiply-referenced plans. No Python anywhere."""
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("w")
-    )
-    grams = d.where(F.size("w") >= 5).select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                # guard above makes sequence() ascending (size-4 >= 1)
-                F.expr("transform(sequence(1, size(w) - 4), i -> concat_ws(' ', slice(w, i, 5)))")
-            )
-        ).alias("gram"),
+    grams = five_grams(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
     )
     bucket = split_bucket(F.col("doc_id"))
     train_grams = grams.where(bucket < TRAIN_PERMILLE).select("gram").distinct()

@@ -129,7 +129,13 @@ def q_llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per session, and q_llm_near_dedup / q_llm_dedup_clusters (and repeat
 # runs, e.g. bench) scan the parquet artifact instead of recomputing.
 _BANDS_ARTIFACT: dict[tuple[str, str], str] = {}
-_ARTIFACT_ROOT = os.path.join(tempfile.gettempdir(), "spark_cdc_engine_sigs")
+# pid-scoped root: the atexit rmtree may only reclaim THIS process's
+# artifacts — a shared root let one exiting session delete a
+# concurrent session's materialized bands mid-read (round-11 bench
+# crash: FAILED_READ_FILE under a parallel review session)
+_ARTIFACT_ROOT = os.path.join(
+    tempfile.gettempdir(), f"spark_cdc_engine_sigs-{os.getpid()}"
+)
 atexit.register(shutil.rmtree, _ARTIFACT_ROOT, ignore_errors=True)
 
 

@@ -174,7 +174,11 @@ def trained_quantizer(spark: SparkSession, sf_dir: str, k: int | None = None):
 # one-time indexing job in production, and every probe/pairing query
 # reads the index — same artifact discipline as llm/dedup.band_buckets.
 _IVF_INDEX_CACHE: dict[tuple[str, str, int | None], str] = {}
-_IVF_INDEX_ROOT = os.path.join(tempfile.gettempdir(), "spark_cdc_engine_ivf")
+# pid-scoped: see dedup._ARTIFACT_ROOT (shared roots let an exiting
+# process delete a concurrent session's index mid-read)
+_IVF_INDEX_ROOT = os.path.join(
+    tempfile.gettempdir(), f"spark_cdc_engine_ivf-{os.getpid()}"
+)
 atexit.register(shutil.rmtree, _IVF_INDEX_ROOT, ignore_errors=True)
 
 

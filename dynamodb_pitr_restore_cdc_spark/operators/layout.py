@@ -116,7 +116,10 @@ N_BUCKETS = 8
 # Catalog entries die with the session; the backing files are swept at
 # exit.
 _BUCKETED_CACHE: dict[tuple[str, str, str], tuple[str, str]] = {}
-_BUCKETED_ROOT = os.path.join(tempfile.gettempdir(), "spark_cdc_engine_bkt")
+# pid-scoped: see llm/dedup._ARTIFACT_ROOT
+_BUCKETED_ROOT = os.path.join(
+    tempfile.gettempdir(), f"spark_cdc_engine_bkt-{os.getpid()}"
+)
 
 import atexit
 
@@ -458,7 +461,12 @@ def zorder_layout(
     # the layout byte-stable under any session.  partitionBy (not a
     # hash repartition alone) keeps each z-range in its own file even
     # when two bucket ids hash-collide into one shuffle partition.
-    width = (1 << (2 * bits)) // n_files
+    # CEILING width: floor width overflows to bucket id n_files for the
+    # top (2^(2*bits) mod n_files) codes whenever n_files doesn't
+    # divide the z-space (any non-power-of-two n_files) — with ceil,
+    # max zb = (2^(2*bits)-1) div width <= n_files-1 for every n_files
+    zspace = 1 << (2 * bits)
+    width = -(-zspace // n_files)
     (
         li.withColumn("zv", zvalue_expr(sx, sy, bits=bits))
         .withColumn("zb", F.expr(f"CAST(zv div {width} AS INT)"))

@@ -479,6 +479,12 @@ _DRIVER_VERIFIED_R10: frozenset[str] = frozenset(
 
 # Queries whose implementation or oracle changes in round 11 — fronted
 # for driver re-verification.
+# NOTE for the r12 editor: seed _REVERIFY_R12 with
+# q_llm_corpus_curation, q_llm_decontaminate and
+# q_llm_contamination_report — their builders were refactored onto the
+# shared curation helpers (five_grams / quality_exact_dedup /
+# QUALITY_DEDUP_CTES) late in r11, after this round's window was full;
+# local parity re-proved them at two SFs, but the driver should too.
 _REVERIFY_R11: frozenset[str] = frozenset(
     {
         # zorder_layout write made deterministic (explicit bucket-id
@@ -502,12 +508,18 @@ _REVERIFY_R11: frozenset[str] = frozenset(
 # window slot each to refresh their `spark_rows`, per the round-10
 # verdict item 3.  They are placed in the recheck tier for THIS round
 # only — rule 4 below otherwise keeps them out of the window forever.
+# SELF-EXPIRING: the fronting applies only while `rounds` has exactly
+# _FRONT_ROWS_ONLY_WHILE_N_ROUNDS recorded sets — the moment round 12
+# appends _DRIVER_VERIFIED_R11, it lapses automatically (a stale
+# "one-shot" set would otherwise keep burning 4 hash-verifiable window
+# slots every round; round-11 review finding).
 _FRONT_ROWS_ONLY_R11: frozenset[str] = frozenset(
     {
         "q_agg_approx_distinct", "q_agg_hll_merge",
         "q_llm_simhash", "q_llm_simhash_pairs",
     }
 )
+_FRONT_ROWS_ONLY_WHILE_N_ROUNDS = 9  # R01-R07, R09, R10 recorded
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -517,7 +529,9 @@ def all_queries() -> dict[str, QuerySpec]:
     only a ~50-entry window, so ordering IS the coverage policy):
 
     1. ORACLED queries with no driver row in any round (never checked);
-    2. queries re-implemented this round (``_REVERIFY_R10``) — the
+    2. queries re-implemented this round (``_REVERIFY_R11`` — the
+       CURRENT round's set; editing an older _REVERIFY_* set does
+       nothing, the ordering reads only the newest) — the
        local parity suite is otherwise their only guard;
     3. every other ORACLED query by ASCENDING last-verified round
        (oldest evidence first, registration order within a round) — a
@@ -604,8 +618,13 @@ def all_queries() -> dict[str, QuerySpec]:
     # filter it would keep its recheck position despite rule 4) — the
     # _FRONT_ROWS_ONLY_R11 exception below is deliberate and one-shot.
     recheck = [n for n in order if n in _REVERIFY_R11 and n not in set(rows_only)]
-    fronted_rows_only = [n for n in rows_only if n in _FRONT_ROWS_ONLY_R11]
-    tail_rows_only = [n for n in rows_only if n not in _FRONT_ROWS_ONLY_R11]
+    front_now = (
+        _FRONT_ROWS_ONLY_R11
+        if len(rounds) == _FRONT_ROWS_ONLY_WHILE_N_ROUNDS
+        else frozenset()
+    )
+    fronted_rows_only = [n for n in rows_only if n in front_now]
+    tail_rows_only = [n for n in rows_only if n not in front_now]
     head = set(fresh) | set(recheck) | set(rows_only)
     rest = sorted(
         (n for n in order if n not in head),

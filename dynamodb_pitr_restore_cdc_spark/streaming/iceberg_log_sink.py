@@ -1536,15 +1536,28 @@ SELECT CAST(-1 AS BIGINT) AS bucket,
        CAST(0 AS BIGINT) AS small_delta_files,
        'REPACK' AS decision
 FROM (
-    SELECT CAST(1 + (SELECT count(DISTINCT commit_i) FROM files) AS BIGINT)
-               AS manifests,
-           CAST((SELECT count(*) FROM base) + (SELECT count(*) FROM files)
-                AS BIGINT) AS entries,
+    SELECT CAST(count(*) AS BIGINT) AS manifests,
+           CAST(sum(n) AS BIGINT) AS entries,
+           CAST(sum(n * (hi - lo + 1)) AS BIGINT) AS cover,
+           CAST(max(hi) - min(lo) + 1 AS BIGINT) AS total_w,
            GREATEST(CAST(16 AS BIGINT),
-                    CAST(floor(sqrt((SELECT count(*) FROM base)
-                                    + (SELECT count(*) FROM files)))
-                         AS BIGINT)) AS target
+                    CAST(floor(sqrt(sum(n))) AS BIGINT)) AS target
+    FROM (
+        -- one row per live manifest: init over the base buckets, one
+        -- per non-empty append commit over its touched buckets — the
+        -- same spans _manifest_summary records
+        SELECT min(bucket) AS lo, max(bucket) AS hi,
+               CAST(count(*) AS BIGINT) AS n
+        FROM base HAVING count(*) > 0
+        UNION ALL
+        SELECT min(bucket), max(bucket), CAST(count(*) AS BIGINT)
+        FROM files GROUP BY commit_i
+    )
 ) m
+-- the engine's _repack_priced cost model, verbatim: E[per-commit
+-- rewrite width] >= 2x the packed ideal, or a shattered list
+WHERE m.cover >= 2 * m.target * m.total_w
+   OR m.manifests > 2 * ((m.entries + m.target - 1) // m.target)
 """
         ),
     )
@@ -1561,12 +1574,15 @@ FROM (
         byte-identical to the Delta twin (small-file fan-in ≥ 3 under
         100 rows, or tombstone debt > 15% of bucket rows), plus one
         Iceberg-only TABLE row (bucket = -1): the manifest REPACK
-        pricing. On this fixture it is deterministically present — the
-        init manifest spans every base bucket and each append manifest
-        overlaps it, so the layout can never be "packed" — and its
-        counters are pure changelog arithmetic: manifests = 1 init + 1
-        per non-empty append; entries = base buckets + delta file
-        groups; target = √-packing floor (16 here)."""
+        pricing. The oracle re-derives the manifest spans from the
+        same changelog arithmetic (init over base buckets, one
+        manifest per non-empty append over its touched buckets) and
+        applies the engine's _repack_priced cost model VERBATIM —
+        E[per-commit rewrite width] ≥ 2× the packed ideal, or list
+        count > 2× ideal — so the row appears on exactly the layouts
+        the engine prices, never unconditionally (round-11 review:
+        an unconditional row would hash-mismatch on a fixture whose
+        appends touch few contiguous buckets)."""
         cl = changelog(spark, sf_dir).select(
             "seq_no", "op", "key", "payload_value"
         )

@@ -808,15 +808,19 @@ def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once and the report is per-doc, so appended batch outputs
     union to the batch-mode answer under ANY batching — the oracle is
     byte-identical to the batch query's."""
-    from ..llm.corpus_build import _grams
-    from ..llm.curation import TRAIN_PERMILLE, VALID_PERMILLE, split_bucket
+    from ..llm.curation import (
+        TRAIN_PERMILLE,
+        VALID_PERMILLE,
+        five_grams,
+        split_bucket,
+    )
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     bucket = split_bucket(F.col("doc_id"))
     # the vocabulary is referenced by every micro-batch: one
     # materialization, N probe joins
     train_grams = tracked_persist(
-        _grams(docs.where(bucket < TRAIN_PERMILLE)).select("gram").distinct()
+        five_grams(docs.where(bucket < TRAIN_PERMILLE)).select("gram").distinct()
     )
     test_docs = docs.where(bucket >= VALID_PERMILLE)
 
@@ -832,7 +836,7 @@ def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def decon_batch(batch: DataFrame, epoch_id: int) -> None:
         hits = (
-            _grams(batch)
+            five_grams(batch)
             .join(train_grams, "gram")
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_shared"))

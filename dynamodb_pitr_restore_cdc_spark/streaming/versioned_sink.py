@@ -919,7 +919,10 @@ from .util import atomic_write_text
 # 2/3 seq cutoffs) runs once per session and every consumer reads the
 # same commit history.
 _SINK_ARTIFACT: dict[tuple[str, str], tuple] = {}
-_SINK_ROOT = os.path.join(tempfile.gettempdir(), "spark_cdc_engine_vsink")
+# pid-scoped: see llm/dedup._ARTIFACT_ROOT
+_SINK_ROOT = os.path.join(
+    tempfile.gettempdir(), f"spark_cdc_engine_vsink-{os.getpid()}"
+)
 atexit.register(shutil.rmtree, _SINK_ROOT, ignore_errors=True)
 
 

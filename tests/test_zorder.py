@@ -104,3 +104,25 @@ def test_zorder_prunes_both_dimensions_linear_sort_only_one(spark):
 
 def test_zorder_layout_is_session_cached(spark):
     assert zorder_layout(spark, SF_SMOKE) == zorder_layout(spark, SF_SMOKE)
+
+
+def test_zorder_bucket_ids_bounded_for_non_divisor_n_files(spark):
+    # floor width overflowed to a (n_files+1)-th zb range whenever
+    # n_files didn't divide 2^(2*bits) — ceil width caps the id at
+    # n_files-1 for every n_files (round-11 review finding)
+    from dynamodb_pitr_restore_cdc_spark.operators.layout import (
+        _ZORDER_CACHE,
+        zorder_layout,
+    )
+
+    _ZORDER_CACHE.clear()  # bypass the session cache for the n_files probe
+    try:
+        zpath, _pk, _sk = zorder_layout(spark, SF_SMOKE, n_files=6)
+        zbs = sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(zpath)
+            if d.startswith("zb=")
+        )
+        assert zbs and zbs[-1] <= 5, zbs
+    finally:
+        _ZORDER_CACHE.clear()  # don't leak the 6-file layout to other tests
