@@ -191,3 +191,97 @@ def test_writers_race_maintenance_losslessly(spark, tmp_path, fmt):
         sink.rewrite_manifests()
     sink.expire_versions(keep_last=2, sweep_orphans=True)
     assert got() == want
+
+
+def test_index_maintenance_races_ingest_and_readers(spark, tmp_path):
+    """INDEX state under the same discipline as table state (round-11:
+    q_llm_lsh_index_compaction proves layout-invariance sequentially;
+    this races it): one thread blind-appends upsert/remove epochs into
+    the LSH index, a maintenance thread loops the sink's own policy
+    (optimize_plan → compact_mor on the priced buckets), and a reader
+    thread answers pairs() continuously — readers must never crash on
+    a mid-commit layout, and the settled index must answer exactly
+    like a fresh one-shot index over the final corpus."""
+    from dynamodb_pitr_restore_cdc_spark.llm.index_maintenance import LshIndex
+    from dynamodb_pitr_restore_cdc_spark.sources import table
+
+    from .conftest import SF_SMOKE
+
+    docs = (
+        table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 160)
+        .localCheckpoint(eager=True)
+    )
+    idx = LshIndex(spark, str(tmp_path / "lsh"))
+    idx.init(docs.where(F.col("doc_id") < 40), seq=1)
+
+    errors: list[str] = []
+    stop = threading.Event()
+
+    def ingest():
+        try:
+            for i, lo in enumerate((40, 80, 120)):
+                idx.upsert(
+                    docs.where(
+                        (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 40)
+                    ),
+                    seq=2 + i,
+                )
+            idx.remove(
+                docs.where(F.col("doc_id") % 7 == 3).select("doc_id"), seq=9
+            )
+        except BaseException:  # noqa: BLE001
+            errors.append(traceback.format_exc())
+
+    def maintenance():
+        try:
+            while not stop.is_set():
+                try:
+                    plan = idx.sink.optimize_plan(
+                        small_file_rows=10**6, min_small_files=2, tombstone_pct=15
+                    ).collect()
+                    buckets = {
+                        r.bucket for r in plan
+                        if r.decision == "COMPACT" and r.bucket >= 0
+                    }
+                    if buckets:
+                        idx.sink.compact_mor(buckets, max_attempts=3)
+                except RuntimeError:
+                    pass  # lost its CAS budget to the ingester: liveness only
+        except BaseException:  # noqa: BLE001
+            errors.append(traceback.format_exc())
+
+    def reader():
+        try:
+            while not stop.is_set():
+                # any committed snapshot is a valid index state: the
+                # count just has to come back, never crash on a
+                # mid-commit layout
+                idx.pairs(docs).count()
+        except BaseException:  # noqa: BLE001
+            errors.append(traceback.format_exc())
+
+    it = threading.Thread(target=ingest)
+    mt = threading.Thread(target=maintenance)
+    rt = threading.Thread(target=reader)
+    for t in (it, mt, rt):
+        t.start()
+    it.join(timeout=600)
+    assert not it.is_alive(), "ingest thread hung"
+    stop.set()
+    for t in (mt, rt):
+        t.join(timeout=600)
+        assert not t.is_alive(), "worker thread hung"
+    assert not errors, errors
+
+    final_docs = docs.where(F.col("doc_id") % 7 != 3)
+    fresh = LshIndex(spark, str(tmp_path / "fresh"))
+    fresh.init(final_docs)
+
+    def pair_set(ix):
+        return sorted(
+            (r.doc_a, r.doc_b, r.jaccard) for r in ix.pairs(final_docs).collect()
+        )
+
+    assert pair_set(idx) == pair_set(fresh)
