@@ -812,3 +812,68 @@ def test_rewrite_manifests_noop_when_packed(spark, tmp_path):
     # already packed: publishes nothing
     s.rewrite_manifests(target_entries=1)
     assert s.latest_version() == v
+
+
+def test_repack_pricing_properties():
+    # property: a freshly packed layout — disjoint spans, every
+    # manifest within target, count == ceil(entries/target) — is NEVER
+    # priced (provable: cover = sum n_i*w_i <= target * sum w_i <=
+    # target * total_w < 2*target*total_w), and a monolith holding
+    # >= 2*target entries ALWAYS is. Randomized over layout shapes so
+    # the trigger can't regress into repack livelock.
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dynamodb_pitr_restore_cdc_spark.streaming.iceberg_log_sink import (
+        _manifest_target,
+        _repack_priced,
+    )
+
+    def m(lo, hi, n):
+        return {
+            "partitions": {"bucket": {"lower": lo, "upper": hi}},
+            "added_files_count": n,
+            "existing_files_count": 0,
+        }
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(1, 500), min_size=1, max_size=40),
+        gaps=st.lists(st.integers(0, 50), min_size=40, max_size=40),
+    )
+    def packed_never_priced(sizes, gaps):
+        entries = sum(sizes)
+        target = _manifest_target(entries)
+        # repack sizes onto the target exactly like _pack_groups would:
+        # greedy fill to target, then lay the groups out disjointly
+        groups, cur = [], 0
+        for s in sizes:
+            cur += s
+            if cur >= target:
+                groups.append(cur)
+                cur = 0
+        if cur:
+            groups.append(cur)
+        spans, lo = [], 0
+        for g, gap in zip(groups, gaps):
+            spans.append(m(lo, lo + g - 1, g))
+            lo += g + gap
+        # greedy fill can exceed target on the last element added;
+        # clamp the premise: only claim the property when within it
+        if all(s["added_files_count"] <= target for s in spans) and len(
+            spans
+        ) <= 2 * (-(-entries // target)):
+            assert not _repack_priced(spans, entries, target)
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        n=st.integers(32, 100_000),
+        width=st.integers(1, 1_000_000),
+    )
+    def monolith_always_priced(n, width):
+        target = _manifest_target(n)
+        if n >= 2 * target:
+            assert _repack_priced([m(0, width - 1, n)], n, target)
+
+    packed_never_priced()
+    monolith_always_priced()
