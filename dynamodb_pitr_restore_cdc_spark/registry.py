@@ -478,13 +478,9 @@ _DRIVER_VERIFIED_R10: frozenset[str] = frozenset(
 )
 
 # Queries whose implementation or oracle changes in round 11 — fronted
-# for driver re-verification.
-# NOTE for the r12 editor: seed _REVERIFY_R12 with
-# q_llm_corpus_curation, q_llm_decontaminate and
-# q_llm_contamination_report — their builders were refactored onto the
-# shared curation helpers (five_grams / quality_exact_dedup /
-# QUALITY_DEDUP_CTES) late in r11, after this round's window was full;
-# local parity re-proved them at two SFs, but the driver should too.
+# for driver re-verification that round (historical; the ordering reads
+# only the newest _REVERIFY_* set, now _REVERIFY_R12 below, which
+# discharges the r11 note about the late-refactored curation queries).
 _REVERIFY_R11: frozenset[str] = frozenset(
     {
         # zorder_layout write made deterministic (explicit bucket-id
@@ -521,6 +517,52 @@ _FRONT_ROWS_ONLY_R11: frozenset[str] = frozenset(
 )
 _FRONT_ROWS_ONLY_WHILE_N_ROUNDS = 9  # R01-R07, R09, R10 recorded
 
+# Queries with a driver row in CORRECTNESS_r11.json — 46/46 oracled
+# hash-matches (the 6 new round-11 queries, the rotated r05 cohort:
+# all 16 remaining TPC-H shapes, the layout-evidence join family, the
+# PQ/IVFADC ANN family, scd2/set-all/ts-batch/reports) plus the 4
+# rows-only refreshes fronted one-shot by _FRONT_ROWS_ONLY_R11.
+_DRIVER_VERIFIED_R11: frozenset[str] = frozenset(
+    {
+        "q_agg_approx_distinct", "q_agg_hll_merge",
+        "q_cdc_iceberg_optimize_plan", "q_cdc_scd2_history",
+        "q_dq_constraint_report", "q_emb_quality_report",
+        "q_join_bucketed_colocated", "q_join_bucketed_dim",
+        "q_join_dynamic_partition_pruning", "q_join_shuffle_hash_hint",
+        "q_llm_ann_ivf_multiprobe", "q_llm_ann_ivfadc",
+        "q_llm_ann_ivfpq_residual", "q_llm_ann_pq", "q_llm_corpus_build",
+        "q_llm_lsh_index_compaction", "q_llm_pii_redact", "q_llm_simhash",
+        "q_llm_simhash_pairs", "q_llm_unigram_logprob",
+        "q_scan_partitioned_source", "q_scan_zorder_box",
+        "q_set_except_all", "q_set_intersect_all", "q_stream_corpus_build",
+        "q_stream_decontaminate", "q_stream_ivf_index_ingest",
+        "q_stream_mor_ingest", "q_stream_mor_ingest_iceberg",
+        "q_tpch_q11_important_stock", "q_tpch_q12_ship_priority_classes",
+        "q_tpch_q13_customer_distribution", "q_tpch_q15_top_supplier",
+        "q_tpch_q16_supplier_variety", "q_tpch_q17_small_qty_revenue",
+        "q_tpch_q19_disjunctive_revenue", "q_tpch_q1_pricing_summary",
+        "q_tpch_q20_part_promotion", "q_tpch_q21_waiting_supplier",
+        "q_tpch_q22_sales_opportunity", "q_tpch_q2_min_cost_supplier",
+        "q_tpch_q4_order_priority", "q_tpch_q7_volume_shipping",
+        "q_tpch_q8_market_share", "q_tpch_q9_product_profit",
+        "q_ts_autocorr", "q_ts_cusum_changepoint", "q_ts_ewma",
+        "q_ts_ohlc_bars", "q_win_cume_dist",
+    }
+)
+
+# Queries fronted for driver re-verification in round 12: the three
+# curation queries refactored onto the shared helpers (five_grams /
+# quality_exact_dedup / QUALITY_DEDUP_CTES, commit 76078c7) AFTER the
+# r11 window froze — their newest driver rows (r10) verify code that no
+# longer exists.  Local parity re-proved them at two SFs; this seeds
+# the hard driver signal (r11 verdict, item 2).
+_REVERIFY_R12: frozenset[str] = frozenset(
+    {
+        "q_llm_corpus_curation", "q_llm_decontaminate",
+        "q_llm_contamination_report",
+    }
+)
+
 
 def all_queries() -> dict[str, QuerySpec]:
     """Import all operator modules (side-effect: registration) and return the registry.
@@ -529,7 +571,7 @@ def all_queries() -> dict[str, QuerySpec]:
     only a ~50-entry window, so ordering IS the coverage policy):
 
     1. ORACLED queries with no driver row in any round (never checked);
-    2. queries re-implemented this round (``_REVERIFY_R11`` — the
+    2. queries re-implemented this round (``_REVERIFY_R12`` — the
        CURRENT round's set; editing an older _REVERIFY_* set does
        nothing, the ordering reads only the newest) — the
        local parity suite is otherwise their only guard;
@@ -599,6 +641,7 @@ def all_queries() -> dict[str, QuerySpec]:
         _DRIVER_VERIFIED_R07,
         _DRIVER_VERIFIED_R09,
         _DRIVER_VERIFIED_R10,
+        _DRIVER_VERIFIED_R11,
     )
 
     def last_checked(n: str) -> int:
@@ -610,14 +653,14 @@ def all_queries() -> dict[str, QuerySpec]:
         n
         for n in order
         if last_checked(n) == 0
-        and n not in _REVERIFY_R11
+        and n not in _REVERIFY_R12
         and n not in rows_only
     ]
     # a rows-only name accidentally listed in a reverify set must not
     # claim a recheck slot (dict first-insert wins, so without this
     # filter it would keep its recheck position despite rule 4) — the
     # _FRONT_ROWS_ONLY_R11 exception below is deliberate and one-shot.
-    recheck = [n for n in order if n in _REVERIFY_R11 and n not in set(rows_only)]
+    recheck = [n for n in order if n in _REVERIFY_R12 and n not in set(rows_only)]
     front_now = (
         _FRONT_ROWS_ONLY_R11
         if len(rounds) == _FRONT_ROWS_ONLY_WHILE_N_ROUNDS
