@@ -22,10 +22,7 @@ Jaccard ≥ 0.5 in pure SQL) therefore matches exactly.
 
 from __future__ import annotations
 
-import atexit
 import os
-import shutil
-import tempfile
 import uuid
 import zlib
 
@@ -35,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..registry import register, tracked_persist
+from ..registry import pid_scoped_root, register, tracked_persist
 from ..sources import table
 
 N_PERM = 64
@@ -132,11 +129,9 @@ _BANDS_ARTIFACT: dict[tuple[str, str], str] = {}
 # pid-scoped root: the atexit rmtree may only reclaim THIS process's
 # artifacts — a shared root let one exiting session delete a
 # concurrent session's materialized bands mid-read (round-11 bench
-# crash: FAILED_READ_FILE under a parallel review session)
-_ARTIFACT_ROOT = os.path.join(
-    tempfile.gettempdir(), f"spark_cdc_engine_sigs-{os.getpid()}"
-)
-atexit.register(shutil.rmtree, _ARTIFACT_ROOT, ignore_errors=True)
+# crash: FAILED_READ_FILE under a parallel review session).  The
+# helper also sweeps dead siblings' roots (SIGKILL skips atexit).
+_ARTIFACT_ROOT = pid_scoped_root("sigs")
 
 
 def band_array(docs: DataFrame) -> DataFrame:

@@ -15,10 +15,8 @@ values agree to ~1e-15 and the round(_, 4) outputs hash-match.
 
 from __future__ import annotations
 
-import atexit
 import os
 import shutil
-import tempfile
 import uuid
 
 import numpy as np
@@ -28,7 +26,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..registry import register, tracked_persist
+from ..registry import pid_scoped_root, register, tracked_persist
 from ..sources import table
 
 TOP_K = 10
@@ -174,12 +172,8 @@ def trained_quantizer(spark: SparkSession, sf_dir: str, k: int | None = None):
 # one-time indexing job in production, and every probe/pairing query
 # reads the index — same artifact discipline as llm/dedup.band_buckets.
 _IVF_INDEX_CACHE: dict[tuple[str, str, int | None], str] = {}
-# pid-scoped: see dedup._ARTIFACT_ROOT (shared roots let an exiting
-# process delete a concurrent session's index mid-read)
-_IVF_INDEX_ROOT = os.path.join(
-    tempfile.gettempdir(), f"spark_cdc_engine_ivf-{os.getpid()}"
-)
-atexit.register(shutil.rmtree, _IVF_INDEX_ROOT, ignore_errors=True)
+# pid-scoped + dead-sibling sweep: see registry.pid_scoped_root
+_IVF_INDEX_ROOT = pid_scoped_root("ivf")
 
 
 def _cell_members(spark: SparkSession, sf_dir: str, k: int | None = None) -> DataFrame:

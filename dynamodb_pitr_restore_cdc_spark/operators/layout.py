@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import cents
-from ..registry import register, tracked_persist
+from ..registry import pid_scoped_root, register, tracked_persist
 from ..sources import table
 
 
@@ -116,14 +116,8 @@ N_BUCKETS = 8
 # Catalog entries die with the session; the backing files are swept at
 # exit.
 _BUCKETED_CACHE: dict[tuple[str, str, str], tuple[str, str]] = {}
-# pid-scoped: see llm/dedup._ARTIFACT_ROOT
-_BUCKETED_ROOT = os.path.join(
-    tempfile.gettempdir(), f"spark_cdc_engine_bkt-{os.getpid()}"
-)
-
-import atexit
-
-atexit.register(shutil.rmtree, _BUCKETED_ROOT, ignore_errors=True)
+# pid-scoped + dead-sibling sweep: see registry.pid_scoped_root
+_BUCKETED_ROOT = pid_scoped_root("bkt")
 
 
 # The bucketed CATALOG: each spec is one co-located pair — (table,

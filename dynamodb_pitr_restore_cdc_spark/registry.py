@@ -14,6 +14,7 @@ both sides; timestamps leave the engine as epoch-microsecond BIGINTs
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -107,6 +108,44 @@ def release_persisted() -> None:
                 h.unpersist()
             except Exception:
                 pass
+
+
+_SIBLING_ROOTS_SWEPT = False
+
+
+def pid_scoped_root(tag: str) -> str:
+    """Per-process tmp artifact root ``spark_cdc_engine_<tag>-<pid>``.
+
+    Pid-scoping (round 11) stops a second process's atexit from
+    rmtree-ing a root this process is mid-read on; the cost is that a
+    SIGKILL'd or crashed process skips atexit and leaves its sf-scale
+    parquet behind forever.  So the first call in a process also
+    sweeps SIBLING roots whose owning pid is no longer alive
+    (``os.kill(pid, 0)`` probe — EPERM counts as alive, and a reused
+    pid just defers the sweep to a later process; round-12 advice).
+    Registers an atexit rmtree for the returned root."""
+    import atexit
+    import errno
+    import re
+    import shutil
+    import tempfile
+
+    global _SIBLING_ROOTS_SWEPT
+    tmp = tempfile.gettempdir()
+    if not _SIBLING_ROOTS_SWEPT:
+        _SIBLING_ROOTS_SWEPT = True
+        for entry in os.listdir(tmp):
+            m = re.fullmatch(r"spark_cdc_engine_\w+-(\d+)", entry)
+            if not m or int(m.group(1)) == os.getpid():
+                continue
+            try:
+                os.kill(int(m.group(1)), 0)
+            except OSError as e:
+                if e.errno == errno.ESRCH:  # owner is gone: crash debris
+                    shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
+    root = os.path.join(tmp, f"spark_cdc_engine_{tag}-{os.getpid()}")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builder]:
@@ -555,11 +594,20 @@ _DRIVER_VERIFIED_R11: frozenset[str] = frozenset(
 # quality_exact_dedup / QUALITY_DEDUP_CTES, commit 76078c7) AFTER the
 # r11 window froze — their newest driver rows (r10) verify code that no
 # longer exists.  Local parity re-proved them at two SFs; this seeds
-# the hard driver signal (r11 verdict, item 2).
+# the hard driver signal (r11 verdict, item 2).  Plus the Iceberg
+# maintenance-policy query, whose REPACK trigger (and its verbatim
+# oracle mirror) moved to the round-12 hysteresis cost model — the
+# fixture's decision is unchanged (the init monolith fires the
+# immediate-payback rule under both models) but the changed text must
+# be driver-hashed.  The two streaming MOR drills execute the same
+# trigger yet keep an IDENTICAL lifecycle (one post-ingest repack fires
+# under both models — asserted by local parity at two SFs) and hold
+# age-0 r11 rows, so they stay out of this window; the 45-query age-5
+# rotation leaves no slack for re-proving provably-unchanged behavior.
 _REVERIFY_R12: frozenset[str] = frozenset(
     {
         "q_llm_corpus_curation", "q_llm_decontaminate",
-        "q_llm_contamination_report",
+        "q_llm_contamination_report", "q_cdc_iceberg_optimize_plan",
     }
 )
 

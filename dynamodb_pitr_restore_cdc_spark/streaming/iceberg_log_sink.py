@@ -140,14 +140,21 @@ def _pack_groups(entries: list[dict], target: int) -> list[list[dict]]:
 
 
 def _manifests_packed(
-    old_list: list[dict], n_groups: int, target: int
+    old_list: list[dict], groups: list[list[dict]], target: int
 ) -> bool:
-    """Already-packed test from manifest-list SUMMARIES alone (no
-    manifest reads): same manifest count as a fresh pack, every old
-    manifest within target, and old bucket spans DISJOINT (an
+    """Already-packed test from manifest-list SUMMARIES against the
+    layout's OWN fresh pack: packed when the old layout either (a)
+    matches the classic summary test — same manifest count as a fresh
+    pack, every manifest within target, bucket spans DISJOINT (an
     overlapping layout — e.g. init + append both spanning all buckets —
     must repack even if each piece is small, or every one-bucket MERGE
-    keeps rewriting all of them)."""
+    keeps rewriting all of them) — or (b) is span/size-identical to
+    what _pack_groups would itself produce.  (b) is what (a)'s
+    ``n <= target`` clause cannot see: a single bucket holding more
+    than target entries packs into one OVERSIZED manifest (a bucket's
+    files stay together), so without it rewrite_manifests republishes
+    the identical layout forever — the repack-livelock shape the
+    round-11 review missed (single-bucket-dominant tables)."""
     spans = sorted(
         (
             m["partitions"]["bucket"]["lower"],
@@ -156,11 +163,21 @@ def _manifests_packed(
         )
         for m in old_list
     )
-    return (
-        len(old_list) == n_groups
-        and all(n <= target for _lo, _hi, n in spans)
-        and all(spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1))
-    )
+    if len(old_list) == len(groups):
+        if all(n <= target for _lo, _hi, n in spans) and all(
+            spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1)
+        ):
+            return True
+        fresh = sorted(
+            (
+                min(e["data_file"]["partition"]["bucket"] for e in g),
+                max(e["data_file"]["partition"]["bucket"] for e in g),
+                len(g),
+            )
+            for g in groups
+        )
+        return spans == fresh
+    return False
 
 
 def _manifest_target(n_entries: int) -> int:
@@ -170,30 +187,51 @@ def _manifest_target(n_entries: int) -> int:
     return max(16, math.isqrt(n_entries))
 
 
-# REPACK fires when the EXPECTED per-commit manifest-rewrite width —
-# for a uniformly random touched bucket, the entries of every manifest
-# whose span covers it — reaches REPACK_COVER_FACTOR × the packed
-# ideal (one target-sized manifest per touched bucket), or when the
-# manifest LIST has fragmented into more than 2× the ideal count
-# (list republication is the other per-commit cost axis). Rationale
-# (SCALE.md round-11, measured): a repack rewrites EVERY live entry,
-# so the trigger must price the tax a commit actually pays, not detect
-# any deviation from the packed layout — an overlap-based detector
-# fires on every narrow trickle append (whose wide-span manifest is
-# TINY and cheap to rewrite) and repacked the 10^4-bucket drill 13
-# times in 12 commits. Under this model a fresh bulk load (one
-# monolith manifest: expected width = the whole table) fires
-# immediately, and a repacked table absorbing w-entry trickle appends
-# accumulates ~w of expected width per commit, firing every
-# ~target/w commits — one full-table rewrite amortized across the
-# commits whose tax it removes.
-REPACK_COVER_FACTOR = 2
+# REPACK pricing (round-12 hysteresis; SCALE.md round-11 honest
+# reading): a repack rewrites EVERY live entry, so the trigger must
+# charge that cost against the per-commit tax it removes — the round-11
+# model (fire at E[cover] ≥ 2·target) paid n_entries of rewrite to
+# remove a ~target/commit tax, firing every ~4-5 trickle commits and
+# writing 7× the metadata of one hand-placed post-load repack.  Three
+# rules, cheapest-evidence first:
+#
+# (a) IMMEDIATE: E[excess] = E[per-commit rewrite] − target ≥
+#     n_entries / 2 — the repack (cost n_entries) pays for itself out
+#     of SAVINGS within REPACK_PAYBACK_COMMITS commits with certainty
+#     (excess, not raw cover: a packed two-manifest table has
+#     E[rewrite] = n/2 but zero savings — rewriting it buys nothing).
+#     This is the bulk-load monolith (expected width = the whole
+#     table): fire before paying any tax, matching the informed
+#     manual cadence; reduces to n ≥ 2·target for monoliths.
+# (b) ACCUMULATED (ski-rental): commits_since_repack × E[excess] ≥
+#     2 × n_entries — fire once the tax actually paid since the last
+#     repack (≈ commits × current-excess / 2 under linear growth)
+#     reaches the repack's own cost.  Slow trickle fragmentation now
+#     amortizes one full rewrite over the commits whose tax it removes
+#     instead of firing on the first 2×-target blip.
+# (c) LIST: more than 2× ceil(entries/target) manifests — list
+#     republication is the other per-commit cost axis and is priced
+#     by length alone.
+#
+# (a) and (b) are gated on n_entries > target (a table whose fresh
+# pack is a single manifest cannot be improved by repacking), and
+# width-1 oversized manifests are EXCLUDED from cover: _pack_groups
+# keeps a bucket's files together, so their rewrite tax is
+# irreducible and repacking buys nothing (single-bucket livelock,
+# round-12 advice).
+REPACK_PAYBACK_COMMITS = 2
 
 
-def _repack_priced(old_list: list[dict], n_entries: int, target: int) -> bool:
+def _repack_priced(
+    old_list: list[dict],
+    n_entries: int,
+    target: int,
+    commits_since: int = 1,
+) -> bool:
     """Cost-aware REPACK trigger from manifest-list summaries alone
-    (zero manifest reads, O(manifests) driver arithmetic). Integer
-    math: E[cover] ≥ f·target  ⇔  Σ entries·width ≥ f·target·total_width."""
+    (zero manifest reads, O(manifests) driver arithmetic) plus the
+    snapshot count since the last repack. Integer math throughout:
+    E[cover] ≥ X  ⇔  Σ entries·width ≥ X·total_width."""
     spans = [
         (
             m["partitions"]["bucket"]["lower"],
@@ -203,11 +241,22 @@ def _repack_priced(old_list: list[dict], n_entries: int, target: int) -> bool:
         for m in old_list
     ]
     total_w = max(hi for _lo, hi, _n in spans) - min(lo for lo, _hi, _n in spans) + 1
-    cover = sum(n * (hi - lo + 1) for lo, hi, n in spans)
+    cover = sum(
+        n * (hi - lo + 1)
+        for lo, hi, n in spans
+        if not (lo == hi and n > target)  # irreducible: never splits
+    )
     ideal = -(-n_entries // target)
+    if len(old_list) > 2 * ideal:
+        return True  # (c)
+    if n_entries <= target:
+        return False  # fresh pack is one manifest: nothing to improve
+    excess = cover - target * total_w  # savings·total_w, ≤ 0 when packed
+    if excess <= 0:
+        return False
     return (
-        cover >= REPACK_COVER_FACTOR * target * total_w
-        or len(old_list) > 2 * ideal
+        REPACK_PAYBACK_COMMITS * excess >= n_entries * total_w  # (a)
+        or commits_since * excess >= 2 * n_entries * total_w  # (b)
     )
 
 
@@ -364,6 +413,22 @@ class IcebergLogSink:
 
     def _manifest_list(self, snap: dict) -> list[dict]:
         return self._read_ndjson(snap["manifest-list"])
+
+    @staticmethod
+    def _commits_since_repack(meta: dict) -> int:
+        """Snapshots after the newest rewrite_manifests commit (marked
+        by its ``manifests-replaced`` summary metric), or the whole
+        retained history if none — the commit count the hysteresis
+        pricing (_repack_priced rule b) charges accumulated rewrite tax
+        over.  expire_versions truncates the snapshot list, which only
+        UNDERCOUNTS commits (a later repack, never a livelock)."""
+        snaps = meta["snapshots"]
+        since = 0
+        for s in reversed(snaps):
+            if "manifests-replaced" in s.get("summary", {}):
+                break
+            since += 1
+        return since
 
     def _entries(
         self, snap: dict, buckets: set[int] | None = None
@@ -914,9 +979,11 @@ class IcebergLogSink:
         property must hold without operator intervention). When the
         expected per-commit rewrite width or the manifest-list length
         crosses the cost model's threshold (_repack_priced, decided
-        from manifest-list summaries alone — a repack rewrites
-        EVERYTHING, so the trigger prices the tax commits actually
-        pay, never mere deviation from the packed layout), one
+        from manifest-list summaries plus the snapshot count since the
+        last repack — a repack rewrites EVERYTHING, so the trigger
+        charges that cost against the tax commits actually pay:
+        immediately for a monolith whose payback is certain, by
+        ski-rental accumulation for slow trickle fragmentation), one
         TABLE-scoped row is appended: ``bucket = -1, decision =
         'REPACK'`` with the pricing in the counter columns —
         base_files = live manifests, base_records = live entries,
@@ -956,7 +1023,9 @@ class IcebergLogSink:
         table_rows: list[dict] = []
         if entries:
             target = _manifest_target(len(entries))
-            if _repack_priced(old_list, len(entries), target):
+            if _repack_priced(
+                old_list, len(entries), target, self._commits_since_repack(meta)
+            ):
                 table_rows.append(
                     {
                         "bucket": -1,
@@ -1061,13 +1130,17 @@ class IcebergLogSink:
                 else _manifest_target(len(entries))
             )
             groups = _pack_groups(entries, target)
-            if _manifests_packed(old_list, len(groups), target):
+            if _manifests_packed(old_list, groups, target):
                 return len(old_list)  # no no-op commit
             manifest_list = [
                 self._manifest_summary(self._write_ndjson("manifest", g), g)
                 for g in groups
             ]
             snap_rec = self._snapshot_shell(prev, manifest_list, "replace")
+            # Iceberg-style summary metric; also the marker the
+            # hysteresis pricing uses to count commits since the last
+            # repack (_commits_since_repack)
+            snap_rec["summary"]["manifests-replaced"] = str(len(old_list))
             try:
                 self._commit_snapshot(meta_num, meta, snap_rec)
                 return len(groups)
@@ -1514,6 +1587,16 @@ FROM (
            CAST(sum(CASE WHEN recs < 100 THEN 1 ELSE 0 END) AS BIGINT)
                AS small_delta_files
     FROM files GROUP BY 1)
+, mrows AS (
+    -- one row per live manifest: init over the base buckets, one per
+    -- non-empty append commit over its touched buckets — the same
+    -- spans _manifest_summary records
+    SELECT min(bucket) AS lo, max(bucket) AS hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM base HAVING count(*) > 0
+    UNION ALL
+    SELECT min(bucket), max(bucket), CAST(count(*) AS BIGINT)
+    FROM files GROUP BY commit_i)
 SELECT COALESCE(b.bucket, d.bucket) AS bucket,
        CAST(CASE WHEN b.bucket IS NULL THEN 0 ELSE 1 END AS BIGINT) AS base_files,
        COALESCE(b.base_records, 0) AS base_records,
@@ -1536,28 +1619,40 @@ SELECT CAST(-1 AS BIGINT) AS bucket,
        CAST(0 AS BIGINT) AS small_delta_files,
        'REPACK' AS decision
 FROM (
-    SELECT CAST(count(*) AS BIGINT) AS manifests,
-           CAST(sum(n) AS BIGINT) AS entries,
-           CAST(sum(n * (hi - lo + 1)) AS BIGINT) AS cover,
-           CAST(max(hi) - min(lo) + 1 AS BIGINT) AS total_w,
-           GREATEST(CAST(16 AS BIGINT),
-                    CAST(floor(sqrt(sum(n))) AS BIGINT)) AS target
+    SELECT t.manifests, t.entries, t.total_w, t.target,
+           -- width-1 oversized manifests are irreducible (a bucket's
+           -- files stay together in the engine's _pack_groups) and
+           -- contribute no repack benefit — excluded from cover
+           (SELECT CAST(sum(CASE WHEN r.lo = r.hi AND r.n > t.target
+                                 THEN 0
+                                 ELSE r.n * (r.hi - r.lo + 1) END)
+                    AS BIGINT)
+            FROM mrows r) AS cover,
+           -- commits since the last repack: the fixture never repacks,
+           -- so the whole history counts — init + one snapshot per
+           -- non-empty append (empty appends publish no commit)
+           CAST(1 + (SELECT count(DISTINCT commit_i) FROM files)
+                AS BIGINT) AS commits
     FROM (
-        -- one row per live manifest: init over the base buckets, one
-        -- per non-empty append commit over its touched buckets — the
-        -- same spans _manifest_summary records
-        SELECT min(bucket) AS lo, max(bucket) AS hi,
-               CAST(count(*) AS BIGINT) AS n
-        FROM base HAVING count(*) > 0
-        UNION ALL
-        SELECT min(bucket), max(bucket), CAST(count(*) AS BIGINT)
-        FROM files GROUP BY commit_i
-    )
+        SELECT CAST(count(*) AS BIGINT) AS manifests,
+               CAST(sum(n) AS BIGINT) AS entries,
+               CAST(max(hi) - min(lo) + 1 AS BIGINT) AS total_w,
+               GREATEST(CAST(16 AS BIGINT),
+                        CAST(floor(sqrt(sum(n))) AS BIGINT)) AS target
+        FROM mrows
+    ) t
 ) m
--- the engine's _repack_priced cost model, verbatim: E[per-commit
--- rewrite width] >= 2x the packed ideal, or a shattered list
-WHERE m.cover >= 2 * m.target * m.total_w
-   OR m.manifests > 2 * ((m.entries + m.target - 1) // m.target)
+-- the engine's _repack_priced hysteresis model, verbatim:
+-- (c) shattered list, else gated on entries > target and a positive
+-- excess: (a) immediate payback — E[excess] >= entries/2, or
+-- (b) ski-rental — commits x E[excess] >= 2 x entries
+WHERE m.manifests > 2 * ((m.entries + m.target - 1) // m.target)
+   OR (m.entries > m.target
+       AND m.cover > m.target * m.total_w
+       AND (2 * (m.cover - m.target * m.total_w)
+                >= m.entries * m.total_w
+         OR m.commits * (m.cover - m.target * m.total_w)
+                >= 2 * m.entries * m.total_w))
 """
         ),
     )
@@ -1576,13 +1671,16 @@ WHERE m.cover >= 2 * m.target * m.total_w
         Iceberg-only TABLE row (bucket = -1): the manifest REPACK
         pricing. The oracle re-derives the manifest spans from the
         same changelog arithmetic (init over base buckets, one
-        manifest per non-empty append over its touched buckets) and
-        applies the engine's _repack_priced cost model VERBATIM —
-        E[per-commit rewrite width] ≥ 2× the packed ideal, or list
-        count > 2× ideal — so the row appears on exactly the layouts
-        the engine prices, never unconditionally (round-11 review:
-        an unconditional row would hash-mismatch on a fixture whose
-        appends touch few contiguous buckets)."""
+        manifest per non-empty append over its touched buckets,
+        commits = init + non-empty appends) and applies the engine's
+        _repack_priced hysteresis model VERBATIM — shattered list, or
+        (gated on entries > target) immediate payback
+        E[rewrite] ≥ entries/2, or accumulated ski-rental tax
+        commits × E[excess] ≥ 2 × entries, with width-1 oversized
+        manifests excluded from cover — so the row appears on exactly
+        the layouts the engine prices, never unconditionally
+        (round-11 review: an unconditional row would hash-mismatch on
+        a fixture whose appends touch few contiguous buckets)."""
         cl = changelog(spark, sf_dir).select(
             "seq_no", "op", "key", "payload_value"
         )

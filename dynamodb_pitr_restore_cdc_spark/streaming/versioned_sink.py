@@ -899,7 +899,6 @@ class VersionedCdcSink:
 # registered queries
 # ---------------------------------------------------------------------------
 
-import atexit  # noqa: E402
 import tempfile  # noqa: E402
 
 from ..operators.behavior import _Z_EXPR as _BEHAVIOR_Z_EXPR  # noqa: E402
@@ -909,7 +908,11 @@ from ..operators.cdc import (  # noqa: E402
     fold_changelog,
     with_changelog,
 )
-from ..registry import register, tracked_persist  # noqa: E402
+from ..registry import (  # noqa: E402
+    pid_scoped_root,
+    register,
+    tracked_persist,
+)
 from .util import atomic_write_text
 
 # One 3-commit sink per (session, corpus), shared by the time-travel /
@@ -919,11 +922,8 @@ from .util import atomic_write_text
 # 2/3 seq cutoffs) runs once per session and every consumer reads the
 # same commit history.
 _SINK_ARTIFACT: dict[tuple[str, str], tuple] = {}
-# pid-scoped: see llm/dedup._ARTIFACT_ROOT
-_SINK_ROOT = os.path.join(
-    tempfile.gettempdir(), f"spark_cdc_engine_vsink-{os.getpid()}"
-)
-atexit.register(shutil.rmtree, _SINK_ROOT, ignore_errors=True)
+# pid-scoped + dead-sibling sweep: see registry.pid_scoped_root
+_SINK_ROOT = pid_scoped_root("vsink")
 
 
 def shared_sink(spark: SparkSession, sf_dir: str):

@@ -600,22 +600,39 @@ def test_repack_pricing_is_cost_model_not_any_fragmentation():
         }
 
     # 100 packed disjoint manifests of 100 entries over 10^4 buckets:
-    # E[cover] = 100 = target — no repack
+    # E[cover] = 100 = target — no repack at any history length
     packed = [m(i * 100, i * 100 + 99, 100) for i in range(100)]
-    assert not _repack_priced(packed, 10_000, target=100)
+    assert not _repack_priced(packed, 10_000, target=100, commits_since=500)
     # + a few wide TINY trickle manifests (20 entries spanning the whole
-    # range): each adds ~20 to E[cover] — still below 2x target
-    trickles = [m(0, 9_999, 20) for _ in range(3)]
-    assert not _repack_priced(packed + trickles, 10_060, target=100)
-    # ...but accumulated trickle debt crosses the threshold (~5 here)
-    trickles = [m(0, 9_999, 20) for _ in range(5)]
-    assert _repack_priced(packed + trickles, 10_100, target=100)
-    # bulk load in one monolith: E[cover] = the whole table — fires
+    # range): E[excess] = 160/commit vs a 10k-entry repack — the
+    # round-12 hysteresis holds fire until the tax actually PAID since
+    # the last repack reaches the repack's own cost (ski-rental), so a
+    # young fragmentation never fires...
+    trickles = [m(0, 9_999, 20) for _ in range(8)]
+    assert not _repack_priced(packed + trickles, 10_160, target=100, commits_since=8)
+    # ...and the same layout with enough history behind it does:
+    # commits x excess = 130 x 160 >= 2 x 10_160
+    assert _repack_priced(packed + trickles, 10_160, target=100, commits_since=130)
+    # bulk load in one monolith: E[rewrite] = the whole table, payback
+    # within 2 commits is certain — fires immediately, no history needed
     assert _repack_priced([m(0, 9_999, 10_000)], 10_000, target=100)
     # shattered list (many near-empty manifests): count rule fires even
     # though E[cover] stays tiny
     shards = [m(i, i, 1) for i in range(64)]
     assert _repack_priced(shards, 64, target=16)
+    # single-bucket-dominant layouts (round-12 advice): a width-1
+    # manifest holding more than target entries is its OWN fresh pack —
+    # _pack_groups never splits a bucket — so pricing one is a
+    # guaranteed no-improvement rewrite (the livelock class the
+    # round-11 property test's all(n <= target) premise excluded)
+    assert not _repack_priced([m(5, 5, 1_000)], 1_000, target=16, commits_since=999)
+    # ...and a mixed layout prices only the reducible part: one
+    # oversized single bucket + a packed disjoint tail stays quiet
+    mixed = [m(0, 0, 900)] + [m(1 + i * 16, 16 + i * 16, 16) for i in range(6)]
+    assert not _repack_priced(mixed, 996, target=31, commits_since=999)
+    # a two-bucket oversized manifest IS reducible (fresh pack splits
+    # it at the bucket boundary) and fires immediately
+    assert _repack_priced([m(0, 1, 1_000)], 1_000, target=16)
 
 
 def test_fresh_handle_follows_persisted_transform(spark, tmp_path):
@@ -863,17 +880,38 @@ def test_repack_pricing_properties():
         if all(s["added_files_count"] <= target for s in spans) and len(
             spans
         ) <= 2 * (-(-entries // target)):
-            assert not _repack_priced(spans, entries, target)
+            # at ANY history length: a packed layout's excess is <= 0,
+            # so neither the immediate nor the ski-rental rule can fire
+            assert not _repack_priced(spans, entries, target, commits_since=10**6)
 
     @settings(max_examples=100, deadline=None)
     @given(
         n=st.integers(32, 100_000),
-        width=st.integers(1, 1_000_000),
+        width=st.integers(2, 1_000_000),
     )
     def monolith_always_priced(n, width):
+        # width >= 2: a width-1 monolith is a single bucket, which is
+        # its own fresh pack (see single_bucket_never_priced below)
         target = _manifest_target(n)
         if n >= 2 * target:
             assert _repack_priced([m(0, width - 1, n)], n, target)
 
+    @settings(max_examples=200, deadline=None)
+    @given(
+        n=st.integers(1, 100_000),
+        bucket=st.integers(0, 10_000),
+        commits=st.integers(1, 10**6),
+    )
+    def single_bucket_never_priced(n, bucket, commits):
+        # round-12 advice: _pack_groups keeps a bucket's files
+        # together, so a single-bucket table packs into ONE manifest
+        # no matter how many entries it holds — pricing it would be a
+        # guaranteed no-improvement rewrite every commit (livelock)
+        target = _manifest_target(n)
+        assert not _repack_priced(
+            [m(bucket, bucket, n)], n, target, commits_since=commits
+        )
+
     packed_never_priced()
     monolith_always_priced()
+    single_bucket_never_priced()

@@ -37,6 +37,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from dynamodb_pitr_restore_cdc_spark.operators.cdc import fold_changelog
+from dynamodb_pitr_restore_cdc_spark.registry import release_persisted
 from dynamodb_pitr_restore_cdc_spark.streaming.delta_log_sink import DeltaLogSink
 from dynamodb_pitr_restore_cdc_spark.streaming.iceberg_log_sink import (
     IcebergLogSink,
@@ -259,6 +260,10 @@ def test_index_maintenance_races_ingest_and_readers(spark, tmp_path):
                 # count just has to come back, never crash on a
                 # mid-commit layout
                 idx.pairs(docs).count()
+                # every pairs() call tracked_persists a fresh band
+                # frame; drain them per iteration or the race window
+                # accumulates unreleased blocks (round-12 advice)
+                release_persisted()
         except BaseException:  # noqa: BLE001
             errors.append(traceback.format_exc())
 
