@@ -661,6 +661,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup,
         index_maintenance,
         kmeans,
+        manifest_maintenance,
         multimodal,
         pq,
         retrieval,

@@ -502,3 +502,129 @@ def test_connected_components_long_chain_converges(spark):
     release_persisted()
     assert len(labels) == 1001
     assert set(labels.values()) == {0}
+
+
+def test_incremental_manifest_equals_rebuild(spark, sf_dir, tmp_path):
+    """The round-12 maintenance claim, executed both ways: the
+    changefeed-incremental path (epoch-0 state + O(batch) epoch-1
+    ingest + touched-language-only stage-7/8 recompute) must produce
+    EXACTLY the manifest a from-scratch rebuild over the final corpus
+    produces (frozen epoch-0 benchmark vocabulary on both sides).  The
+    oracle hash proves the same against DuckDB; this test additionally
+    pins the kept-rows path: languages untouched by the batch keep
+    their standing manifest rows verbatim."""
+    from dynamodb_pitr_restore_cdc_spark.llm import manifest_maintenance as mm
+    from dynamodb_pitr_restore_cdc_spark.llm.curation import (
+        VALID_PERMILLE,
+        five_grams,
+        quality_exact_dedup,
+        split_bucket,
+    )
+    from dynamodb_pitr_restore_cdc_spark.llm.index_maintenance import LshIndex
+    from dynamodb_pitr_restore_cdc_spark.registry import tracked_persist
+    from dynamodb_pitr_restore_cdc_spark.sources import table
+
+    raw = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    cut = raw.agg((F.max("doc_id") * 3).cast("long")).first()[0] // 4
+    # same language-scoped crawl batch as the registered fixture
+    docs = raw.where(
+        (F.col("doc_id") <= cut) | F.col("lang").isin(*mm.BATCH_LANGS)
+    )
+    incr = sorted(
+        map(
+            tuple,
+            mm.incremental_manifest(
+                spark, docs, cut, str(tmp_path / "t_incr")
+            ).collect(),
+        )
+    )
+    assert incr, "fixture produced an empty manifest"
+
+    # from-scratch rebuild over the FINAL corpus, frozen epoch-0 bench
+    dedup_all = tracked_persist(quality_exact_dedup(docs))
+    idx = LshIndex(spark, str(tmp_path / "t_full"))
+    idx.init(dedup_all.select("doc_id", "text"))
+    drops = (
+        idx.pairs(dedup_all.select("doc_id", "text"))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = dedup_all.join(drops, "doc_id", "left_anti")
+    bench = (
+        five_grams(
+            docs.where(
+                (F.col("doc_id") <= cut)
+                & (split_bucket(F.col("doc_id")) >= VALID_PERMILLE)
+            )
+        )
+        .select("gram")
+        .distinct()
+    )
+    rebuilt = sorted(
+        map(
+            tuple,
+            mm.budget_and_pack(mm.stage_4to6_delta(survivors, bench)).collect(),
+        )
+    )
+    assert incr == rebuilt
+    # the batch must actually touch something AND leave something
+    # untouched, or the kept-rows branch was never exercised
+    langs = {r[0] for r in incr}
+    e1_langs = {
+        r.lang
+        for r in docs.where(F.col("doc_id") > cut)
+        .select("lang")
+        .distinct()
+        .collect()
+    }
+    assert e1_langs and langs - e1_langs, (langs, e1_langs)
+    assert e1_langs <= set(mm.BATCH_LANGS)
+
+
+def test_budget_and_pack_mirrors_capstone_tail(spark, sf_dir, tmp_path):
+    """Divergence guard: budget_and_pack + stage_4to6_delta mirror
+    corpus_build.downstream_build verbatim (kept separate in round 12
+    so the driver-verified capstone isn't refactored in a
+    rotation-constrained window).  Same survivors in, byte-identical
+    manifest out — if either copy drifts, this breaks."""
+    from dynamodb_pitr_restore_cdc_spark.llm import manifest_maintenance as mm
+    from dynamodb_pitr_restore_cdc_spark.llm.corpus_build import downstream_build
+    from dynamodb_pitr_restore_cdc_spark.llm.curation import (
+        VALID_PERMILLE,
+        five_grams,
+        quality_exact_dedup,
+        split_bucket,
+    )
+    from dynamodb_pitr_restore_cdc_spark.llm.index_maintenance import LshIndex
+    from dynamodb_pitr_restore_cdc_spark.registry import tracked_persist
+    from dynamodb_pitr_restore_cdc_spark.sources import table
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    deduped = tracked_persist(quality_exact_dedup(docs))
+    idx = LshIndex(spark, str(tmp_path / "t"))
+    idx.init(deduped.select("doc_id", "text"))
+    near_drop = (
+        idx.pairs(deduped.select("doc_id", "text"))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = tracked_persist(deduped.join(near_drop, "doc_id", "left_anti"))
+    capstone = sorted(map(tuple, downstream_build(docs, survivors).collect()))
+    bench_full = (
+        five_grams(docs.where(split_bucket(F.col("doc_id")) >= VALID_PERMILLE))
+        .select("gram")
+        .distinct()
+    )
+    mirrored = sorted(
+        map(
+            tuple,
+            mm.budget_and_pack(
+                mm.stage_4to6_delta(survivors, bench_full)
+            ).collect(),
+        )
+    )
+    assert capstone == mirrored and capstone
