@@ -1,24 +1,32 @@
 #!/usr/bin/env python
-"""Corpus-build capstone scaling probe (SCALE.md round 11; the round-5
-10x-replication methodology applied to q_llm_corpus_build).
+"""Corpus-build capstone scaling probe (SCALE.md rounds 11-12; the
+round-5 10x-replication methodology applied to q_llm_corpus_build).
 
-Replicates the sf0.1 documents 10x with SHIFTED doc_ids and a
-per-replica suffix token appended to the text, then runs the full
-eight-stage capstone on both corpora. The suffix makes every replica
-content-unique, so exact dedup keeps all 10x rows AND each document
-becomes a 10-clique of near-duplicates (J >> 0.5 under 3-shingles) —
-a near-dup-heavy corpus that stresses exactly the stages that matter:
-the signature pass, the banded self-join (10-20-row band buckets, so
-candidates grow ~linearly with docs x clique, never all-pairs), the
-verify join, and the greedy drop (which removes ~90% of the corpus —
-the realistic crawl-dedup shape).
+Replicates the sf0.1 documents SPARK_GRAFT_REPLICAS times (default 10;
+round 12 runs 100 = ~500k docs) with SHIFTED doc_ids and a per-replica
+suffix token appended to the text, then runs the full eight-stage
+capstone on both corpora. The suffix makes every replica
+content-unique, so exact dedup keeps all replicated rows AND each
+document becomes an R-clique of near-duplicates (J >> 0.5 under
+3-shingles) — a near-dup-heavy corpus that stresses exactly the stages
+that matter: the signature pass, the banded self-join (clique-sized
+band buckets, so candidates grow ~docs x clique, never all-pairs), the
+verify join, and the greedy drop (which removes (R-1)/R of the corpus
+— the realistic crawl-dedup shape).
+
+Besides the end-to-end ratio the probe times the capstone's scaling
+stages separately on the replicated corpus (each on a fresh index
+directory): quality+exact dedup, the signature pass (index init), and
+the banded pair generation + verify — the breakdown that names the
+next bottleneck.
 
 Timing protocol: one cold + one warm run per corpus, warm reported;
 each run builds its OWN index directory (no artifact reuse between
 runs — the measured quantity includes the one-time signature pass,
 which is the pipeline's dominant scaling term).
 
-Run: python scripts/corpus_scale_probe.py   (~5-10 min on local[32]).
+Run: python scripts/corpus_scale_probe.py   (~5-10 min at 10x,
+~20-40 min at SPARK_GRAFT_REPLICAS=100, local[32]).
 """
 
 from __future__ import annotations
@@ -38,7 +46,7 @@ from dynamodb_pitr_restore_cdc_spark.session import get_spark
 from dynamodb_pitr_restore_cdc_spark.sources import table
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REPLICAS = 10
+REPLICAS = int(os.environ.get("SPARK_GRAFT_REPLICAS", "10"))
 SHIFT = 10_000_000
 
 
@@ -47,23 +55,28 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spec = all_queries()["q_llm_corpus_build"]
 
-    big = os.path.join(tempfile.gettempdir(), "corpus_scale_probe_sf")
+    big = os.path.join(tempfile.gettempdir(), f"corpus_scale_probe_sf-{os.getpid()}")
     shutil.rmtree(big, ignore_errors=True)
     os.makedirs(big)
     docs = table(spark, SF_DIR, "documents")
-    reps = None
-    for i in range(REPLICAS):
-        r = docs.select(
-            (F.col("doc_id") + i * SHIFT).alias("doc_id"),
+    # replicate via a range crossJoin (a REPLICAS-branch union plan is
+    # quadratic to analyze at 100x) and repartition the compact rows
+    # BEFORE the fan-out so the write isn't one input split (the
+    # round-5 one-split gotcha)
+    reps = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(spark.range(REPLICAS).select(F.col("id").alias("rep"))))
+        .select(
+            (F.col("doc_id") + F.col("rep") * SHIFT).alias("doc_id"),
             "lang",
             "source",
-            F.concat(F.col("text"), F.lit(f" r{i}")).alias("text"),
+            F.concat(F.col("text"), F.lit(" r"), F.col("rep")).alias("text"),
         )
-        reps = r if reps is None else reps.unionAll(r)
+    )
     reps.write.mode("overwrite").parquet(os.path.join(big, "documents.parquet"))
     n0 = docs.count()
     n1 = spark.read.parquet(os.path.join(big, "documents.parquet")).count()
-    print(f"base docs={n0}  replicated docs={n1}")
+    print(f"base docs={n0}  replicated docs={n1}  ({REPLICAS}x)")
 
     def run(sf: str) -> float:
         t0 = time.perf_counter()
@@ -76,8 +89,37 @@ def main() -> None:
     scaled = [run(big) for _ in range(2)]
     print(
         f"corpus_build base ({n0} docs): cold={base[0]:.1f}s warm={base[1]:.1f}s\n"
-        f"corpus_build 10x ({n1} docs): cold={scaled[0]:.1f}s warm={scaled[1]:.1f}s\n"
-        f"warm ratio at 10x data: {scaled[1] / base[1]:.1f}x"
+        f"corpus_build {REPLICAS}x ({n1} docs): cold={scaled[0]:.1f}s "
+        f"warm={scaled[1]:.1f}s\n"
+        f"warm ratio at {REPLICAS}x data: {scaled[1] / base[1]:.1f}x "
+        f"({scaled[1] / n1 * 1000:.2f} ms/doc vs {base[1] / n0 * 1000:.2f} ms/doc)"
+    )
+
+    # ---- stage breakdown on the replicated corpus ---------------------
+    from dynamodb_pitr_restore_cdc_spark.llm.curation import quality_exact_dedup
+    from dynamodb_pitr_restore_cdc_spark.llm.index_maintenance import LshIndex
+    from dynamodb_pitr_restore_cdc_spark.registry import tracked_persist
+
+    bdocs = spark.read.parquet(os.path.join(big, "documents.parquet"))
+    t0 = time.perf_counter()
+    deduped = tracked_persist(quality_exact_dedup(bdocs))
+    n_dedup = deduped.count()
+    t_dedup = time.perf_counter() - t0
+
+    ixdir = os.path.join(big, "ix")
+    t0 = time.perf_counter()
+    idx = LshIndex(spark, ixdir)
+    idx.init(deduped.select("doc_id", "text"))
+    t_sig = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_pairs = idx.pairs(deduped.select("doc_id", "text")).count()
+    t_pairs = time.perf_counter() - t0
+    release_persisted()
+    print(
+        f"stage breakdown at {REPLICAS}x: quality+exact_dedup {t_dedup:.1f}s "
+        f"({n_dedup} rows) | signature pass + index init {t_sig:.1f}s | "
+        f"banded pairs + verify {t_pairs:.1f}s ({n_pairs} pairs)"
     )
     shutil.rmtree(big, ignore_errors=True)
 
