@@ -775,3 +775,18 @@ def test_multiprobe_batches_one_scan_with_group_limit(plans):
     assert "WindowGroupLimit" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_incremental_manifest_merge_plan_shape(plans):
+    # round 12: the maintained manifest's final plan is the kept-rows
+    # anti-join UNION the touched-language recompute — the touched-lang
+    # set must BROADCAST on both branches (tiny: distinct langs of the
+    # batch), the recompute must ride the same window shapes as the
+    # capstone tail, and no row-wise Python may appear anywhere in the
+    # lineage (the only Arrow stage is the batch's signature pass,
+    # which runs inside the ingest, not in this result plan)
+    p = plans("q_llm_pack_manifest_incremental")
+    assert has_broadcast_join(p)
+    assert "Union" in p
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
