@@ -195,20 +195,31 @@ def _manifest_target(n_entries: int) -> int:
 # writing 7× the metadata of one hand-placed post-load repack.  Three
 # rules, cheapest-evidence first:
 #
-# (a) IMMEDIATE: E[excess] = E[per-commit rewrite] − target ≥
-#     n_entries / 2 — the repack (cost n_entries) pays for itself out
-#     of SAVINGS within REPACK_PAYBACK_COMMITS commits with certainty
-#     (excess, not raw cover: a packed two-manifest table has
-#     E[rewrite] = n/2 but zero savings — rewriting it buys nothing).
-#     This is the bulk-load monolith (expected width = the whole
-#     table): fire before paying any tax, matching the informed
-#     manual cadence; reduces to n ≥ 2·target for monoliths.
-# (b) ACCUMULATED (ski-rental): commits_since_repack × E[excess] ≥
-#     2 × n_entries — fire once the tax actually paid since the last
-#     repack (≈ commits × current-excess / 2 under linear growth)
-#     reaches the repack's own cost.  Slow trickle fragmentation now
-#     amortizes one full rewrite over the commits whose tax it removes
-#     instead of firing on the first 2×-target blip.
+# (a) IMMEDIATE (predicted): E[excess] = E[per-commit rewrite] −
+#     target ≥ n_entries / 2 — the repack (cost n_entries) pays for
+#     itself out of SAVINGS within REPACK_PAYBACK_COMMITS removing
+#     commits with certainty (excess, not raw cover: a packed
+#     two-manifest table has E[rewrite] = n/2 but zero savings —
+#     rewriting it buys nothing).  This is the bulk-load monolith
+#     (expected width = the whole table): fire before paying any tax,
+#     matching the informed manual cadence; reduces to n ≥ 2·target
+#     for monoliths.
+# (b) ACCUMULATED (ski-rental on MEASURED tax): fire once
+#     Σ rewritten-entries − Σ removed-buckets × target over the
+#     commits since the last repack reaches n_entries — i.e. the
+#     manifest-rewrite bytes commits ACTUALLY paid, minus what the
+#     same commits would have paid on a packed layout (one
+#     target-sized pack per removed bucket), has reached the repack's
+#     own cost.  Measured, never predicted: the round-12 60-commit
+#     drill showed a cover-based prediction over-counts savings for
+#     multi-bucket hot-key trickles (wide-but-tiny recent manifests
+#     are CHEAPER to rewrite than the packs they'd be consolidated
+#     into — the LSM insight), firing 4 repacks that each made
+#     per-commit cost strictly worse; under measured tax those
+#     commits' excess is negative and the lane stays at the one
+#     monolith repack, matching the informed manual cadence at any
+#     horizon.  Blind appends rewrite nothing and remove nothing:
+#     they contribute zero to both sides.
 # (c) LIST: more than 2× ceil(entries/target) manifests — list
 #     republication is the other per-commit cost axis and is priced
 #     by length alone.
@@ -226,11 +237,13 @@ def _repack_priced(
     old_list: list[dict],
     n_entries: int,
     target: int,
-    commits_since: int = 1,
+    history: tuple[tuple[int, int], ...] = (),
 ) -> bool:
-    """Cost-aware REPACK trigger from manifest-list summaries alone
-    (zero manifest reads, O(manifests) driver arithmetic) plus the
-    snapshot count since the last repack. Integer math throughout:
+    """Cost-aware REPACK trigger from manifest-list summaries plus the
+    snapshot summaries since the last repack (zero manifest reads,
+    O(manifests + commits) driver arithmetic).  ``history`` is one
+    (rewritten_entries, removed_buckets) pair per commit since the
+    last repack, oldest first.  Integer math throughout:
     E[cover] ≥ X  ⇔  Σ entries·width ≥ X·total_width."""
     spans = [
         (
@@ -253,11 +266,15 @@ def _repack_priced(
         return False  # fresh pack is one manifest: nothing to improve
     excess = cover - target * total_w  # savings·total_w, ≤ 0 when packed
     if excess <= 0:
+        # already effectively packed: no repack can help, whatever the
+        # paid history says (without this gate a packed layout with a
+        # heavy history would price a REPACK whose apply no-ops and
+        # never writes the resetting marker — a decision livelock)
         return False
-    return (
-        REPACK_PAYBACK_COMMITS * excess >= n_entries * total_w  # (a)
-        or commits_since * excess >= 2 * n_entries * total_w  # (b)
-    )
+    if REPACK_PAYBACK_COMMITS * excess >= n_entries * total_w:
+        return True  # (a)
+    paid = sum(rw - rb * target for rw, rb in history)
+    return paid >= n_entries  # (b)
 
 
 class IcebergLogSink:
@@ -415,20 +432,28 @@ class IcebergLogSink:
         return self._read_ndjson(snap["manifest-list"])
 
     @staticmethod
-    def _commits_since_repack(meta: dict) -> int:
-        """Snapshots after the newest rewrite_manifests commit (marked
-        by its ``manifests-replaced`` summary metric), or the whole
-        retained history if none — the commit count the hysteresis
-        pricing (_repack_priced rule b) charges accumulated rewrite tax
-        over.  expire_versions truncates the snapshot list, which only
-        UNDERCOUNTS commits (a later repack, never a livelock)."""
+    def _repack_history(meta: dict) -> tuple[tuple[int, int], ...]:
+        """(rewritten-entries, removed-buckets) per snapshot after the
+        newest rewrite_manifests commit (marked by its
+        ``manifests-replaced`` summary metric), oldest first — the
+        measured tax the hysteresis pricing (_repack_priced rule b)
+        accumulates.  Snapshots written before the metrics existed
+        count as (0, 0) (no measured tax — conservative).
+        expire_versions truncates the snapshot list, which only
+        UNDERCOUNTS paid tax (a later repack, never a livelock)."""
         snaps = meta["snapshots"]
-        since = 0
+        out: list[tuple[int, int]] = []
         for s in reversed(snaps):
-            if "manifests-replaced" in s.get("summary", {}):
+            summary = s.get("summary", {})
+            if "manifests-replaced" in summary:
                 break
-            since += 1
-        return since
+            out.append(
+                (
+                    int(summary.get("rewritten-entries", 0)),
+                    int(summary.get("removed-buckets", 0)),
+                )
+            )
+        return tuple(reversed(out))
 
     def _entries(
         self, snap: dict, buckets: set[int] | None = None
@@ -610,8 +635,21 @@ class IcebergLogSink:
         """One snapshot's manifest tree: manifests with no removed file
         are REUSED by path; touched manifests are rewritten without the
         removed entries (survivors demoted to EXISTING); new files land
-        in one fresh ADDED manifest."""
+        in one fresh ADDED manifest.
+
+        The summary records this commit's ACTUAL manifest-rewrite tax
+        (Iceberg-metric style): ``rewritten-entries`` = surviving
+        entries re-serialized because their manifest lost a file, and
+        ``removed-buckets`` = distinct buckets the removed files lived
+        in (what the same commit would touch on a PACKED layout — one
+        pack per removed bucket).  The repack pricing's ski-rental rule
+        charges measured tax, never a prediction (round-12 60-commit
+        drill: cover-based prediction over-counts savings for
+        multi-bucket hot-key trickles and repacked a workload that got
+        strictly worse afterwards)."""
         manifest_list: list[dict] = []
+        rewritten = 0
+        removed_buckets: set[int] = set()
         if prev is not None:
             for m in self._manifest_list(prev):
                 entries = self._read_ndjson(m["manifest_path"])
@@ -622,15 +660,25 @@ class IcebergLogSink:
                 ]
                 if len(kept) == len(entries):
                     manifest_list.append(m)  # untouched: reuse by path
-                elif kept:
+                    continue
+                removed_buckets.update(
+                    e["data_file"]["partition"]["bucket"]
+                    for e in entries
+                    if e["data_file"]["file_path"] in removed_paths
+                )
+                if kept:
                     for e in kept:
                         e["status"] = "EXISTING"
+                    rewritten += len(kept)
                     rel = self._write_ndjson("manifest", kept)
                     manifest_list.append(self._manifest_summary(rel, kept))
         if new_entries:
             rel = self._write_ndjson("manifest", new_entries)
             manifest_list.append(self._manifest_summary(rel, new_entries))
-        return self._snapshot_shell(prev, manifest_list, operation)
+        snap = self._snapshot_shell(prev, manifest_list, operation)
+        snap["summary"]["rewritten-entries"] = str(rewritten)
+        snap["summary"]["removed-buckets"] = str(len(removed_buckets))
+        return snap
 
     def _snapshot_shell(
         self, prev: dict | None, manifest_list: list[dict], operation: str
@@ -979,11 +1027,12 @@ class IcebergLogSink:
         property must hold without operator intervention). When the
         expected per-commit rewrite width or the manifest-list length
         crosses the cost model's threshold (_repack_priced, decided
-        from manifest-list summaries plus the snapshot count since the
-        last repack — a repack rewrites EVERYTHING, so the trigger
-        charges that cost against the tax commits actually pay:
-        immediately for a monolith whose payback is certain, by
-        ski-rental accumulation for slow trickle fragmentation), one
+        from manifest-list summaries plus the per-commit rewrite
+        metrics in the snapshot summaries since the last repack — a
+        repack rewrites EVERYTHING, so the trigger charges that cost
+        against the tax commits actually pay: immediately for a
+        monolith whose payback is certain, by MEASURED ski-rental
+        accumulation for slow fragmentation), one
         TABLE-scoped row is appended: ``bucket = -1, decision =
         'REPACK'`` with the pricing in the counter columns —
         base_files = live manifests, base_records = live entries,
@@ -1024,7 +1073,7 @@ class IcebergLogSink:
         if entries:
             target = _manifest_target(len(entries))
             if _repack_priced(
-                old_list, len(entries), target, self._commits_since_repack(meta)
+                old_list, len(entries), target, self._repack_history(meta)
             ):
                 table_rows.append(
                     {
@@ -1627,12 +1676,7 @@ FROM (
                                  THEN 0
                                  ELSE r.n * (r.hi - r.lo + 1) END)
                     AS BIGINT)
-            FROM mrows r) AS cover,
-           -- commits since the last repack: the fixture never repacks,
-           -- so the whole history counts — init + one snapshot per
-           -- non-empty append (empty appends publish no commit)
-           CAST(1 + (SELECT count(DISTINCT commit_i) FROM files)
-                AS BIGINT) AS commits
+            FROM mrows r) AS cover
     FROM (
         SELECT CAST(count(*) AS BIGINT) AS manifests,
                CAST(sum(n) AS BIGINT) AS entries,
@@ -1642,17 +1686,19 @@ FROM (
         FROM mrows
     ) t
 ) m
--- the engine's _repack_priced hysteresis model, verbatim:
--- (c) shattered list, else gated on entries > target and a positive
--- excess: (a) immediate payback — E[excess] >= entries/2, or
--- (b) ski-rental — commits x E[excess] >= 2 x entries
+-- the engine's _repack_priced model, verbatim for THIS lifecycle:
+-- (c) shattered list, else gated on entries > target:
+-- (a) predicted immediate payback — E[excess] >= entries/2.
+-- Rule (b), the measured ski-rental (sum of per-commit
+-- rewritten-entries minus removed-buckets x target), is structurally
+-- ZERO here: every commit after init is a BLIND append, which
+-- rewrites no manifest and removes no file, so its term vanishes and
+-- the arm cannot fire on this lifecycle.
 WHERE m.manifests > 2 * ((m.entries + m.target - 1) // m.target)
    OR (m.entries > m.target
        AND m.cover > m.target * m.total_w
-       AND (2 * (m.cover - m.target * m.total_w)
-                >= m.entries * m.total_w
-         OR m.commits * (m.cover - m.target * m.total_w)
-                >= 2 * m.entries * m.total_w))
+       AND 2 * (m.cover - m.target * m.total_w)
+                >= m.entries * m.total_w)
 """
         ),
     )
@@ -1671,13 +1717,13 @@ WHERE m.manifests > 2 * ((m.entries + m.target - 1) // m.target)
         Iceberg-only TABLE row (bucket = -1): the manifest REPACK
         pricing. The oracle re-derives the manifest spans from the
         same changelog arithmetic (init over base buckets, one
-        manifest per non-empty append over its touched buckets,
-        commits = init + non-empty appends) and applies the engine's
-        _repack_priced hysteresis model VERBATIM — shattered list, or
-        (gated on entries > target) immediate payback
-        E[rewrite] ≥ entries/2, or accumulated ski-rental tax
-        commits × E[excess] ≥ 2 × entries, with width-1 oversized
-        manifests excluded from cover — so the row appears on exactly
+        manifest per non-empty append over its touched buckets) and
+        applies the engine's _repack_priced model VERBATIM for this
+        lifecycle — shattered list, or (gated on entries > target)
+        predicted immediate payback E[excess] ≥ entries/2, with
+        width-1 oversized manifests excluded from cover; the measured
+        ski-rental arm is structurally zero here because blind
+        appends rewrite no manifest — so the row appears on exactly
         the layouts the engine prices, never unconditionally
         (round-11 review: an unconditional row would hash-mismatch on
         a fixture whose appends touch few contiguous buckets)."""

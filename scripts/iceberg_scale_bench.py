@@ -47,8 +47,16 @@ from dynamodb_pitr_restore_cdc_spark.streaming.iceberg_log_sink import (
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_BUCKETS = 10_000
-N_COMMITS = 12
+# horizon is env-tunable (round 12): the 12-commit default shows the
+# short-horizon parity with a hand-placed repack; ICEBERG_COMMITS=60
+# shows the ski-rental cadence past the crossover where the manual
+# lane's unbounded rewrite width starts losing
+N_COMMITS = int(os.environ.get("ICEBERG_COMMITS", "12"))
 TRICKLE_KEYS = 20
+# comma-separated lane filter, default all
+LANES = os.environ.get(
+    "ICEBERG_LANES", "delta,iceberg,iceberg+rm,iceberg+policy"
+).split(",")
 
 
 def dir_bytes(root: str) -> int:
@@ -191,7 +199,7 @@ def main() -> None:
         for i in range(N_COMMITS)
     ]
 
-    for fmt in ("delta", "iceberg", "iceberg+rm", "iceberg+policy"):
+    for fmt in [f for f in ("delta", "iceberg", "iceberg+rm", "iceberg+policy") if f in LANES]:
         work = os.path.join(
             tempfile.gettempdir(), f"icescale-{uuid.uuid4().hex[:8]}"
         )

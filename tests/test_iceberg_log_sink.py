@@ -600,19 +600,31 @@ def test_repack_pricing_is_cost_model_not_any_fragmentation():
         }
 
     # 100 packed disjoint manifests of 100 entries over 10^4 buckets:
-    # E[cover] = 100 = target — no repack at any history length
+    # E[cover] = 100 = target — no repack at ANY paid history (a repack
+    # of a packed layout helps nothing, and its apply would no-op
+    # without writing the history-resetting marker: decision livelock)
     packed = [m(i * 100, i * 100 + 99, 100) for i in range(100)]
-    assert not _repack_priced(packed, 10_000, target=100, commits_since=500)
-    # + a few wide TINY trickle manifests (20 entries spanning the whole
-    # range): E[excess] = 160/commit vs a 10k-entry repack — the
-    # round-12 hysteresis holds fire until the tax actually PAID since
-    # the last repack reaches the repack's own cost (ski-rental), so a
-    # young fragmentation never fires...
+    heavy = ((5_000, 1),) * 100
+    assert not _repack_priced(packed, 10_000, target=100, history=heavy)
+    # + a few wide TINY trickle manifests (20 entries spanning the
+    # whole range).  The round-12 ski-rental charges MEASURED tax:
+    # rewritten-entries minus removed-buckets x target per commit.
     trickles = [m(0, 9_999, 20) for _ in range(8)]
-    assert not _repack_priced(packed + trickles, 10_160, target=100, commits_since=8)
-    # ...and the same layout with enough history behind it does:
-    # commits x excess = 130 x 160 >= 2 x 10_160
-    assert _repack_priced(packed + trickles, 10_160, target=100, commits_since=130)
+    frag = packed + trickles
+    # young fragmentation, no tax paid yet: holds fire
+    assert not _repack_priced(frag, 10_160, target=100, history=((0, 0),) * 8)
+    # multi-bucket hot-key trickles (the 60-commit drill shape): each
+    # commit REWROTE 90 entries but touched 20 buckets — a packed
+    # layout would have cost 20 x 100 = 2000, so the measured excess is
+    # NEGATIVE and the trigger never fires, at any horizon
+    drill = ((90, 20),) * 500
+    assert not _repack_priced(frag, 10_160, target=100, history=drill)
+    # narrow single-bucket merges paying real tax (each rewrote 600
+    # entries where packed would cost 100): fires once the accumulated
+    # excess reaches the repack's own cost — 21 x 500 >= 10_160
+    narrow = ((600, 1),) * 21
+    assert _repack_priced(frag, 10_160, target=100, history=narrow)
+    assert not _repack_priced(frag, 10_160, target=100, history=narrow[:-2])
     # bulk load in one monolith: E[rewrite] = the whole table, payback
     # within 2 commits is certain — fires immediately, no history needed
     assert _repack_priced([m(0, 9_999, 10_000)], 10_000, target=100)
@@ -625,11 +637,11 @@ def test_repack_pricing_is_cost_model_not_any_fragmentation():
     # _pack_groups never splits a bucket — so pricing one is a
     # guaranteed no-improvement rewrite (the livelock class the
     # round-11 property test's all(n <= target) premise excluded)
-    assert not _repack_priced([m(5, 5, 1_000)], 1_000, target=16, commits_since=999)
+    assert not _repack_priced([m(5, 5, 1_000)], 1_000, target=16, history=heavy)
     # ...and a mixed layout prices only the reducible part: one
     # oversized single bucket + a packed disjoint tail stays quiet
     mixed = [m(0, 0, 900)] + [m(1 + i * 16, 16 + i * 16, 16) for i in range(6)]
-    assert not _repack_priced(mixed, 996, target=31, commits_since=999)
+    assert not _repack_priced(mixed, 996, target=31, history=heavy)
     # a two-bucket oversized manifest IS reducible (fresh pack splits
     # it at the bucket boundary) and fires immediately
     assert _repack_priced([m(0, 1, 1_000)], 1_000, target=16)
@@ -880,9 +892,12 @@ def test_repack_pricing_properties():
         if all(s["added_files_count"] <= target for s in spans) and len(
             spans
         ) <= 2 * (-(-entries // target)):
-            # at ANY history length: a packed layout's excess is <= 0,
-            # so neither the immediate nor the ski-rental rule can fire
-            assert not _repack_priced(spans, entries, target, commits_since=10**6)
+            # at ANY paid history: a packed layout's excess is <= 0, so
+            # neither the immediate nor the ski-rental rule can fire
+            # (firing would price a no-op rewrite that never resets the
+            # history marker — decision livelock)
+            heavy = ((10 * entries, 1),) * 50
+            assert not _repack_priced(spans, entries, target, history=heavy)
 
     @settings(max_examples=100, deadline=None)
     @given(
@@ -900,18 +915,48 @@ def test_repack_pricing_properties():
     @given(
         n=st.integers(1, 100_000),
         bucket=st.integers(0, 10_000),
-        commits=st.integers(1, 10**6),
+        paid=st.integers(0, 10**9),
     )
-    def single_bucket_never_priced(n, bucket, commits):
+    def single_bucket_never_priced(n, bucket, paid):
         # round-12 advice: _pack_groups keeps a bucket's files
         # together, so a single-bucket table packs into ONE manifest
         # no matter how many entries it holds — pricing it would be a
-        # guaranteed no-improvement rewrite every commit (livelock)
+        # guaranteed no-improvement rewrite every commit (livelock),
+        # at ANY paid history
         target = _manifest_target(n)
         assert not _repack_priced(
-            [m(bucket, bucket, n)], n, target, commits_since=commits
+            [m(bucket, bucket, n)], n, target, history=((paid, 0),)
         )
 
     packed_never_priced()
     monolith_always_priced()
     single_bucket_never_priced()
+
+
+def test_repack_history_marker_and_metrics(sink, spark):
+    # round 12: the ski-rental rule (b) charges MEASURED tax — per-
+    # commit (rewritten-entries, removed-buckets) summary metrics —
+    # accumulated since the last REPACK, which is marked by the
+    # rewrite_manifests snapshot's manifests-replaced metric.
+    # compact_mor is also a "replace" operation but rewrites DATA, not
+    # the manifest layout: it must NOT reset the history.
+    hist = IcebergLogSink._repack_history
+    assert hist(sink._current_meta()) == ((0, 0),)  # init: no tax
+    # blind appends rewrite nothing and remove nothing
+    for seq in (10, 11):
+        sink.append(_batch(spark, [(1, seq, "MODIFY", float(seq))]))
+    assert hist(sink._current_meta()) == ((0, 0),) * 3
+    assert sink.rewrite_manifests() >= 1
+    assert hist(sink._current_meta()) == ()  # marker resets the clock
+    # a MERGE pays real tax: it removes files from covering manifests
+    sink.apply_batch(_batch(spark, [(1, 12, "MODIFY", 12.0)]))
+    h = hist(sink._current_meta())
+    assert len(h) == 1 and h[0][0] > 0 and h[0][1] >= 1, h
+    # compact_mor (a data "replace") appends to the history, never
+    # resets it
+    sink.append(_batch(spark, [(2, 13, "MODIFY", 13.0)]))
+    sink.compact_mor({b for b in range(sink.n_buckets)})
+    assert len(hist(sink._current_meta())) == 3
+    # expiry truncating history only UNDERCOUNTS paid tax
+    sink.expire_versions(keep_last=2, orphan_grace_s=0.0)
+    assert len(hist(sink._current_meta())) <= 2
