@@ -286,6 +286,18 @@ _SAMPLE_BUCKET_SQL = f"((doc_id * {SAMPLE_MULT}) % 4294967296) % 1000"
 _RATE_SQL = f"(100 + (CAST(substr(source, 4) AS BIGINT) * 97) % 800)"
 
 
+def sample_bucket(doc_id_col) -> F.Column:
+    """Spark twin of _SAMPLE_BUCKET_SQL — the mixture-sampling hash
+    bucket (split_bucket's sibling; round-12 promotion so consumers
+    stop re-typing the expression)."""
+    return F.pmod(doc_id_col * F.lit(SAMPLE_MULT), F.lit(2**32)) % F.lit(1000)
+
+
+def mix_rate(source_col) -> F.Column:
+    """Spark twin of _RATE_SQL — the per-source keep-rate in permille."""
+    return 100 + (F.expr(f"substring({source_col}, 4)").cast("bigint") * 97) % 800
+
+
 # Engine-owned bloom filter, built and probed entirely with JVM
 # expressions (no Python, no UDF, no driver-side sketch object): k
 # xxhash64 positions per key are bit-or'd into 64-bit blocks, the

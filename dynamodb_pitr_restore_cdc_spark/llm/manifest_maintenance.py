@@ -60,11 +60,14 @@ from pyspark.sql import functions as F
 
 from ..registry import register, tracked_persist
 from ..sources import table
+
+# THE gram fragment — imported, never re-typed (one statement of the
+# gram shape per dialect; CLAUDE.md shared-template rule)
+from .corpus_build import _GRAMS_SQL
 from .curation import (
     PACK_BUDGET_TOKENS,
     QUALITY_DEDUP_CTES,
     SAMPLE_BUDGET_TOKENS,
-    SAMPLE_MULT,
     SPLIT_MULT,
     TRAIN_PERMILLE,
     VALID_PERMILLE,
@@ -72,7 +75,9 @@ from .curation import (
     _SAMPLE_BUCKET_SQL,
     _SPLIT_BUCKET_SQL,
     five_grams,
+    mix_rate,
     quality_exact_dedup,
+    sample_bucket,
     split_bucket,
 )
 from .dedup import JACCARD_THRESHOLD, shingle_pair_ctes
@@ -90,10 +95,6 @@ _EPOCH_SQL = "(SELECT (max(doc_id) * 3) // 4 AS t FROM documents)"
 BATCH_LANGS = ("de", "en")
 _BATCH_LANGS_SQL = ", ".join(f"'{lang}'" for lang in BATCH_LANGS)
 
-_GRAMS_SQL = (
-    "SELECT doc_id, unnest(list_distinct(list_transform("
-    "range(1, len(ws) - 3), i -> array_to_string(ws[i:i+4], ' ')))) AS gram"
-)
 
 # Full rebuild over the FINAL corpus with the benchmark vocabulary
 # frozen at epoch 0 — the only textual difference from the capstone
@@ -163,16 +164,6 @@ FROM packed GROUP BY lang, pack_id
 """
 
 
-def _mix_rate():
-    return 100 + (F.expr("substring(source, 4)").cast("bigint") * 97) % 800
-
-
-def _sample_bucket():
-    return (
-        F.pmod(F.col("doc_id") * F.lit(SAMPLE_MULT), F.lit(2**32)) % F.lit(1000)
-    )
-
-
 def stage_4to6_delta(clean_base: DataFrame, bench_grams: DataFrame) -> DataFrame:
     """Stages 4-6 over a survivor batch against a FROZEN benchmark
     vocabulary → the batch's `mixed` rows (doc_id, lang, n_tokens).
@@ -185,9 +176,9 @@ def stage_4to6_delta(clean_base: DataFrame, bench_grams: DataFrame) -> DataFrame
         .distinct()
     )
     clean = train.join(contaminated, "doc_id", "left_anti")
-    return clean.where(_sample_bucket() < _mix_rate()).select(
-        "doc_id", "lang", "n_tokens"
-    )
+    return clean.where(
+        sample_bucket(F.col("doc_id")) < mix_rate("source")
+    ).select("doc_id", "lang", "n_tokens")
 
 
 def budget_and_pack(mixed: DataFrame) -> DataFrame:

@@ -125,14 +125,14 @@ WHERE rn <= {MULTIPROBE_TOP_K}
 """
 
 
-def filtered_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batched multiprobe ANN with a metadata predicate: the same
-    broadcast (qid, cid, pv) probe plan as q_llm_ann_ivf_multiprobe,
-    but the corpus side is the label-partitioned index read UNDER the
-    predicate — the filter prunes directories in the scan (plan-pinned)
-    and only the surviving ~selectivity fraction of each probed cell is
-    ever scored.  Candidate volume: Q·nprobe·(n/K)·sel, reduced BEFORE
-    the cosine, not after."""
+def multiprobe_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batched-serving probe plan (qid, cid, pv) for the standard
+    MULTIPROBE slice — ONE construction shared by the filtered builder,
+    the serving benches and the equivalence tests, so a change to the
+    probe-slice rule or the nprobe cut cannot desynchronize which query
+    batch two lanes answer.  (q_llm_ann_ivf_multiprobe in similarity.py
+    keeps its driver-verified inline copy this round; unify onto this
+    helper when that query next enters a reverify window.)"""
     from .kmeans import assignment_ranking
 
     vectors, cents = trained_quantizer(spark, sf_dir)
@@ -147,7 +147,29 @@ def filtered_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(is_probe)
         .select(F.col("vec_id").alias("qid"), _as_double("embedding").alias("pv"))
     )
-    plan = probe_cells.join(probes, "qid")
+    return probe_cells.join(probes, "qid")
+
+
+def probe_topk(cand: DataFrame) -> DataFrame:
+    """Per-query top-k over scored candidates (the WindowGroupLimit
+    shape) — shared tail of the filtered and post-filtered lanes."""
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= MULTIPROBE_TOP_K)
+        .select("qid", "vec_id", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+def filtered_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multiprobe ANN with a metadata predicate: the same
+    broadcast (qid, cid, pv) probe plan as q_llm_ann_ivf_multiprobe,
+    but the corpus side is the label-partitioned index read UNDER the
+    predicate — the filter prunes directories in the scan (plan-pinned)
+    and only the surviving ~selectivity fraction of each probed cell is
+    ever scored.  Candidate volume: Q·nprobe·(n/K)·sel, reduced BEFORE
+    the cosine, not after."""
+    plan = multiprobe_plan(spark, sf_dir)
     members = filtered_index(spark, sf_dir).where(
         F.col("label") == SERVE_LABEL
     )
@@ -158,12 +180,7 @@ def filtered_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid", "vec_id", cosine_col(F.col("v"), F.col("pv")).alias("cos")
         )
     )
-    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= MULTIPROBE_TOP_K)
-        .select("qid", "vec_id", F.round("cos", 4).alias("cos_sim"))
-    )
+    return probe_topk(cand)
 
 
 def q_llm_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:

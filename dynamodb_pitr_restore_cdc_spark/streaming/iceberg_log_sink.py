@@ -219,7 +219,11 @@ def _manifest_target(n_entries: int) -> int:
 #     commits' excess is negative and the lane stays at the one
 #     monolith repack, matching the informed manual cadence at any
 #     horizon.  Blind appends rewrite nothing and remove nothing:
-#     they contribute zero to both sides.
+#     they contribute zero to both sides.  The accumulation is a
+#     zero-floored CUSUM fold, so cheaper-than-packed commits reset
+#     the clock but never bank negative credit — a regime change
+#     (hot-key trickles → narrow merges) fires on the NEW regime's
+#     own schedule.
 # (c) LIST: more than 2× ceil(entries/target) manifests — list
 #     republication is the other per-commit cost axis and is priced
 #     by length alone.
@@ -273,7 +277,14 @@ def _repack_priced(
         return False
     if REPACK_PAYBACK_COMMITS * excess >= n_entries * total_w:
         return True  # (a)
-    paid = sum(rw - rb * target for rw, rb in history)
+    # (b): CUSUM fold, floored at zero per commit — cheaper-than-packed
+    # commits must not bank unbounded negative credit, or a workload
+    # regime change (hot-key trickles -> narrow merges) would starve a
+    # genuinely-needed repack for the hundreds of commits it takes to
+    # pay the banked credit back (round-12 review finding)
+    paid = 0
+    for rw, rb in history:
+        paid = max(0, paid + rw - rb * target)
     return paid >= n_entries  # (b)
 
 

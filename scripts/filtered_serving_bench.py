@@ -30,60 +30,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dynamodb_pitr_restore_cdc_spark.llm import serving
-from dynamodb_pitr_restore_cdc_spark.llm.kmeans import assignment_ranking
-from dynamodb_pitr_restore_cdc_spark.llm.similarity import (
-    IVF_PROBE_CELLS,
-    MULTIPROBE_MOD,
-    MULTIPROBE_RES,
-    MULTIPROBE_TOP_K,
-    _as_double,
-    cosine_col,
-    trained_quantizer,
-)
+from dynamodb_pitr_restore_cdc_spark.llm.similarity import cosine_col
 from dynamodb_pitr_restore_cdc_spark.session import get_spark
-from dynamodb_pitr_restore_cdc_spark.sources import table
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPS = 5
-
-
-def probe_plan(spark):
-    vectors, cents = trained_quantizer(spark, SF_DIR)
-    is_probe = F.col("vec_id") % MULTIPROBE_MOD == MULTIPROBE_RES
-    probe_cells = (
-        assignment_ranking(vectors.where(is_probe), cents)
-        .where(F.col("rn") <= IVF_PROBE_CELLS)
-        .select(F.col("vec_id").alias("qid"), "cid")
-    )
-    probes = (
-        table(spark, SF_DIR, "embeddings")
-        .where(is_probe)
-        .select(F.col("vec_id").alias("qid"), _as_double("embedding").alias("pv"))
-    )
-    return probe_cells.join(probes, "qid")
-
-
-def post_filter_lane(spark, plan):
-    members = serving.filtered_index(spark, SF_DIR)  # NO predicate at scan
-    cand = (
-        members.join(F.broadcast(plan), "cid")
-        .where(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid", "vec_id", "label",
-            cosine_col(F.col("v"), F.col("pv")).alias("cos"),
-        )
-    )
-    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
-    return cand, (
-        cand.where(F.col("label") == serving.SERVE_LABEL)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= MULTIPROBE_TOP_K)
-        .select("qid", "vec_id", F.round("cos", 4).alias("cos_sim"))
-    )
 
 
 def warm_median(fn):
@@ -102,9 +56,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     serving.filtered_index(spark, SF_DIR).count()  # build once, both lanes read it
 
-    plan = probe_plan(spark).localCheckpoint(eager=True)
-    cand_naive, naive = post_filter_lane(spark, plan)
-
+    plan = serving.multiprobe_plan(spark, SF_DIR).localCheckpoint(eager=True)
+    # post-filter lane: no predicate at the scan, filter above the scorer
+    members_all = serving.filtered_index(spark, SF_DIR)
+    cand_naive = (
+        members_all.join(F.broadcast(plan), "cid")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", "label",
+            cosine_col(F.col("v"), F.col("pv")).alias("cos"),
+        )
+    )
+    naive = serving.probe_topk(
+        cand_naive.where(F.col("label") == serving.SERVE_LABEL)
+    )
+    # pushed lane: the predicate prunes the index scan
     members_f = serving.filtered_index(spark, SF_DIR).where(
         F.col("label") == serving.SERVE_LABEL
     )
@@ -113,12 +79,7 @@ def main() -> None:
         .where(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", cosine_col(F.col("v"), F.col("pv")).alias("cos"))
     )
-    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
-    fast = (
-        cand_fast.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= MULTIPROBE_TOP_K)
-        .select("qid", "vec_id", F.round("cos", 4).alias("cos_sim"))
-    )
+    fast = serving.probe_topk(cand_fast)
 
     n_naive, n_fast = cand_naive.count(), cand_fast.count()
     a = sorted(map(tuple, fast.collect()))

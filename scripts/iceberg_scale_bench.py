@@ -53,10 +53,18 @@ N_BUCKETS = 10_000
 # lane's unbounded rewrite width starts losing
 N_COMMITS = int(os.environ.get("ICEBERG_COMMITS", "12"))
 TRICKLE_KEYS = 20
-# comma-separated lane filter, default all
-LANES = os.environ.get(
-    "ICEBERG_LANES", "delta,iceberg,iceberg+rm,iceberg+policy"
-).split(",")
+# comma-separated lane filter, default all; strip + validate so a
+# typo'd or space-padded lane list fails loudly instead of silently
+# measuring nothing
+_ALL_LANES = ("delta", "iceberg", "iceberg+rm", "iceberg+policy")
+LANES = [
+    lane.strip()
+    for lane in os.environ.get("ICEBERG_LANES", ",".join(_ALL_LANES)).split(",")
+    if lane.strip()
+]
+_unknown = set(LANES) - set(_ALL_LANES)
+if _unknown:
+    raise SystemExit(f"unknown ICEBERG_LANES: {sorted(_unknown)}")
 
 
 def dir_bytes(root: str) -> int:
@@ -199,7 +207,7 @@ def main() -> None:
         for i in range(N_COMMITS)
     ]
 
-    for fmt in [f for f in ("delta", "iceberg", "iceberg+rm", "iceberg+policy") if f in LANES]:
+    for fmt in [f for f in _ALL_LANES if f in LANES]:
         work = os.path.join(
             tempfile.gettempdir(), f"icescale-{uuid.uuid4().hex[:8]}"
         )

@@ -625,6 +625,10 @@ def test_repack_pricing_is_cost_model_not_any_fragmentation():
     narrow = ((600, 1),) * 21
     assert _repack_priced(frag, 10_160, target=100, history=narrow)
     assert not _repack_priced(frag, 10_160, target=100, history=narrow[:-2])
+    # regime change: the cheap-trickle era must not bank negative
+    # credit against a later narrow-merge era — the CUSUM floor makes
+    # the new regime fire on its own 21-commit schedule
+    assert _repack_priced(frag, 10_160, target=100, history=drill + narrow)
     # bulk load in one monolith: E[rewrite] = the whole table, payback
     # within 2 commits is certain — fires immediately, no history needed
     assert _repack_priced([m(0, 9_999, 10_000)], 10_000, target=100)

@@ -521,7 +521,10 @@ def test_incremental_manifest_equals_rebuild(spark, sf_dir, tmp_path):
         split_bucket,
     )
     from dynamodb_pitr_restore_cdc_spark.llm.index_maintenance import LshIndex
-    from dynamodb_pitr_restore_cdc_spark.registry import tracked_persist
+    from dynamodb_pitr_restore_cdc_spark.registry import (
+        release_persisted,
+        tracked_persist,
+    )
     from dynamodb_pitr_restore_cdc_spark.sources import table
 
     raw = table(spark, sf_dir, "documents").select(
@@ -581,6 +584,7 @@ def test_incremental_manifest_equals_rebuild(spark, sf_dir, tmp_path):
     }
     assert e1_langs and langs - e1_langs, (langs, e1_langs)
     assert e1_langs <= set(mm.BATCH_LANGS)
+    release_persisted()  # both lanes persisted sf-scale text frames
 
 
 def test_budget_and_pack_mirrors_capstone_tail(spark, sf_dir, tmp_path):
@@ -598,7 +602,10 @@ def test_budget_and_pack_mirrors_capstone_tail(spark, sf_dir, tmp_path):
         split_bucket,
     )
     from dynamodb_pitr_restore_cdc_spark.llm.index_maintenance import LshIndex
-    from dynamodb_pitr_restore_cdc_spark.registry import tracked_persist
+    from dynamodb_pitr_restore_cdc_spark.registry import (
+        release_persisted,
+        tracked_persist,
+    )
     from dynamodb_pitr_restore_cdc_spark.sources import table
 
     docs = table(spark, sf_dir, "documents").select(
@@ -628,3 +635,4 @@ def test_budget_and_pack_mirrors_capstone_tail(spark, sf_dir, tmp_path):
         )
     )
     assert capstone == mirrored and capstone
+    release_persisted()
