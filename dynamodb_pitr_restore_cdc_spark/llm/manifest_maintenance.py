@@ -222,23 +222,19 @@ def budget_and_pack(mixed: DataFrame) -> DataFrame:
     )
 
 
-def incremental_manifest(
-    spark: SparkSession, docs: DataFrame, epoch_cut: int, index_path: str
-) -> DataFrame:
-    """Run the full production cadence on a fixture corpus: build the
-    epoch-0 state (index + hash set + frozen bench vocabulary + mixed
-    rows + manifest), ingest the epoch-1 batch incrementally, and
-    return the maintained manifest.  Exposed separately from the
-    registered query so tests can also diff it against a from-scratch
-    rebuild."""
-    e0 = docs.where(F.col("doc_id") <= epoch_cut)
-    e1 = docs.where(F.col("doc_id") > epoch_cut)
-
-    # ---- epoch 0: the standing state a crawler maintains -------------
+def build_epoch0_state(
+    spark: SparkSession, e0: DataFrame, index_path: str
+) -> dict:
+    """The standing state a crawler maintains, built from the epoch-0
+    corpus: the CDC-maintained LSH index, the deduped corpus (whose
+    content hashes are the exact-dedup state), the FROZEN benchmark
+    gram vocabulary, the compact per-doc ``mixed`` rows and the
+    manifest.  Returned as a dict so apply_epoch can be timed and
+    re-run independently of the build (the production cadence — and
+    scripts/manifest_incr_probe.py measures exactly that split)."""
     dedup0 = tracked_persist(quality_exact_dedup(e0))
     idx = LshIndex(spark, index_path)
     idx.init(dedup0.select("doc_id", "text"))
-    v0 = idx.version()
     drops0 = (
         idx.pairs(dedup0.select("doc_id", "text"))
         .select(F.col("doc_b").alias("doc_id"))
@@ -254,8 +250,25 @@ def incremental_manifest(
     mixed0 = tracked_persist(stage_4to6_delta(surv0, bench_grams))
     manifest0 = tracked_persist(budget_and_pack(mixed0))
     manifest0.count()  # the standing manifest is materialized state
+    return {
+        "idx": idx,
+        "v0": idx.version(),
+        "dedup0": dedup0,
+        "bench_grams": bench_grams,
+        "mixed0": mixed0,
+        "manifest0": manifest0,
+    }
 
-    # ---- epoch 1: O(batch) maintenance -------------------------------
+
+def apply_epoch(
+    spark: SparkSession, state: dict, e1: DataFrame, seq: int = 2
+) -> DataFrame:
+    """O(batch) maintenance of the pack manifest for one crawl batch
+    against the standing state — the measured quantity of the round-12
+    scale probe.  Returns the maintained manifest (≡ full rebuild; the
+    registered oracle and test_incremental_manifest_equals_rebuild
+    prove it)."""
+    idx, dedup0 = state["idx"], state["dedup0"]
     # stages 1-2 on the batch: map-side quality, intra-batch keep-lowest,
     # then the content-hash anti-join against the maintained hash state
     # (compact rows, no epoch-0 text)
@@ -270,28 +283,43 @@ def incremental_manifest(
     # stage 3: signature the BATCH into the index, pairs from the
     # changefeed window — O(batch·bands) candidates, doc_b is always a
     # batch doc (monotonic ids), so existing survivors never retract
-    idx.upsert(d1.select("doc_id", "text"), seq=2)
+    idx.upsert(d1.select("doc_id", "text"), seq=seq)
     corpus_texts = dedup0.select("doc_id", "text").unionByName(
         d1.select("doc_id", "text")
     )
     delta_drops = (
-        idx.delta_pairs(v0, corpus_texts)  # ≥ JACCARD_THRESHOLD built in
+        idx.delta_pairs(state["v0"], corpus_texts)  # ≥ threshold built in
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
     surv1 = d1.join(delta_drops, "doc_id", "left_anti")
     # stages 4-6 on the batch, frozen bench
-    mixed1 = tracked_persist(stage_4to6_delta(surv1, bench_grams))
+    mixed1 = tracked_persist(stage_4to6_delta(surv1, state["bench_grams"]))
 
     # stages 7-8: recompute ONLY the touched languages; untouched
     # languages keep their standing manifest rows verbatim
     touched = mixed1.select("lang").distinct()
     merged_touched = (
-        mixed0.unionByName(mixed1)
+        state["mixed0"].unionByName(mixed1)
         .join(F.broadcast(touched), "lang", "left_semi")
     )
-    kept_rows = manifest0.join(F.broadcast(touched), "lang", "left_anti")
+    kept_rows = state["manifest0"].join(F.broadcast(touched), "lang", "left_anti")
     return kept_rows.unionByName(budget_and_pack(merged_touched))
+
+
+def incremental_manifest(
+    spark: SparkSession, docs: DataFrame, epoch_cut: int, index_path: str
+) -> DataFrame:
+    """Run the full production cadence on a fixture corpus: build the
+    epoch-0 state (index + hash set + frozen bench vocabulary + mixed
+    rows + manifest), ingest the epoch-1 batch incrementally, and
+    return the maintained manifest.  Exposed separately from the
+    registered query so tests can also diff it against a from-scratch
+    rebuild."""
+    state = build_epoch0_state(
+        spark, docs.where(F.col("doc_id") <= epoch_cut), index_path
+    )
+    return apply_epoch(spark, state, docs.where(F.col("doc_id") > epoch_cut))
 
 
 @register("q_llm_pack_manifest_incremental", oracle=_INCR_MANIFEST_ORACLE)
