@@ -964,3 +964,27 @@ def test_repack_history_marker_and_metrics(sink, spark):
     # expiry truncating history only UNDERCOUNTS paid tax
     sink.expire_versions(keep_last=2, orphan_grace_s=0.0)
     assert len(hist(sink._current_meta())) <= 2
+
+
+def test_single_bucket_table_never_repacks_end_to_end(spark, tmp_path):
+    # the round-12 advice livelock, driven through the real sink: a
+    # table whose keys all hash into ONE bucket is its own fresh pack
+    # at any size, so optimize_plan must never price a REPACK row for
+    # manifest consolidation and rewrite_manifests must consolidate
+    # the multi-manifest layout ONCE and then no-op (no new snapshot,
+    # no metadata churn) — not republish an unimprovable layout
+    s = IcebergLogSink(spark, str(tmp_path / "t"), n_buckets=1)
+    s.init(_snapshot(spark, [(k, 0, float(k)) for k in range(24)]))
+    for seq in (10, 11, 12):
+        s.append(_batch(spark, [(seq, seq, "MODIFY", float(seq))]))
+    # 4 manifests over 1 bucket: list-length pricing may consolidate...
+    n_after = s.rewrite_manifests()
+    assert n_after == 1
+    # ...but the consolidated single-bucket layout must be terminal:
+    meta_num = s._latest_meta_num()
+    plan = s.optimize_plan(
+        small_file_rows=100, min_small_files=3, tombstone_pct=15
+    ).collect()
+    assert not [r for r in plan if r.decision == "REPACK"]
+    assert s.rewrite_manifests() == 1  # no-op: fresh-pack-identical
+    assert s._latest_meta_num() == meta_num  # zero commits published
