@@ -38,7 +38,6 @@ from .curation import (
     PACK_BUDGET_TOKENS,
     QUALITY_DEDUP_CTES,
     SAMPLE_BUDGET_TOKENS,
-    SAMPLE_MULT,
     SPLIT_MULT,
     TRAIN_PERMILLE,
     VALID_PERMILLE,
@@ -46,7 +45,9 @@ from .curation import (
     _SAMPLE_BUCKET_SQL,
     _SPLIT_BUCKET_SQL,
     five_grams,
+    mix_rate,
     quality_exact_dedup,
+    sample_bucket,
     split_bucket,
 )
 from .dedup import JACCARD_THRESHOLD, shingle_pair_ctes
@@ -120,44 +121,23 @@ FROM packed GROUP BY lang, pack_id
 """
 
 
-def downstream_build(docs: DataFrame, survivors: DataFrame) -> DataFrame:
-    """Stages 4-8 (train cut → decontamination → domain mix → token
-    budget → packing) over the near-dedup survivors; ``docs`` is the
-    ORIGINAL corpus (the benchmark side of decontamination never goes
-    through the pipeline's own filters). Shared by both capstones —
-    one implementation, one oracle text."""
-    train = tracked_persist(
-        survivors.where(split_bucket(F.col("doc_id")) < TRAIN_PERMILLE)
-    )
-    bench_grams = (
-        five_grams(docs.where(split_bucket(F.col("doc_id")) >= VALID_PERMILLE))
-        .select("gram")
-        .distinct()
-    )
-    contaminated = (
-        five_grams(train.select("doc_id", "text"))
-        .join(bench_grams, "gram")
-        .select("doc_id")
-        .distinct()
-    )
-    clean = train.join(contaminated, "doc_id", "left_anti")
-    rate = 100 + (F.expr("substring(source, 4)").cast("bigint") * 97) % 800
-    sample_bucket = (
-        F.pmod(F.col("doc_id") * F.lit(SAMPLE_MULT), F.lit(2**32)) % F.lit(1000)
-    )
-    mixed = clean.where(sample_bucket < rate).select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        F.pmod(F.col("doc_id") * F.lit(SPLIT_MULT), F.lit(2**32)).alias("hk"),
-    )
+def budget_and_pack(mixed: DataFrame) -> DataFrame:
+    """Stages 7-8 (per-language token budget → sequence packing) over a
+    `mixed` (doc_id, lang, n_tokens) frame — THE one implementation
+    (round-13 fold: manifest_maintenance mirrored this tail verbatim
+    through r12 behind a byte-equality pin; the capstone's reverify
+    window made the merge free, r12 verdict item 6). Both windows
+    share one (lang) hash exchange."""
     wb = (
         W.partitionBy("lang")
         .orderBy("hk", "doc_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     budgeted = (
-        mixed.withColumn("cum_budget", F.sum("n_tokens").over(wb))
+        mixed.withColumn(
+            "hk", F.pmod(F.col("doc_id") * F.lit(SPLIT_MULT), F.lit(2**32))
+        )
+        .withColumn("cum_budget", F.sum("n_tokens").over(wb))
         .where(F.col("cum_budget") <= SAMPLE_BUDGET_TOKENS)
         .select("doc_id", "lang", "n_tokens")
     )
@@ -179,6 +159,46 @@ def downstream_build(docs: DataFrame, survivors: DataFrame) -> DataFrame:
             F.sum("n_tokens").alias("pack_tokens"),
         )
     )
+
+
+def stage_4to6_delta(clean_base: DataFrame, bench_grams: DataFrame) -> DataFrame:
+    """Stages 4-6 (train cut → decontamination against a FROZEN
+    benchmark vocabulary → domain mix) over a survivor frame → its
+    `mixed` rows (doc_id, lang, n_tokens). Map-side cuts plus one gram
+    equi-join scoped to the input — THE one implementation (the
+    capstone passes the full survivor set, manifest maintenance passes
+    an epoch batch; folded in round 13 with budget_and_pack, r12
+    verdict item 6). `train` is referenced by two branches (the gram
+    fan-out and the anti-join base) — persisted per the
+    no-cross-branch-CSE rule."""
+    train = tracked_persist(
+        clean_base.where(split_bucket(F.col("doc_id")) < TRAIN_PERMILLE)
+    )
+    contaminated = (
+        five_grams(train.select("doc_id", "text"))
+        .join(bench_grams, "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = train.join(contaminated, "doc_id", "left_anti")
+    return clean.where(
+        sample_bucket(F.col("doc_id")) < mix_rate("source")
+    ).select("doc_id", "lang", "n_tokens")
+
+
+def downstream_build(docs: DataFrame, survivors: DataFrame) -> DataFrame:
+    """Stages 4-8 (train cut → decontamination → domain mix → token
+    budget → packing) over the near-dedup survivors; ``docs`` is the
+    ORIGINAL corpus (the benchmark side of decontamination never goes
+    through the pipeline's own filters). Shared by both capstones AND
+    (via stage_4to6_delta / budget_and_pack) the manifest-maintenance
+    tails — one implementation, one oracle text."""
+    bench_grams = (
+        five_grams(docs.where(split_bucket(F.col("doc_id")) >= VALID_PERMILLE))
+        .select("gram")
+        .distinct()
+    )
+    return budget_and_pack(stage_4to6_delta(survivors, bench_grams))
 
 
 @register("q_llm_corpus_build", oracle=_CORPUS_BUILD_ORACLE)
@@ -219,11 +239,11 @@ def q_llm_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="corpusbuild-")
     idx = LshIndex(spark, os.path.join(base, "t"))
     idx.init(deduped.select("doc_id", "text"))
-    near_drop = (
-        idx.pairs(deduped.select("doc_id", "text"))
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+    # greedy keep-lowest drop set; above the band fan-out gate the
+    # two-phase bucket-minimum lane verifies O(c) edges per c-sized
+    # bucket instead of O(c²) — the clique-quadratic mitigation (r12
+    # verdict item 5), byte-identical by construction and at the gate
+    near_drop = idx.drop_set(deduped.select("doc_id", "text"))
     survivors = deduped.join(near_drop, "doc_id", "left_anti")
     result = tracked_persist(downstream_build(docs, survivors))
     result.count()  # materialize before the index's backing dir goes away

@@ -294,8 +294,13 @@ def sample_bucket(doc_id_col) -> F.Column:
 
 
 def mix_rate(source_col) -> F.Column:
-    """Spark twin of _RATE_SQL — the per-source keep-rate in permille."""
-    return 100 + (F.expr(f"substring({source_col}, 4)").cast("bigint") * 97) % 800
+    """Spark twin of _RATE_SQL — the per-source keep-rate in permille.
+
+    Accepts a column name OR a Column, like its sibling sample_bucket
+    (round-12 advice: the old F.expr string-interpolation garbled an
+    actual Column argument)."""
+    col = F.col(source_col) if isinstance(source_col, str) else source_col
+    return 100 + (F.substring(col, 4, 2**31 - 1).cast("bigint") * 97) % 800
 
 
 # Engine-owned bloom filter, built and probed entirely with JVM

@@ -173,6 +173,160 @@ def band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def verify_pairs(cand: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of (doc_a, doc_b) candidates against
+    the corpus texts (candidates only — the LSH contract). THE one
+    verify implementation: LshIndex.pairs/delta_pairs/drop_set and the
+    registered drop-set query all route here."""
+    d = corpus.select("doc_id", "text")
+    return (
+        cand.join(
+            d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")),
+            "doc_a",
+        )
+        .join(
+            d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")),
+            "doc_b",
+        )
+        .withColumn("j_milli", jaccard_milli("text_a", "text_b"))
+        .where(F.col("j_milli") >= int(JACCARD_THRESHOLD * 1000))
+        .select("doc_a", "doc_b", (F.col("j_milli") / 1000.0).alias("jaccard"))
+    )
+
+
+# greedy_drop_set fan-out auto-gate (r12 verdict item 5; the bloom
+# BLOOM_AUTO_MIN_BYTES discipline): the two-phase lane pays one extra
+# bucket-size aggregation, a persist, and a second (tiny) verify job —
+# worth it only when the estimated candidate volume is both large in
+# absolute terms AND clique-quadratic relative to the O(c)-per-bucket
+# min-edge count. Σ c(c−1)/2 ≥ RATIO × Σ (c−1) ⇔ pair-weighted mean
+# bucket size ≥ 2·RATIO — the fixture's planted 2-3-doc buckets sit at
+# ratio ~1, the 100-clique probe regime at ~50.
+DROPSET_AUTO_MIN_PAIRS = 200_000
+DROPSET_FANOUT_RATIO = 4
+
+
+def greedy_drop_set(
+    bands: DataFrame,
+    corpus: DataFrame,
+    eligible: DataFrame | None = None,
+    force_two_phase: bool | None = None,
+) -> DataFrame:
+    """The greedy keep-lowest near-dedup DROP SET over a (doc_id, band,
+    bucket) frame: distinct doc_ids that appear as the HIGHER endpoint
+    of any exact-verified pair — the only thing the dedup consumers
+    (capstones, manifest maintenance, the registered drop-set query)
+    ever read from the pair set. ``eligible`` (optional one-column
+    doc_id frame) restricts BOTH endpoints, matching the streaming
+    capstone's both-sides-deduped semantics.
+
+    Below the fan-out gate this is exactly the banded self-join →
+    verify → doc_b plan (so the fixture lifecycle is unchanged — the
+    bloom-pre-prune auto-gate discipline). Above it, the
+    clique-quadratic mitigation (SCALE.md rounds 12-13) runs TWO verify
+    phases that return a byte-identical drop set while verifying O(c)
+    edges per c-sized bucket instead of O(c²):
+
+    phase 1 — per (band, bucket), verify only each doc's edge to the
+    bucket MINIMUM (c−1 edges). Every true near-dup clique member ≠
+    min drops here: greedy dedup never needs its other edges, because
+    drop(d) only asks whether SOME lower verified partner exists.
+    phase 2 — docs NOT dropped by phase 1 re-enter the full banded
+    self-join as the HIGHER side only (the lower side stays
+    unrestricted: a dropped doc can still be the lower witness that
+    drops a survivor), minus the phase-1-verified edges. On a real
+    clique bucket the undropped residue is just the minimum, which has
+    no higher role — near-zero candidates.
+
+    Equality proof shape: d is dropped by the full pair set iff some
+    lower same-bucket partner verifies. If d drops in phase 1, done;
+    otherwise every (a, d) candidate survives into phase 2's candidate
+    set (d is undropped; min-edges already checked are subtracted), so
+    the union of both phases' doc_b sets is the full drop set —
+    asserted byte-identical on the fixture and a planted
+    min-edge-fails corpus (tests/test_index_maintenance.py) and at
+    100× replication (scripts/corpus_scale_probe.py)."""
+    if eligible is not None:
+        bands = bands.join(eligible.select("doc_id"), "doc_id", "left_semi")
+    bands = tracked_persist(bands)
+
+    if force_two_phase is None:
+        # driver-side scalars: plan-shape decision (orchestration, not
+        # data) — one partial-aggregating pass over the 16-rows-per-doc
+        # band table prices both lanes
+        sizes = bands.groupBy("band", "bucket").agg(F.count("*").alias("c"))
+        row = sizes.agg(
+            F.sum(F.expr("c * (c - 1) div 2")).alias("pairs"),
+            F.sum(F.expr("c - 1")).alias("min_edges"),
+        ).first()
+        est_pairs = row["pairs"] or 0
+        est_min_edges = row["min_edges"] or 0
+        force_two_phase = (
+            est_pairs >= DROPSET_AUTO_MIN_PAIRS
+            and est_pairs >= DROPSET_FANOUT_RATIO * max(est_min_edges, 1)
+        )
+
+    if not force_two_phase:
+        cand = (
+            bands.alias("a")
+            .join(
+                bands.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        return (
+            verify_pairs(cand, corpus)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+
+    # phase 1: edges to the bucket minimum only — O(c) per bucket
+    bmin = bands.groupBy("band", "bucket").agg(F.min("doc_id").alias("doc_a"))
+    p1 = tracked_persist(
+        bands.join(bmin, ["band", "bucket"])
+        .where(F.col("doc_id") > F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+    d1 = tracked_persist(
+        verify_pairs(p1, corpus)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    # phase 2: only phase-1 survivors can still be dropped, so only
+    # they take the HIGHER side; the lower side stays the full band set
+    # (a dropped doc remains a valid lower witness)
+    live = bands.join(d1, "doc_id", "left_anti")
+    p2 = (
+        bands.alias("a")
+        .join(
+            live.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .join(p1, ["doc_a", "doc_b"], "left_anti")
+    )
+    d2 = (
+        verify_pairs(p2, corpus)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return d1.unionByName(d2).distinct()
+
+
 # THE shingle-Jaccard truth template (q_llm_near_dedup and the
 # index-maintenance drills all hash against it — one text, so a
 # rounding or shingling tweak cannot silently diverge between oracles).
@@ -249,6 +403,32 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select(
         "doc_a", "doc_b", (F.col("j_milli") / 1000.0).alias("jaccard")
     )
+
+
+@register(
+    "q_llm_dedup_dropset",
+    oracle=f"""
+WITH {shingle_pair_ctes('documents')}
+SELECT DISTINCT doc_b AS doc_id FROM jp
+WHERE j_milli >= {int(JACCARD_THRESHOLD * 1000)}
+""",
+)
+def q_llm_dedup_dropset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The greedy keep-lowest near-dedup DROP SET as a first-class
+    query (registered r13 with the two-phase mitigation it fronts):
+    every doc_id that loses to SOME lower near-duplicate (J ≥ 0.5) —
+    exactly what the corpus capstones and the manifest-maintenance
+    epoch build subtract from the corpus. The builder routes through
+    greedy_drop_set over the materialized band artifact: at fixture
+    fan-out the auto-gate keeps the plain banded-verify plan; past it
+    (100-clique crawl corpora) the bucket-minimum two-phase lane
+    verifies O(c) edges per bucket with a byte-identical result
+    (scripts/corpus_scale_probe.py measures both lanes at 100×). The
+    oracle is the brute-force shingle-Jaccard truth template's doc_b
+    projection — drop membership, not the edge list, so the two lanes'
+    different verify ORDER cannot show through."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return greedy_drop_set(band_buckets(spark, sf_dir), d)
 
 
 @F.pandas_udf(T.LongType())

@@ -45,8 +45,9 @@ from .dedup import (
     JACCARD_THRESHOLD,
     PAIR_SELECT_SQL,
     band_array,
-    jaccard_milli,
+    greedy_drop_set,
     shingle_pair_ctes,
+    verify_pairs,
 )
 
 
@@ -107,21 +108,9 @@ class LshIndex:
 
     def _verify(self, cand: DataFrame, corpus: DataFrame) -> DataFrame:
         """Exact-Jaccard verification of candidate pairs against the
-        corpus texts (candidates only — the LSH contract)."""
-        d = corpus.select("doc_id", "text")
-        return (
-            cand.join(
-                d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")),
-                "doc_a",
-            )
-            .join(
-                d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")),
-                "doc_b",
-            )
-            .withColumn("j_milli", jaccard_milli("text_a", "text_b"))
-            .where(F.col("j_milli") >= int(JACCARD_THRESHOLD * 1000))
-            .select("doc_a", "doc_b", (F.col("j_milli") / 1000.0).alias("jaccard"))
-        )
+        corpus texts (candidates only — the LSH contract); the one
+        implementation lives in dedup.verify_pairs."""
+        return verify_pairs(cand, corpus)
 
     def pairs(self, corpus: DataFrame) -> DataFrame:
         """All near-dup pairs per the CURRENT index state: band
@@ -143,6 +132,24 @@ class LshIndex:
             .distinct()
         )
         return self._verify(cand, corpus)
+
+    def drop_set(
+        self,
+        corpus: DataFrame,
+        eligible: DataFrame | None = None,
+        force_two_phase: bool | None = None,
+    ) -> DataFrame:
+        """The greedy keep-lowest near-dedup DROP SET over THIS index's
+        folded band state — dedup.greedy_drop_set (the one
+        implementation: auto-gated two-phase bucket-minimum
+        verification, byte-identical to pairs() → doc_b; full design
+        note there) applied to band_rows()."""
+        return greedy_drop_set(
+            self.band_rows(),
+            corpus,
+            eligible=eligible,
+            force_two_phase=force_two_phase,
+        )
 
     def delta_pairs(
         self, v_from: int, corpus: DataFrame, v_to: int | None = None

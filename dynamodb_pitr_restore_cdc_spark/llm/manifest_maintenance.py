@@ -55,7 +55,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register, tracked_persist
@@ -63,7 +63,11 @@ from ..sources import table
 
 # THE gram fragment — imported, never re-typed (one statement of the
 # gram shape per dialect; CLAUDE.md shared-template rule)
-from .corpus_build import _GRAMS_SQL
+from .corpus_build import (  # noqa: F401 — shared tails, re-exported
+    _GRAMS_SQL,
+    budget_and_pack,
+    stage_4to6_delta,
+)
 from .curation import (
     PACK_BUDGET_TOKENS,
     QUALITY_DEDUP_CTES,
@@ -75,9 +79,7 @@ from .curation import (
     _SAMPLE_BUCKET_SQL,
     _SPLIT_BUCKET_SQL,
     five_grams,
-    mix_rate,
     quality_exact_dedup,
-    sample_bucket,
     split_bucket,
 )
 from .dedup import JACCARD_THRESHOLD, shingle_pair_ctes
@@ -164,62 +166,11 @@ FROM packed GROUP BY lang, pack_id
 """
 
 
-def stage_4to6_delta(clean_base: DataFrame, bench_grams: DataFrame) -> DataFrame:
-    """Stages 4-6 over a survivor batch against a FROZEN benchmark
-    vocabulary → the batch's `mixed` rows (doc_id, lang, n_tokens).
-    Map-side cuts plus one gram equi-join scoped to the batch."""
-    train = clean_base.where(split_bucket(F.col("doc_id")) < TRAIN_PERMILLE)
-    contaminated = (
-        five_grams(train.select("doc_id", "text"))
-        .join(bench_grams, "gram")
-        .select("doc_id")
-        .distinct()
-    )
-    clean = train.join(contaminated, "doc_id", "left_anti")
-    return clean.where(
-        sample_bucket(F.col("doc_id")) < mix_rate("source")
-    ).select("doc_id", "lang", "n_tokens")
-
-
-def budget_and_pack(mixed: DataFrame) -> DataFrame:
-    """Stages 7-8 (per-language token budget → sequence packing) over a
-    `mixed` (doc_id, lang, n_tokens) frame.  Mirrors
-    corpus_build.downstream_build's tail VERBATIM — kept as a separate
-    function rather than extracted from it because refactoring the
-    driver-verified capstone would cost a re-verification slot this
-    round's rotation doesn't have; tests/test_llm.py pins the two
-    implementations equal on the fixture so they cannot drift."""
-    wb = (
-        W.partitionBy("lang")
-        .orderBy("hk", "doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    budgeted = (
-        mixed.withColumn(
-            "hk", F.pmod(F.col("doc_id") * F.lit(SPLIT_MULT), F.lit(2**32))
-        )
-        .withColumn("cum_budget", F.sum("n_tokens").over(wb))
-        .where(F.col("cum_budget") <= SAMPLE_BUDGET_TOKENS)
-        .select("doc_id", "lang", "n_tokens")
-    )
-    wp = (
-        W.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    packed = budgeted.withColumn("cum", F.sum("n_tokens").over(wp))
-    return (
-        packed.select(
-            "lang",
-            F.expr(f"(cum - n_tokens) div {PACK_BUDGET_TOKENS}").alias("pack_id"),
-            "n_tokens",
-        )
-        .groupBy("lang", "pack_id")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tokens").alias("pack_tokens"),
-        )
-    )
+# Stages 4-6 and 7-8 now live in corpus_build.stage_4to6_delta /
+# corpus_build.budget_and_pack — ONE implementation for the capstone
+# tail and the manifest tails (the r12 verbatim mirrors and their
+# byte-equality pin are gone; r12 verdict item 6, folded during the
+# capstone's r13 reverify window).
 
 
 def build_epoch0_state(
@@ -235,11 +186,10 @@ def build_epoch0_state(
     dedup0 = tracked_persist(quality_exact_dedup(e0))
     idx = LshIndex(spark, index_path)
     idx.init(dedup0.select("doc_id", "text"))
-    drops0 = (
-        idx.pairs(dedup0.select("doc_id", "text"))
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+    # epoch-0 greedy drop set (auto-gated two-phase above the band
+    # fan-out threshold — the clique-quadratic mitigation; drop set
+    # byte-identical to pairs()→doc_b by construction)
+    drops0 = idx.drop_set(dedup0.select("doc_id", "text"))
     surv0 = dedup0.join(drops0, "doc_id", "left_anti")
     # frozen benchmark vocabulary (epoch-0 held-out split, raw corpus)
     bench_grams = tracked_persist(

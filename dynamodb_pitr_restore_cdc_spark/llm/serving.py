@@ -18,14 +18,13 @@ Q·nprobe·n/K to its selectivity fraction BEFORE scoring; the plan pin
 asserts the predicate lands in PartitionFilters of the index scan,
 and `scripts/filtered_serving_bench.py` measures the reduction.
 
-NOT registered in round 12: the driver window is exactly full (45
-age-5 rotations + 4 reverifies + the incremental-manifest query).
-`tests/test_serving.py::test_r13_registration_obligation` trips the
-moment `_DRIVER_VERIFIED_R12` is recorded, forcing the round-13
-editor to register `q_llm_ann_ivf_filtered` — the obligation is code,
-not a comment (round-11 review rule).  The local parity test runs the
-builder against FILTERED_SERVING_ORACLE on DuckDB today, so the query
-ships driver-ready.
+Built in round 12 but NOT registered then (the driver window was
+exactly full: 45 age-5 rotations + 4 reverifies + the
+incremental-manifest query); registered in round 13 as that window's
+one fresh query, discharging the code-enforced obligation
+(`tests/test_serving.py::test_r13_registration_obligation`, which
+trips the moment `_DRIVER_VERIFIED_R12` exists — the round-11 review
+rule that a deferral must live in code, not a comment).
 """
 
 from __future__ import annotations
@@ -36,7 +35,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..registry import pid_scoped_root
+from ..registry import pid_scoped_root, register
 from ..sources import table
 from .similarity import (
     IVF_PROBE_CELLS,
@@ -183,9 +182,14 @@ def filtered_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_topk(cand)
 
 
+@register("q_llm_ann_ivf_filtered", oracle=FILTERED_SERVING_ORACLE)
 def q_llm_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The round-13 registration target (driver-ready builder; see the
-    module docstring for why registration waits one round).  Top-k
-    nearest label={SERVE_LABEL} vectors for every probe in the batched
-    slice."""
+    """Registered round 13, discharging the code-enforced obligation
+    (tests/test_serving.py::test_r13_registration_obligation — the r12
+    window was exactly full).  Top-k nearest label={SERVE_LABEL}
+    vectors for every probe in the batched slice: the metadata
+    predicate prunes the partitionBy(cid, label) index scan at
+    directory level BEFORE any cosine is computed (plan-pinned
+    PartitionFilters; measured 9.7× candidate reduction at ~9%
+    selectivity, scripts/filtered_serving_bench.py)."""
     return filtered_multiprobe(spark, sf_dir)

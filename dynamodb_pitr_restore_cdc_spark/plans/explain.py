@@ -90,3 +90,41 @@ def executed_metrics(df: DataFrame) -> list[tuple[str, str, int]]:
 
     walk(df._jdf.queryExecution().executedPlan())
     return out
+
+
+def executed_metrics_by_node(df: DataFrame) -> list[tuple[str, dict[str, int]]]:
+    """One (nodeName, {metric: value}) entry PER PLAN NODE, in walk
+    order. The flat executed_metrics stream loses node boundaries —
+    a consumer re-grouping it by consecutive name folds two adjacent
+    same-named nodes (e.g. two 'Scan parquet' over different paths)
+    into one dict and asserts against mixed metrics (round-12 advice).
+    Here the boundary is structural: every node gets its own dict,
+    empty-metric nodes are skipped."""
+    nodes: list[tuple[str, dict[str, int]]] = []
+
+    def walk(node) -> None:
+        name = node.nodeName()
+        m: dict[str, int] = {}
+        try:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                m[kv._1()] = int(kv._2().value())
+        except Exception:
+            pass
+        if m:
+            nodes.append((name, m))
+        if name == "AdaptiveSparkPlan":
+            walk(node.executedPlan())
+            return
+        ch = node.children().iterator()
+        while ch.hasNext():
+            walk(ch.next())
+        if "QueryStage" in name:  # shuffle/broadcast stage bodies
+            try:
+                walk(node.plan())
+            except Exception:
+                pass
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return nodes

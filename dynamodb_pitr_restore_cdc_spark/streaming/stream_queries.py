@@ -1083,13 +1083,12 @@ def q_stream_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     deduped = tracked_persist(quality_exact_dedup(docs))
     dd = deduped.select("doc_id")
-    pairs = idx.pairs(docs.select("doc_id", "text"))
-    near_drop = (
-        pairs.join(dd.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
-        .join(dd.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+    # greedy drop set over the streamed index, endpoints restricted to
+    # the dedup survivors (eligible= replaces the old pairs→semi-join
+    # pair filtering: bands are filtered BEFORE candidates form, same
+    # drop set, fewer verifies); the fan-out auto-gate engages the
+    # two-phase clique mitigation at scale (index_maintenance.drop_set)
+    near_drop = idx.drop_set(docs.select("doc_id", "text"), eligible=dd)
     survivors = deduped.join(near_drop, "doc_id", "left_anti")
     result = tracked_persist(downstream_build(docs, survivors))
     result.count()  # materialize before removing the backing dirs

@@ -921,14 +921,32 @@ from .util import atomic_write_text
 # are a fixture cost, so the replay (init + 2 commits at the 1/3 and
 # 2/3 seq cutoffs) runs once per session and every consumer reads the
 # same commit history.
+#
+# IMMUTABILITY CONTRACT (round-13, after the r12 q_cdc_history crash):
+# the shared artifact is READ-ONLY for every consumer. A query that
+# needs a destructive operation (expire, orphan sweep, branch write)
+# must take a private clone via expired_shared_sink / _hardlink_clone —
+# q_cdc_time_travel's expire_versions(keep_last=2) on the shared sink
+# deleted v1's manifest before q_cdc_history read visible(version=1)
+# whenever the driver window ordered time_travel first (r12 slot 27 vs
+# 33; the alphabetical local suite could never see it). Guarded by
+# tests/test_sink_shared_artifact.py (driver-order regression) and the
+# registry-order parity run.
 _SINK_ARTIFACT: dict[tuple[str, str], tuple] = {}
+# the expired VIEW of the shared sink (keep_last=2, v1 aged out) —
+# a separate session-memoized artifact so the expire never touches the
+# shared replay
+_EXPIRED_ARTIFACT: dict[tuple[str, str], "VersionedCdcSink"] = {}
 # pid-scoped + dead-sibling sweep: see registry.pid_scoped_root
 _SINK_ROOT = pid_scoped_root("vsink")
 
 
 def shared_sink(spark: SparkSession, sf_dir: str):
     """(sink, c1, c2): the session-shared 3-commit replay of sf_dir's
-    changelog — v1 = fold(seq ≤ c1), v2 = +batch(c1, c2], v3 = +rest."""
+    changelog — v1 = fold(seq ≤ c1), v2 = +batch(c1, c2], v3 = +rest.
+
+    Consumers must treat the returned sink as immutable (see the
+    _SINK_ARTIFACT contract above)."""
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     hit = _SINK_ARTIFACT.get(key)
     if hit is not None and os.path.isdir(hit[0].path):
@@ -944,6 +962,44 @@ def shared_sink(spark: SparkSession, sf_dir: str):
     sink.apply_batch(cl.where(F.col("seq_no") > c2))
     _SINK_ARTIFACT[key] = (sink, c1, c2)
     return _SINK_ARTIFACT[key]
+
+
+def _hardlink_clone(src: VersionedCdcSink, dst_path: str) -> VersionedCdcSink:
+    """O(metadata) private copy of a sink: every file hard-linked, no
+    data bytes moved. Safe because the sink NEVER modifies a published
+    file in place — data/shard/root/pointer writes all go through
+    atomic_write_text or a fresh-token parquet write + rename, so a
+    destructive op on the clone (expire's unlink/rmtree) only drops the
+    clone's links while the source keeps its own. The 100 TB analog is
+    a metadata-only snapshot/branch (Iceberg snapshot ref, S3 manifest
+    copy): cloning cost scales with file COUNT, not data size."""
+    shutil.copytree(src.path, dst_path, copy_function=os.link)
+    clone = VersionedCdcSink(
+        src.spark, dst_path, n_buckets=src.n_buckets, shard_size=src.shard_size
+    )
+    clone._schema = src._schema
+    return clone
+
+
+def expired_shared_sink(spark: SparkSession, sf_dir: str) -> VersionedCdcSink:
+    """The retention-window view of the shared replay: a private
+    hardlink clone with ``expire_versions(keep_last=2)`` already
+    applied (v1's manifest gone; its untouched-bucket files survive
+    only through the v2 manifest's copy-on-write references).
+    Memoized per (session, corpus) like shared_sink itself, so the
+    expire runs once and NEVER against the shared artifact — the r12
+    q_cdc_history crash was exactly that shared mutation."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    hit = _EXPIRED_ARTIFACT.get(key)
+    if hit is not None and os.path.isdir(hit.path):
+        return hit
+    src, _, _ = shared_sink(spark, sf_dir)
+    clone = _hardlink_clone(
+        src, os.path.join(_SINK_ROOT, f"sink-expired-{uuid.uuid4().hex[:8]}")
+    )
+    clone.expire_versions(keep_last=2)  # v1 ages out ON THE CLONE ONLY
+    _EXPIRED_ARTIFACT[key] = clone
+    return clone
 
 
 @register(
@@ -970,13 +1026,16 @@ def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     The expire runs BEFORE the time-travel read on purpose: v1 leaves
     the retention window but its untouched-bucket files are still
     referenced by the v2 manifest, so copy-on-write inheritance — not
-    file survival by luck — is what the oracle match proves.
+    file survival by luck — is what the oracle match proves. Round-13
+    fix: the expire happens on a PRIVATE hardlink clone
+    (expired_shared_sink) — in r12 it mutated the session-shared
+    replay and deleted the v1 manifest q_cdc_history still reads
+    (driver slot 27 vs 33: the one red row of the round).
 
     Reference twin: RestoreTableToPointInTime + forward CDC replay
     (`cdk/lib/cdk-stack.ts:119`, README restore flow); here restore =
     reading a retained commit, no data movement."""
-    sink, _, _ = shared_sink(spark, sf_dir)
-    sink.expire_versions(keep_last=2)  # v1 ages out; its files live on via v2
+    sink = expired_shared_sink(spark, sf_dir)  # v1 aged out, clone-local
     return sink.visible(version=2).select("key", "last_seq", "payload_value")
 
 

@@ -112,14 +112,43 @@ def main() -> None:
     idx.init(deduped.select("doc_id", "text"))
     t_sig = time.perf_counter() - t0
 
+    corpus = deduped.select("doc_id", "text")
     t0 = time.perf_counter()
-    n_pairs = idx.pairs(deduped.select("doc_id", "text")).count()
+    n_pairs = idx.pairs(corpus).count()
     t_pairs = time.perf_counter() - t0
     release_persisted()
     print(
         f"stage breakdown at {REPLICAS}x: quality+exact_dedup {t_dedup:.1f}s "
         f"({n_dedup} rows) | signature pass + index init {t_sig:.1f}s | "
         f"banded pairs + verify {t_pairs:.1f}s ({n_pairs} pairs)"
+    )
+
+    # ---- drop-set lanes (round 13: the clique-quadratic mitigation) ---
+    # what the capstone actually consumes is the greedy keep-lowest DROP
+    # SET; time the plain (full-pairs) lane against the two-phase
+    # bucket-minimum lane and assert the sets byte-identical at scale
+    t0 = time.perf_counter()
+    plain = {r.doc_id for r in idx.drop_set(corpus, force_two_phase=False).collect()}
+    t_plain = time.perf_counter() - t0
+    release_persisted()
+    t0 = time.perf_counter()
+    two = {r.doc_id for r in idx.drop_set(corpus, force_two_phase=True).collect()}
+    t_two = time.perf_counter() - t0
+    release_persisted()
+    assert plain == two, (
+        f"drop-set lanes diverged: plain-only={sorted(plain - two)[:5]} "
+        f"two-only={sorted(two - plain)[:5]}"
+    )
+    t0 = time.perf_counter()
+    auto = {r.doc_id for r in idx.drop_set(corpus).collect()}
+    t_auto = time.perf_counter() - t0
+    release_persisted()
+    assert auto == plain
+    print(
+        f"drop-set at {REPLICAS}x ({len(plain)} dropped, lanes identical): "
+        f"plain full-pairs verify {t_plain:.1f}s | two-phase bucket-min "
+        f"{t_two:.1f}s ({t_plain / max(t_two, 1e-9):.1f}x) | auto-gate lane "
+        f"{t_auto:.1f}s"
     )
     shutil.rmtree(big, ignore_errors=True)
 

@@ -112,3 +112,108 @@ def test_ivf_index_never_trained_fails_loudly(spark, tmp_path):
     idx = IvfIndex(spark, str(tmp_path / "fresh"))
     with pytest.raises(ValueError, match="no trained quantizer"):
         idx._centroids()
+
+
+class _SyntheticBands(LshIndex):
+    """drop_set test double: hand-placed band rows, real _verify.
+    Bypasses LshIndex.__init__ (no sink) — drop_set touches only
+    band_rows() and _verify()."""
+
+    def __init__(self, spark, rows):
+        self.spark = spark
+        self._rows = rows
+
+    def band_rows(self):
+        return self.spark.createDataFrame(
+            pd.DataFrame(self._rows, columns=["doc_id", "band", "bucket"]),
+            schema="doc_id long, band int, bucket long",
+        )
+
+
+def _drop_ids(idx, corpus, **kw):
+    out = {r.doc_id for r in idx.drop_set(corpus, **kw).collect()}
+    release_persisted()
+    return out
+
+
+def test_drop_set_two_phase_equals_plain_on_fixture(spark, sf_dir, tmp_path):
+    """The auto-gate's two lanes must return byte-identical drop sets
+    on the real fixture corpus (forced both ways — the registered
+    fixture always takes the plain lane by the gate)."""
+    from dynamodb_pitr_restore_cdc_spark.sources import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = LshIndex(spark, str(tmp_path / "dropset"))
+    idx.init(docs)
+    plain = _drop_ids(idx, docs, force_two_phase=False)
+    two = _drop_ids(idx, docs, force_two_phase=True)
+    # ...and the old consumer expression (pairs → doc_b) is the truth
+    want = {
+        r.doc_b for r in idx.pairs(docs).select("doc_b").distinct().collect()
+    }
+    release_persisted()
+    assert plain == two == want and want
+
+
+def test_drop_set_phase2_catches_min_edge_failures(spark):
+    """The planted case phase 1 alone would get WRONG: docs 1,2,3 share
+    one band bucket; the bucket minimum (1) is a near-dup of NOTHING,
+    but 3 is a near-dup of 2 — so 3 must drop via the non-minimum edge
+    (2,3), which only phase 2 verifies. A keep-lowest shortcut that
+    stopped at bucket-minimum edges would keep 3."""
+    A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    B = "the quick brown fox jumps over the lazy dog again and again today"
+    C = B + " tail"
+    corpus = _docs(spark, [(1, A), (2, B), (3, C)])
+    idx = _SyntheticBands(
+        spark, [(1, 0, 42), (2, 0, 42), (3, 0, 42)]
+    )
+    assert _drop_ids(idx, corpus, force_two_phase=True) == {3}
+    assert _drop_ids(idx, corpus, force_two_phase=False) == {3}
+
+
+def test_drop_set_clique_drops_in_phase_one(spark):
+    """A pure near-dup clique resolves entirely in phase 1 (every
+    member verifies against the bucket minimum) and phase 2 has no
+    higher-side candidates left — the O(c)-per-bucket case the
+    mitigation exists for."""
+    B = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = _docs(spark, [(i, B + f" v{i % 2}") for i in range(1, 6)])
+    idx = _SyntheticBands(spark, [(i, 0, 7) for i in range(1, 6)])
+    assert _drop_ids(idx, corpus, force_two_phase=True) == {2, 3, 4, 5}
+    assert _drop_ids(idx, corpus, force_two_phase=False) == {2, 3, 4, 5}
+
+
+def test_drop_set_dropped_doc_still_witnesses(spark):
+    """A doc dropped in phase 1 must STILL serve as the lower witness
+    that drops a later doc it shares a DIFFERENT bucket with (the
+    lower side of phase 2 is the full band set on purpose): 2 drops
+    via (1,2) in bucket 7; 3 shares only bucket 8 with 2 — (2,3) must
+    still drop 3 even though 2 is already gone."""
+    B = "the quick brown fox jumps over the lazy dog again and again today"
+    A2 = B + " x"
+    A3 = B + " y"
+    corpus = _docs(spark, [(1, B), (2, A2), (3, A3)])
+    idx = _SyntheticBands(
+        spark, [(1, 0, 7), (2, 0, 7), (2, 1, 8), (3, 1, 8)]
+    )
+    assert _drop_ids(idx, corpus, force_two_phase=True) == {2, 3}
+    assert _drop_ids(idx, corpus, force_two_phase=False) == {2, 3}
+
+
+def test_drop_set_eligibility_restricts_both_endpoints(spark):
+    """eligible must remove a doc as BOTH drop target and lower
+    witness — the streaming capstone's both-sides-deduped semantics:
+    with 2 ineligible, 3's only witness path through 2 disappears in
+    both lanes."""
+    B = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = _docs(spark, [(1, B), (2, B + " x"), (3, B + " y")])
+    # 1-2 share bucket 7, 2-3 share bucket 8; 1 and 3 share nothing
+    bands = [(1, 0, 7), (2, 0, 7), (2, 1, 8), (3, 1, 8)]
+    eligible = _docs(spark, [(1, ""), (3, "")]).select("doc_id")
+    for force in (True, False):
+        idx = _SyntheticBands(spark, bands)
+        got = _drop_ids(
+            idx, corpus, eligible=eligible, force_two_phase=force
+        )
+        assert got == set(), got

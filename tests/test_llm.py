@@ -587,52 +587,36 @@ def test_incremental_manifest_equals_rebuild(spark, sf_dir, tmp_path):
     release_persisted()  # both lanes persisted sf-scale text frames
 
 
-def test_budget_and_pack_mirrors_capstone_tail(spark, sf_dir, tmp_path):
-    """Divergence guard: budget_and_pack + stage_4to6_delta mirror
-    corpus_build.downstream_build verbatim (kept separate in round 12
-    so the driver-verified capstone isn't refactored in a
-    rotation-constrained window).  Same survivors in, byte-identical
-    manifest out — if either copy drifts, this breaks."""
-    from dynamodb_pitr_restore_cdc_spark.llm import manifest_maintenance as mm
-    from dynamodb_pitr_restore_cdc_spark.llm.corpus_build import downstream_build
-    from dynamodb_pitr_restore_cdc_spark.llm.curation import (
-        VALID_PERMILLE,
-        five_grams,
-        quality_exact_dedup,
-        split_bucket,
+def test_manifest_tail_is_the_capstone_tail():
+    """The r12 divergence guard (byte-equality of two verbatim mirror
+    implementations) is retired: round 13 folded the manifest tails
+    INTO corpus_build — one implementation, so drift is now impossible
+    by identity, which this asserts."""
+    from dynamodb_pitr_restore_cdc_spark.llm import (
+        corpus_build as cb,
+        manifest_maintenance as mm,
     )
-    from dynamodb_pitr_restore_cdc_spark.llm.index_maintenance import LshIndex
-    from dynamodb_pitr_restore_cdc_spark.registry import (
-        release_persisted,
-        tracked_persist,
-    )
-    from dynamodb_pitr_restore_cdc_spark.sources import table
 
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", "text"
+    assert mm.budget_and_pack is cb.budget_and_pack
+    assert mm.stage_4to6_delta is cb.stage_4to6_delta
+
+
+def test_mix_rate_accepts_name_and_column(spark):
+    """mix_rate must take either a column NAME or a Column, exactly
+    like its sibling sample_bucket (round-12 advice: the old
+    F.expr(f"substring({arg}, 4)") interpolation garbled a Column
+    argument), and both forms must equal the oracle's _RATE_SQL."""
+    from dynamodb_pitr_restore_cdc_spark.llm.curation import mix_rate
+
+    df = spark.createDataFrame(
+        [("src0",), ("src5",), ("src12",), ("src999",)], ["source"]
     )
-    deduped = tracked_persist(quality_exact_dedup(docs))
-    idx = LshIndex(spark, str(tmp_path / "t"))
-    idx.init(deduped.select("doc_id", "text"))
-    near_drop = (
-        idx.pairs(deduped.select("doc_id", "text"))
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
-    survivors = tracked_persist(deduped.join(near_drop, "doc_id", "left_anti"))
-    capstone = sorted(map(tuple, downstream_build(docs, survivors).collect()))
-    bench_full = (
-        five_grams(docs.where(split_bucket(F.col("doc_id")) >= VALID_PERMILLE))
-        .select("gram")
-        .distinct()
-    )
-    mirrored = sorted(
-        map(
-            tuple,
-            mm.budget_and_pack(
-                mm.stage_4to6_delta(survivors, bench_full)
-            ).collect(),
-        )
-    )
-    assert capstone == mirrored and capstone
-    release_persisted()
+    by_name = [r[0] for r in df.select(mix_rate("source")).collect()]
+    by_col = [r[0] for r in df.select(mix_rate(F.col("source"))).collect()]
+    sql = [
+        r[0]
+        for r in df.selectExpr(
+            "(100 + (CAST(substr(source, 4) AS BIGINT) * 97) % 800)"
+        ).collect()
+    ]
+    assert by_name == by_col == sql

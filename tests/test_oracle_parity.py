@@ -1,4 +1,16 @@
-"""Every SQL-oracled query must hash-match its DuckDB twin (driver's t2 gate)."""
+"""Every SQL-oracled query must hash-match its DuckDB twin (driver's t2 gate).
+
+Execution order is REGISTRY order (`all_queries()` dict order), not
+alphabetical — round-13 structural fix. The driver evaluates queries in
+registry/window order inside one session; until r12 this suite ran
+alphabetically, so a query that mutated a session-shared artifact could
+pass locally for six rounds and crash at the driver the first time the
+window ordered the mutator before a reader (`q_cdc_time_travel` expired
+v1 of the shared sink before `q_cdc_history` read it — the r12 red
+row). Running the SAME order the driver runs makes that class of bug
+fire here first. pytest executes parametrized cases in list order
+within a module, so the list below IS the execution order.
+"""
 
 import pytest
 
@@ -7,8 +19,9 @@ from dynamodb_pitr_restore_cdc_spark.registry import all_queries
 from .parity import assert_parity, run_oracle
 
 SPECS = all_queries()
-ORACLED = sorted(n for n, s in SPECS.items() if s.oracle is not None)
-ROWS_ONLY = sorted(n for n, s in SPECS.items() if s.oracle is None)
+# registry order, NOT sorted(): matches the driver's execution order
+ORACLED = [n for n, s in SPECS.items() if s.oracle is not None]
+ROWS_ONLY = [n for n, s in SPECS.items() if s.oracle is None]
 
 
 @pytest.mark.parametrize("name", ORACLED)

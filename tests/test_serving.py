@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from dynamodb_pitr_restore_cdc_spark.llm import serving
 from dynamodb_pitr_restore_cdc_spark.plans.explain import (
-    executed_metrics,
+    executed_metrics_by_node,
     has_broadcast_join,
     plan_string,
 )
@@ -51,16 +51,9 @@ def test_filtered_serving_prunes_the_index_scan(spark, sf_dir):
         .count()
     )
     assert 0 < n_label < n_total / 3, (n_label, n_total)
-    # group the flat (node, metric, value) stream into per-node dicts
-    nodes, cur_name, cur = [], None, {}
-    for name, metric, v in executed_metrics(df):
-        if name != cur_name and cur:
-            nodes.append((cur_name, cur))
-            cur = {}
-        cur_name = name
-        cur[metric] = v
-    if cur:
-        nodes.append((cur_name, cur))
+    # per-node metric dicts with STRUCTURAL boundaries — consecutive
+    # same-named nodes stay separate (round-12 advice)
+    nodes = executed_metrics_by_node(df)
     part_scans = [
         m
         for name, m in nodes
