@@ -217,3 +217,49 @@ def test_drop_set_eligibility_restricts_both_endpoints(spark):
             idx, corpus, eligible=eligible, force_two_phase=force
         )
         assert got == set(), got
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_drop_set_lanes_equal_property(spark, data):
+    """Adversarial band structures: for RANDOM (doc, band, bucket)
+    assignments over texts with a mix of near-dup and unrelated
+    content (plus a random eligibility subset), the two-phase lane
+    must equal the plain full-pairs lane exactly. This sweeps the
+    shapes the planted tests fix one at a time: min-edge failures,
+    cross-bucket witnesses, dropped-doc witnesses, eligibility holes."""
+    n = data.draw(st.integers(2, 8))
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    # each doc is either a near-variant of base (1-token suffix) or one
+    # of two unrelated texts — random mixes give buckets where some,
+    # all, or none of the members verify
+    pool = [
+        base,
+        base + " x",
+        base + " y",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven twelve",
+    ]
+    corpus_rows = [
+        (i, data.draw(st.sampled_from(pool))) for i in range(1, n + 1)
+    ]
+    bands = [
+        (i, b, data.draw(st.integers(0, 2)))
+        for i in range(1, n + 1)
+        for b in range(data.draw(st.integers(1, 2)))
+    ]
+    elig_ids = [i for i in range(1, n + 1) if data.draw(st.booleans())]
+    corpus = _docs(spark, corpus_rows)
+    idx = _SyntheticBands(spark, bands)
+    eligible = (
+        _docs(spark, [(i, "") for i in elig_ids]).select("doc_id")
+        if elig_ids and data.draw(st.booleans())
+        else None
+    )
+    plain = _drop_ids(idx, corpus, eligible=eligible, force_two_phase=False)
+    two = _drop_ids(idx, corpus, eligible=eligible, force_two_phase=True)
+    assert plain == two
