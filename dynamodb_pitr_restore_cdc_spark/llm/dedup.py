@@ -206,6 +206,29 @@ DROPSET_AUTO_MIN_PAIRS = 200_000
 DROPSET_FANOUT_RATIO = 4
 
 
+def dropset_gate(bands: DataFrame) -> tuple[bool, int, int]:
+    """(take_two_phase, est_pairs, est_min_edges) for a (doc_id, band,
+    bucket) frame — driver-side scalars (a plan-shape decision:
+    orchestration, not data), one partial-aggregating pass over the
+    16-rows-per-doc band table. Separated from greedy_drop_set so
+    tests can pin the DECISION itself: the registered fixtures must
+    sit on the plain lane (lifecycle unchanged), the 100-clique probe
+    regime on the two-phase lane."""
+    sizes = bands.groupBy("band", "bucket").agg(F.count("*").alias("c"))
+    row = sizes.agg(
+        F.sum(F.expr("c * (c - 1) div 2")).alias("pairs"),
+        F.sum(F.expr("c - 1")).alias("min_edges"),
+    ).first()
+    est_pairs = row["pairs"] or 0
+    est_min_edges = row["min_edges"] or 0
+    return (
+        est_pairs >= DROPSET_AUTO_MIN_PAIRS
+        and est_pairs >= DROPSET_FANOUT_RATIO * max(est_min_edges, 1),
+        est_pairs,
+        est_min_edges,
+    )
+
+
 def greedy_drop_set(
     bands: DataFrame,
     corpus: DataFrame,
@@ -251,20 +274,7 @@ def greedy_drop_set(
     bands = tracked_persist(bands)
 
     if force_two_phase is None:
-        # driver-side scalars: plan-shape decision (orchestration, not
-        # data) — one partial-aggregating pass over the 16-rows-per-doc
-        # band table prices both lanes
-        sizes = bands.groupBy("band", "bucket").agg(F.count("*").alias("c"))
-        row = sizes.agg(
-            F.sum(F.expr("c * (c - 1) div 2")).alias("pairs"),
-            F.sum(F.expr("c - 1")).alias("min_edges"),
-        ).first()
-        est_pairs = row["pairs"] or 0
-        est_min_edges = row["min_edges"] or 0
-        force_two_phase = (
-            est_pairs >= DROPSET_AUTO_MIN_PAIRS
-            and est_pairs >= DROPSET_FANOUT_RATIO * max(est_min_edges, 1)
-        )
+        force_two_phase, _, _ = dropset_gate(bands)
 
     if not force_two_phase:
         cand = (

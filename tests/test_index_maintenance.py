@@ -263,3 +263,26 @@ def test_drop_set_lanes_equal_property(spark, data):
     plain = _drop_ids(idx, corpus, eligible=eligible, force_two_phase=False)
     two = _drop_ids(idx, corpus, eligible=eligible, force_two_phase=True)
     assert plain == two
+
+
+def test_dropset_gate_fixture_plain_clique_two_phase(spark, sf_dir):
+    """Pin the gate DECISION: the registered fixture's band fan-out
+    must stay on the plain lane (the driver lifecycle r01-r12 rows
+    verified), while a 100-clique-shaped band table must cross to
+    two-phase — the decision, not just the lanes' equality."""
+    from dynamodb_pitr_restore_cdc_spark.llm.dedup import (
+        band_buckets,
+        dropset_gate,
+    )
+
+    two, est_pairs, est_min = dropset_gate(band_buckets(spark, sf_dir))
+    assert not two, (est_pairs, est_min)
+    # synthetic probe regime: 700 (band, bucket) groups of 100 docs
+    # each → est_pairs = 700·4950 = 3.47M ≥ 200k and ≥ 4× (700·99)
+    clique = spark.range(70_000).selectExpr(
+        "cast(id as long) as doc_id",
+        "cast(id % 16 as int) as band",
+        "cast(id div 1600 as long) as bucket",
+    )
+    two, est_pairs, est_min = dropset_gate(clique)
+    assert two and est_pairs >= 4 * est_min, (est_pairs, est_min)
