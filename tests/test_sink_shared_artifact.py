@@ -113,3 +113,50 @@ def test_clone_expire_does_not_disturb_source_reads(spark, sf_dir):
     )
     release_persisted()
     assert got == want and got
+
+
+def test_every_consumer_leaves_shared_artifact_untouched(spark, sf_dir):
+    """The structural form of the round-13 audit: execute EVERY
+    registered consumer of the shared sink, in registry (driver)
+    order, and assert the artifact's file tree is byte-stable across
+    each one — not just the two queries the r12 crash involved. A new
+    consumer that mutates in place fails here with its name."""
+    from dynamodb_pitr_restore_cdc_spark.registry import all_queries
+
+    consumers = [
+        "q_cdc_time_travel",
+        "q_cdc_changefeed",
+        "q_cdc_incremental_agg",
+        "q_cdc_point_lookup",
+        "q_cdc_alerting",
+        "q_cdc_restore_drill",
+        "q_cdc_branch_merge",
+        "q_cdc_history",
+    ]
+    specs = all_queries()
+    ordered = [n for n in specs if n in consumers]
+    assert set(ordered) == set(consumers)
+
+    sink, _, _ = VS.shared_sink(spark, sf_dir)
+
+    def tree(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = tree(sink.path)
+    assert before, "shared sink built empty"
+    for name in ordered:
+        specs[name].builder(spark, sf_dir).collect()
+        release_persisted()
+        after = tree(sink.path)
+        assert after == before, (
+            f"{name} mutated the session-shared sink artifact: "
+            f"added={sorted(set(after) - set(before))[:5]} "
+            f"removed={sorted(set(before) - set(after))[:5]} "
+            f"changed={[k for k in after.keys() & before.keys() if after[k] != before[k]][:5]}"
+        )
