@@ -289,8 +289,11 @@ _RATE_SQL = f"(100 + (CAST(substr(source, 4) AS BIGINT) * 97) % 800)"
 def sample_bucket(doc_id_col) -> F.Column:
     """Spark twin of _SAMPLE_BUCKET_SQL — the mixture-sampling hash
     bucket (split_bucket's sibling; round-12 promotion so consumers
-    stop re-typing the expression)."""
-    return F.pmod(doc_id_col * F.lit(SAMPLE_MULT), F.lit(2**32)) % F.lit(1000)
+    stop re-typing the expression). Accepts a column name OR a Column,
+    symmetric with mix_rate — a bare NAME would otherwise silently
+    become lit-string arithmetic (NULL buckets, every row filtered)."""
+    col = F.col(doc_id_col) if isinstance(doc_id_col, str) else doc_id_col
+    return F.pmod(col * F.lit(SAMPLE_MULT), F.lit(2**32)) % F.lit(1000)
 
 
 def mix_rate(source_col) -> F.Column:

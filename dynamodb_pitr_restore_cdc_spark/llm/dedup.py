@@ -229,6 +229,29 @@ def dropset_gate(bands: DataFrame) -> tuple[bool, int, int]:
     )
 
 
+def band_candidates(left_bands: DataFrame, right_bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) candidates from a banded join: same
+    (band, bucket), left id strictly lower. Shared by greedy_drop_set's
+    two lanes; q_llm_near_dedup and LshIndex.pairs keep their
+    driver-verified inline copies this round — unify them onto this
+    helper when each next enters a reverify window (the r12
+    multiprobe_plan precedent)."""
+    return (
+        left_bands.alias("a")
+        .join(
+            right_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def greedy_drop_set(
     bands: DataFrame,
     corpus: DataFrame,
@@ -277,22 +300,8 @@ def greedy_drop_set(
         force_two_phase, _, _ = dropset_gate(bands)
 
     if not force_two_phase:
-        cand = (
-            bands.alias("a")
-            .join(
-                bands.alias("b"),
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-            )
-            .distinct()
-        )
         return (
-            verify_pairs(cand, corpus)
+            verify_pairs(band_candidates(bands, bands), corpus)
             .select(F.col("doc_b").alias("doc_id"))
             .distinct()
         )
@@ -314,21 +323,7 @@ def greedy_drop_set(
     # they take the HIGHER side; the lower side stays the full band set
     # (a dropped doc remains a valid lower witness)
     live = bands.join(d1, "doc_id", "left_anti")
-    p2 = (
-        bands.alias("a")
-        .join(
-            live.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-        .join(p1, ["doc_a", "doc_b"], "left_anti")
-    )
+    p2 = band_candidates(bands, live).join(p1, ["doc_a", "doc_b"], "left_anti")
     d2 = (
         verify_pairs(p2, corpus)
         .select(F.col("doc_b").alias("doc_id"))

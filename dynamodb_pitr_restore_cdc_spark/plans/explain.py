@@ -57,48 +57,16 @@ def codegen_stage_count(plan: str) -> int:
     return plan.count("WholeStageCodegen")
 
 
-def executed_metrics(df: DataFrame) -> list[tuple[str, str, int]]:
-    """(nodeName, metricName, value) triples from the EXECUTED physical
-    plan — run an action on `df` first or every value reads 0. Descends
-    through the AdaptiveSparkPlan wrapper and materialized query stages,
-    so post-AQE shuffle metrics (shuffleRecordsWritten, recordsRead,
-    numOutputRows) are visible; this is how the skew tests PROVE a
-    partial aggregate pre-reduced a hot key rather than inferring it
-    from plan text."""
-    out: list[tuple[str, str, int]] = []
-
-    def walk(node) -> None:
-        name = node.nodeName()
-        try:
-            it = node.metrics().iterator()
-            while it.hasNext():
-                kv = it.next()
-                out.append((name, kv._1(), int(kv._2().value())))
-        except Exception:
-            pass
-        if name == "AdaptiveSparkPlan":
-            walk(node.executedPlan())
-            return
-        ch = node.children().iterator()
-        while ch.hasNext():
-            walk(ch.next())
-        if "QueryStage" in name:  # shuffle/broadcast stage bodies
-            try:
-                walk(node.plan())
-            except Exception:
-                pass
-
-    walk(df._jdf.queryExecution().executedPlan())
-    return out
-
-
 def executed_metrics_by_node(df: DataFrame) -> list[tuple[str, dict[str, int]]]:
-    """One (nodeName, {metric: value}) entry PER PLAN NODE, in walk
-    order. The flat executed_metrics stream loses node boundaries —
-    a consumer re-grouping it by consecutive name folds two adjacent
-    same-named nodes (e.g. two 'Scan parquet' over different paths)
-    into one dict and asserts against mixed metrics (round-12 advice).
-    Here the boundary is structural: every node gets its own dict,
+    """One (nodeName, {metric: value}) entry PER PLAN NODE from the
+    EXECUTED physical plan, in walk order — run an action on `df`
+    first or every value reads 0. Descends through the
+    AdaptiveSparkPlan wrapper and materialized query stages, so
+    post-AQE shuffle metrics (shuffleRecordsWritten, recordsRead,
+    numOutputRows) are visible. Node boundaries are structural: every
+    node gets its own dict (a flat stream re-grouped by consecutive
+    name folds two adjacent same-named nodes, e.g. two 'Scan parquet'
+    over different paths, into one mixed dict — round-12 advice);
     empty-metric nodes are skipped."""
     nodes: list[tuple[str, dict[str, int]]] = []
 
@@ -128,3 +96,15 @@ def executed_metrics_by_node(df: DataFrame) -> list[tuple[str, dict[str, int]]]:
 
     walk(df._jdf.queryExecution().executedPlan())
     return nodes
+
+
+def executed_metrics(df: DataFrame) -> list[tuple[str, str, int]]:
+    """(nodeName, metricName, value) triples — the flat projection of
+    executed_metrics_by_node (ONE plan walker; this is how the skew
+    tests PROVE a partial aggregate pre-reduced a hot key rather than
+    inferring it from plan text)."""
+    return [
+        (name, metric, value)
+        for name, m in executed_metrics_by_node(df)
+        for metric, value in m.items()
+    ]

@@ -670,13 +670,14 @@ _DRIVER_VERIFIED_R12: frozenset[str] = frozenset(
 # the auto-gated clique-quadratic mitigation, plain-lane-identical at
 # the fixture — and the stage 4-8 tail is the ONE corpus_build
 # implementation after the r12-item-6 fold): both seeded, proven at
-# two SFs locally before the driver hash.  The OTHER shared_sink consumers
-# (changefeed/incremental_agg/point_lookup/alerting/restore_drill/
-# branch_merge) keep their age-0/1 rows out of the window: their
-# builder text is untouched, and the machinery change REMOVES the only
-# cross-query mutation — their executed lifecycle is the one their r12
-# rows already proved (they read v2/v3, which the old in-place expire
-# retained anyway), re-proven by local parity in registry order.
+# two SFs locally before the driver hash.  The OTHER shared_sink
+# consumers (incremental_agg/point_lookup/restore_drill/branch_merge,
+# newest rows r12; changefeed/alerting, newest rows r10) owe NO seed:
+# the machinery they execute is textually unchanged — shared_sink's
+# body and VersionedCdcSink are untouched, the only change was inside
+# q_cdc_time_travel's own builder (its expire moved to a private
+# clone), which can only make the artifact they read MORE stable —
+# and the registry-order local parity run re-proves them.
 _REVERIFY_R13: frozenset[str] = frozenset(
     {
         "q_cdc_time_travel", "q_cdc_history",
