@@ -790,3 +790,18 @@ def test_incremental_manifest_merge_plan_shape(plans):
     assert "Union" in p
     assert "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_dedup_dropset_plan_is_banded_equijoin(plans):
+    """q_llm_dedup_dropset (r13): the fixture sits on the plain lane —
+    the banded candidate self-join must be an EQUI-join on
+    (band, bucket) (never a cartesian), the only Python is the
+    Arrow-batched jaccard verify, and the drop projection aggregates
+    (distinct), not sorts."""
+    p = plans("q_llm_dedup_dropset")
+    assert "CartesianProduct" not in p
+    assert "ArrowEvalPython" in p  # jaccard_milli verify (sanctioned)
+    assert "BatchEvalPython" not in p
+    # the candidate join keys reach the join, not a post-join filter
+    assert "band" in p and "bucket" in p
+    assert "HashAggregate" in p  # the drop projection is a distinct, not a sort
