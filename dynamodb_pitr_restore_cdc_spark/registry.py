@@ -686,6 +686,51 @@ _REVERIFY_R13: frozenset[str] = frozenset(
     }
 )
 
+# Queries with a driver row in CORRECTNESS_r13.json — 50/50 oracled
+# hash-matches (the 43-query age-4 rotation cohort, the 5 _REVERIFY_R13
+# seeds, and the two new round-13 queries: the greedy drop set and the
+# filtered ANN serving registration).
+_DRIVER_VERIFIED_R13: frozenset[str] = frozenset(
+    {
+        "q_agg_collect", "q_agg_conditional", "q_agg_percentiles",
+        "q_agg_salted", "q_array_funcs", "q_cdc_history",
+        "q_cdc_time_travel", "q_date_funcs", "q_join_range_bucketized",
+        "q_json_funcs", "q_llm_ann_ivf_filtered", "q_llm_corpus_build",
+        "q_llm_cosine_topk", "q_llm_dedup_dropset", "q_llm_exact_dedup",
+        "q_llm_fingerprint", "q_llm_lang_id", "q_llm_lang_topwords",
+        "q_llm_pack_manifest_incremental", "q_llm_quality_score",
+        "q_llm_text_stats", "q_llm_token_count", "q_map_funcs",
+        "q_math_funcs", "q_mm_meta_real", "q_null_funcs",
+        "q_scan_json_props", "q_scan_project_filter", "q_set_except",
+        "q_set_intersect", "q_set_union_all", "q_set_union_distinct",
+        "q_sort_multikey", "q_str_funcs", "q_str_funcs2",
+        "q_stream_corpus_build", "q_subquery_correlated",
+        "q_subquery_in", "q_tpch_q10_returned_items",
+        "q_tpch_q3_shipping_priority", "q_tpch_q5_local_supplier",
+        "q_ts_gapfill_ffill", "q_win_cumulative", "q_win_lag_lead",
+        "q_win_moving_avg", "q_win_ntile_firstlast", "q_win_pct_rank",
+        "q_win_range_numeric", "q_win_rank", "q_win_topk_per_group",
+    }
+)
+
+# Queries fronted for driver re-verification in round 14 (r13 verdict,
+# items 2-4): the LSM-aged REPACK change rewrites the repack pricing /
+# rewrite_manifests machinery executed by the Iceberg maintenance query
+# and both streaming MOR drills; q_cdc_attrvalue_roundtrip's builder and
+# oracle widen from the S/N-only union to the full DynamoDB
+# AttributeValue set (B, BOOL, NULL, M, L, SS/NS/BS); q_llm_near_dedup
+# rotates naturally (newest row r10) and its inline banded candidate
+# join folds onto dedup.band_candidates, together with LshIndex.pairs'
+# copy — q_llm_lsh_index_delta_pairs executes that folded machinery.
+_REVERIFY_R14: frozenset[str] = frozenset(
+    {
+        "q_cdc_iceberg_optimize_plan",
+        "q_stream_mor_ingest", "q_stream_mor_ingest_iceberg",
+        "q_cdc_attrvalue_roundtrip",
+        "q_llm_near_dedup", "q_llm_lsh_index_delta_pairs",
+    }
+)
+
 
 def all_queries() -> dict[str, QuerySpec]:
     """Import all operator modules (side-effect: registration) and return the registry.
@@ -694,7 +739,7 @@ def all_queries() -> dict[str, QuerySpec]:
     only a ~50-entry window, so ordering IS the coverage policy):
 
     1. ORACLED queries with no driver row in any round (never checked);
-    2. queries re-implemented this round (``_REVERIFY_R13`` — the
+    2. queries re-implemented this round (``_REVERIFY_R14`` — the
        CURRENT round's set; editing an older _REVERIFY_* set does
        nothing, the ordering reads only the newest) — the
        local parity suite is otherwise their only guard;
@@ -768,6 +813,7 @@ def all_queries() -> dict[str, QuerySpec]:
         _DRIVER_VERIFIED_R10,
         _DRIVER_VERIFIED_R11,
         _DRIVER_VERIFIED_R12,
+        _DRIVER_VERIFIED_R13,
     )
 
     def last_checked(n: str) -> int:
@@ -779,14 +825,14 @@ def all_queries() -> dict[str, QuerySpec]:
         n
         for n in order
         if last_checked(n) == 0
-        and n not in _REVERIFY_R13
+        and n not in _REVERIFY_R14
         and n not in rows_only
     ]
     # a rows-only name accidentally listed in a reverify set must not
     # claim a recheck slot (dict first-insert wins, so without this
     # filter it would keep its recheck position despite rule 4) — the
     # _FRONT_ROWS_ONLY_R11 exception below is deliberate and one-shot.
-    recheck = [n for n in order if n in _REVERIFY_R13 and n not in set(rows_only)]
+    recheck = [n for n in order if n in _REVERIFY_R14 and n not in set(rows_only)]
     front_now = (
         _FRONT_ROWS_ONLY_R11
         if len(rounds) == _FRONT_ROWS_ONLY_WHILE_N_ROUNDS
