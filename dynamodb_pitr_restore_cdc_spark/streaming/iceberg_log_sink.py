@@ -225,8 +225,20 @@ def _manifest_target(n_entries: int) -> int:
 #     (hot-key trickles → narrow merges) fires on the NEW regime's
 #     own schedule.
 # (c) LIST: more than 2× ceil(entries/target) manifests — list
-#     republication is the other per-commit cost axis and is priced
-#     by length alone.
+#     republication is the other per-commit cost axis.  Round 14: the
+#     60-commit drill showed length alone over-fires — under uniform
+#     bucket churn the list grows ~1 manifest/commit while every
+#     consolidation makes subsequent MERGEs rewrite ~target-entry
+#     packs instead of cheap debris manifests (measured: +8 KB/commit
+#     after the mid-drill repack, a strict loss vs never firing).  So
+#     (c) now fires only when the measured history does NOT show that
+#     churn penalty: Σ rewritten ≥ Σ removed-buckets × target (i.e.
+#     the workload's rewrites already cost at least what the packed
+#     layout would — consolidating can't make them worse), or there
+#     is no history at all (a shattered list with no churn evidence).
+#     Gradual list growth under churn is instead priced by rule (b)'s
+#     list term, which fires exactly when the accumulated list excess
+#     outweighs the measured rewrite penalty.
 #
 # (a) and (b) are gated on n_entries > target (a table whose fresh
 # pack is a single manifest cannot be improved by repacking), and
@@ -241,14 +253,16 @@ def _repack_priced(
     old_list: list[dict],
     n_entries: int,
     target: int,
-    history: tuple[tuple[int, int], ...] = (),
+    history: tuple[tuple[int, ...], ...] = (),
 ) -> bool:
     """Cost-aware REPACK trigger from manifest-list summaries plus the
     snapshot summaries since the last repack (zero manifest reads,
     O(manifests + commits) driver arithmetic).  ``history`` is one
-    (rewritten_entries, removed_buckets) pair per commit since the
-    last repack, oldest first.  Integer math throughout:
-    E[cover] ≥ X  ⇔  Σ entries·width ≥ X·total_width."""
+    (rewritten_entries, removed_buckets[, manifest_length]) tuple per
+    commit since the last repack, oldest first — the optional third
+    element is the manifest-list length AT that commit (missing or 0
+    = legacy snapshot, list term 0: conservative).  Integer math
+    throughout: E[cover] ≥ X  ⇔  Σ entries·width ≥ X·total_width."""
     spans = [
         (
             m["partitions"]["bucket"]["lower"],
@@ -264,7 +278,23 @@ def _repack_priced(
         if not (lo == hi and n > target)  # irreducible: never splits
     )
     ideal = -(-n_entries // target)
-    if len(old_list) > 2 * ideal:
+    hist = [(h[0], h[1], h[2] if len(h) > 2 else 0) for h in history]
+    # Measured churn refutation (round 14): when the commits since the
+    # last repack MEASURABLY rewrote less than a packed layout would
+    # have cost (Σrw < target·Σrb), the PREDICTED-savings rules may
+    # not fire — the 60-commit drill showed both the cover excess (a)
+    # and the raw list-length rule (c) crossing their thresholds on
+    # accumulated trickle debris whose consolidation then made every
+    # subsequent merge strictly more expensive (+8 KB/commit measured).
+    # A genuinely expensive layout can't hide behind this guard: a
+    # monolith's merges rewrite O(table) entries, so its measured Σrw
+    # dwarfs target·Σrb, and an empty history (bulk load, blind
+    # appends) passes trivially.  Gradual list growth under cheap
+    # churn is priced by rule (b)'s list term instead.
+    churn_refuted = bool(hist) and sum(
+        rw for rw, _rb, _ml in hist
+    ) < target * sum(rb for _rw, rb, _ml in hist)
+    if len(old_list) > 2 * ideal and not churn_refuted:
         return True  # (c)
     if n_entries <= target:
         return False  # fresh pack is one manifest: nothing to improve
@@ -275,17 +305,70 @@ def _repack_priced(
         # heavy history would price a REPACK whose apply no-ops and
         # never writes the resetting marker — a decision livelock)
         return False
-    if REPACK_PAYBACK_COMMITS * excess >= n_entries * total_w:
+    if REPACK_PAYBACK_COMMITS * excess >= n_entries * total_w and not churn_refuted:
         return True  # (a)
     # (b): CUSUM fold, floored at zero per commit — cheaper-than-packed
     # commits must not bank unbounded negative credit, or a workload
     # regime change (hot-key trickles -> narrow merges) would starve a
     # genuinely-needed repack for the hundreds of commits it takes to
-    # pay the banked credit back (round-12 review finding)
+    # pay the banked credit back (round-12 review finding).  Each
+    # commit's net tax = manifest entries it rewrote, minus what a
+    # packed layout would have cost (one target-sized pack per removed
+    # bucket), PLUS the manifest-list lines it republished past the
+    # packed length (round 14: list growth under churn accrues here —
+    # the trigger fires exactly when the accumulated list excess
+    # outweighs the measured rewrite penalty of consolidating).
     paid = 0
-    for rw, rb in history:
-        paid = max(0, paid + rw - rb * target)
+    for rw, rb, mlen in hist:
+        list_excess = max(0, mlen - ideal)
+        paid = max(0, paid + rw - rb * target + list_excess)
     return paid >= n_entries  # (b)
+
+
+# LSM age floor (round 14; SCALE.md round-12 addendum named the
+# mechanism): manifests REWRITTEN within the last floor commits hold
+# the workload's hot files — consolidating them into per-bucket-range
+# packs makes the NEXT touch of those files cost ~target entries per
+# bucket instead of one cheap tiny-manifest rewrite (the measured
+# 60-commit regression that rule (b)'s move to measured tax only
+# halved).  So both the pricing and the apply see only the COLD
+# subset: manifests at least floor commits old, PLUS any young
+# manifest already bigger than the pack target (a bulk-load monolith
+# is expensive on its very first rewrite — its repack must not wait
+# out the floor, or the 12-commit post-load parity breaks).
+REPACK_AGE_FLOOR_COMMITS = 2
+
+
+def _split_lsm(
+    old_list: list[dict],
+    cur_seq: int,
+    target: int,
+    floor: int = REPACK_AGE_FLOOR_COMMITS,
+) -> tuple[list[dict], list[dict]]:
+    """(cold, hot) split of a manifest list by rewrite age.
+
+    hot ⇔ rewritten within the last ``floor`` commits AND no bigger
+    than the pack target (young-but-huge is cold: cheap to exempt is
+    the point, and a monolith is never cheap).  floor=0 makes
+    everything cold — the explicit-operator full repack.  Summaries
+    written before the age field existed count as seq 0 — infinitely
+    aged, so legacy trees keep the pre-aging behavior exactly."""
+    cold: list[dict] = []
+    hot: list[dict] = []
+    for m in old_list:
+        n = m["added_files_count"] + m["existing_files_count"]
+        age = cur_seq - int(m.get("added_sequence_number", 0))
+        if age < floor and n <= target:
+            hot.append(m)
+        else:
+            cold.append(m)
+    return cold, hot
+
+
+def _entry_count(manifests: list[dict]) -> int:
+    return sum(
+        m["added_files_count"] + m["existing_files_count"] for m in manifests
+    )
 
 
 class IcebergLogSink:
@@ -443,17 +526,17 @@ class IcebergLogSink:
         return self._read_ndjson(snap["manifest-list"])
 
     @staticmethod
-    def _repack_history(meta: dict) -> tuple[tuple[int, int], ...]:
-        """(rewritten-entries, removed-buckets) per snapshot after the
-        newest rewrite_manifests commit (marked by its
-        ``manifests-replaced`` summary metric), oldest first — the
+    def _repack_history(meta: dict) -> tuple[tuple[int, int, int], ...]:
+        """(rewritten-entries, removed-buckets, manifest-length) per
+        snapshot after the newest rewrite_manifests commit (marked by
+        its ``manifests-replaced`` summary metric), oldest first — the
         measured tax the hysteresis pricing (_repack_priced rule b)
         accumulates.  Snapshots written before the metrics existed
-        count as (0, 0) (no measured tax — conservative).
+        count as (0, 0, 0) (no measured tax — conservative).
         expire_versions truncates the snapshot list, which only
         UNDERCOUNTS paid tax (a later repack, never a livelock)."""
         snaps = meta["snapshots"]
-        out: list[tuple[int, int]] = []
+        out: list[tuple[int, int, int]] = []
         for s in reversed(snaps):
             summary = s.get("summary", {})
             if "manifests-replaced" in summary:
@@ -462,6 +545,7 @@ class IcebergLogSink:
                 (
                     int(summary.get("rewritten-entries", 0)),
                     int(summary.get("removed-buckets", 0)),
+                    int(summary.get("manifest-length", 0)),
                 )
             )
         return tuple(reversed(out))
@@ -627,13 +711,19 @@ class IcebergLogSink:
 
     # -- snapshot construction ----------------------------------------------
 
-    def _manifest_summary(self, rel: str, entries: list[dict]) -> dict:
+    def _manifest_summary(self, rel: str, entries: list[dict], seq: int) -> dict:
         bs = [e["data_file"]["partition"]["bucket"] for e in entries]
         return {
             "manifest_path": rel,
             "added_files_count": sum(e["status"] == "ADDED" for e in entries),
             "existing_files_count": sum(e["status"] == "EXISTING" for e in entries),
             "partitions": {"bucket": {"lower": min(bs), "upper": max(bs)}},
+            # the snapshot sequence that (re)wrote this manifest file —
+            # Iceberg's added_snapshot_id analog, the age signal the
+            # LSM-aged repack reads (_split_lsm).  Untouched manifests
+            # are reused by path with their summary intact, so age =
+            # commits since this manifest was last rewritten.
+            "added_sequence_number": seq,
         }
 
     def _build_snapshot(
@@ -661,6 +751,7 @@ class IcebergLogSink:
         manifest_list: list[dict] = []
         rewritten = 0
         removed_buckets: set[int] = set()
+        seq = 1 if prev is None else prev["sequence-number"] + 1
         if prev is not None:
             for m in self._manifest_list(prev):
                 entries = self._read_ndjson(m["manifest_path"])
@@ -682,10 +773,10 @@ class IcebergLogSink:
                         e["status"] = "EXISTING"
                     rewritten += len(kept)
                     rel = self._write_ndjson("manifest", kept)
-                    manifest_list.append(self._manifest_summary(rel, kept))
+                    manifest_list.append(self._manifest_summary(rel, kept, seq))
         if new_entries:
             rel = self._write_ndjson("manifest", new_entries)
-            manifest_list.append(self._manifest_summary(rel, new_entries))
+            manifest_list.append(self._manifest_summary(rel, new_entries, seq))
         snap = self._snapshot_shell(prev, manifest_list, operation)
         snap["summary"]["rewritten-entries"] = str(rewritten)
         snap["summary"]["removed-buckets"] = str(len(removed_buckets))
@@ -712,7 +803,12 @@ class IcebergLogSink:
             "timestamp-ms": ts,  # spec field; GC
             # retention compares against it (expire_versions)
             "manifest-list": ml_rel,
-            "summary": {"operation": operation},
+            # total-manifests analog: the list length every later
+            # commit republishes — rule (b)'s list term reads it
+            "summary": {
+                "operation": operation,
+                "manifest-length": str(len(manifest_list)),
+            },
         }
 
     def _commit_snapshot(self, meta_num: int, meta: dict, snap: dict) -> None:
@@ -1083,15 +1179,25 @@ class IcebergLogSink:
         table_rows: list[dict] = []
         if entries:
             target = _manifest_target(len(entries))
-            if _repack_priced(
-                old_list, len(entries), target, self._repack_history(meta)
+            # LSM-aged scope (round 14): pricing sees only the COLD
+            # manifests — the subset rewrite_manifests will actually
+            # consolidate — so a REPACK row is emitted exactly when the
+            # aged apply would act (pricing a repack whose apply no-ops
+            # would skip the history-resetting marker: decision
+            # livelock).  The counters describe the aged repack's own
+            # work: cold manifests in, ceil(cold_entries/target) packs
+            # of ~target out.
+            cold, _hot = _split_lsm(old_list, prev["sequence-number"], target)
+            cold_entries = _entry_count(cold)
+            if cold and _repack_priced(
+                cold, cold_entries, target, self._repack_history(meta)
             ):
                 table_rows.append(
                     {
                         "bucket": -1,
-                        "base_files": len(old_list),
-                        "base_records": len(entries),
-                        "delta_files": -(-len(entries) // target),
+                        "base_files": len(cold),
+                        "base_records": cold_entries,
+                        "delta_files": -(-cold_entries // target),
                         "delta_records": target,
                         "delta_removes": 0,
                         "small_delta_files": 0,
@@ -1147,7 +1253,10 @@ class IcebergLogSink:
         )
 
     def rewrite_manifests(
-        self, target_entries: int | None = None, max_attempts: int = 5
+        self,
+        target_entries: int | None = None,
+        max_attempts: int = 5,
+        age_floor: int | None = None,
     ) -> int:
         """rewriteManifests analog — the maintenance op that bounds
         per-commit METADATA width (round-9 scale finding): a
@@ -1167,9 +1276,19 @@ class IcebergLogSink:
         (∝ entries/target) — at √total, giving O(√table) per-commit
         metadata instead of O(table).
 
+        LSM-aged (round 14; SCALE.md round-12 addendum): only manifests
+        at least REPACK_AGE_FLOOR_COMMITS commits old (or young-but-
+        bigger-than-target — a bulk-load monolith must not wait out the
+        floor) are consolidated; manifests rewritten more recently hold
+        the hot files and are reused by path, so a hot key's next
+        update keeps rewriting a cheap tiny manifest instead of the
+        ~target-entry pack it would have been consolidated into — the
+        measured 60-commit regression mechanism.
+
         Returns the number of manifests after the rewrite (0 = empty
         table, nothing committed). Same pin-before-read loser-retry as
-        every other commit; a no-op (already packed) publishes nothing.
+        every other commit; a no-op (aged subset already packed)
+        publishes nothing.
         """
         if target_entries is not None and target_entries < 1:
             raise ValueError(f"target_entries must be >= 1, got {target_entries}")
@@ -1179,31 +1298,51 @@ class IcebergLogSink:
                 meta = self._load_meta(meta_num - 1)
                 prev = self._snapshot_record(meta, None)
                 old_list = self._manifest_list(prev)
-                entries = self._entries(prev)
+                n_live = _entry_count(old_list)
             except FileNotFoundError:
                 continue  # expiry GC'd our base metadata: re-pin and retry
-            if not entries:
+            if not n_live:
                 return 0
             target = (
                 target_entries
                 if target_entries is not None
-                else _manifest_target(len(entries))
+                else _manifest_target(n_live)
             )
-            groups = _pack_groups(entries, target)
-            if _manifests_packed(old_list, groups, target):
-                return len(old_list)  # no no-op commit
-            manifest_list = [
-                self._manifest_summary(self._write_ndjson("manifest", g), g)
-                for g in groups
+            # LSM-aged consolidation (round 14): manifests rewritten
+            # within the last REPACK_AGE_FLOOR_COMMITS commits hold the
+            # hot files — they stay out of the packs (reused by path,
+            # age intact) so the workload's next touch of those files
+            # rewrites a cheap tiny manifest, not a ~target-entry pack.
+            # The pricing (_repack_priced in optimize_plan) is scoped
+            # to the same cold subset, so a priced REPACK always acts.
+            # age_floor=0 is the explicit-operator full repack.
+            cold, hot = _split_lsm(
+                old_list,
+                prev["sequence-number"],
+                target,
+                REPACK_AGE_FLOOR_COMMITS if age_floor is None else age_floor,
+            )
+            entries = [
+                e
+                for m in cold
+                for e in self._read_ndjson(m["manifest_path"])
             ]
+            groups = _pack_groups(entries, target) if entries else []
+            if _manifests_packed(cold, groups, target):
+                return len(old_list)  # no no-op commit
+            seq = prev["sequence-number"] + 1
+            manifest_list = [
+                self._manifest_summary(self._write_ndjson("manifest", g), g, seq)
+                for g in groups
+            ] + hot
             snap_rec = self._snapshot_shell(prev, manifest_list, "replace")
             # Iceberg-style summary metric; also the marker the
             # hysteresis pricing uses to count commits since the last
             # repack (_commits_since_repack)
-            snap_rec["summary"]["manifests-replaced"] = str(len(old_list))
+            snap_rec["summary"]["manifests-replaced"] = str(len(cold))
             try:
                 self._commit_snapshot(meta_num, meta, snap_rec)
-                return len(groups)
+                return len(manifest_list)
             except FileExistsError:
                 continue  # lost the race: repack the winner's tree
         raise RuntimeError(
@@ -1650,13 +1789,32 @@ FROM (
 , mrows AS (
     -- one row per live manifest: init over the base buckets, one per
     -- non-empty append commit over its touched buckets — the same
-    -- spans _manifest_summary records
-    SELECT min(bucket) AS lo, max(bucket) AS hi,
+    -- spans _manifest_summary records, plus the snapshot sequence
+    -- that wrote each manifest (init = 1; appends = 1 + rank among
+    -- non-empty commits — empty batches publish no snapshot)
+    SELECT CAST(1 AS BIGINT) AS seq,
+           min(bucket) AS lo, max(bucket) AS hi,
            CAST(count(*) AS BIGINT) AS n
     FROM base HAVING count(*) > 0
     UNION ALL
-    SELECT min(bucket), max(bucket), CAST(count(*) AS BIGINT)
-    FROM files GROUP BY commit_i)
+    SELECT 1 + CAST(row_number() OVER (ORDER BY commit_i) AS BIGINT),
+           lo, hi, n
+    FROM (SELECT commit_i, min(bucket) AS lo, max(bucket) AS hi,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM files GROUP BY commit_i))
+, tstat AS (
+    -- pack target from ALL live entries; cur = current sequence
+    SELECT CAST(max(seq) AS BIGINT) AS cur,
+           GREATEST(CAST(16 AS BIGINT),
+                    CAST(floor(sqrt(sum(n))) AS BIGINT)) AS target
+    FROM mrows)
+, cold AS (
+    -- LSM age floor (engine _split_lsm): manifests rewritten within
+    -- the last 2 commits AND no bigger than the pack target are HOT
+    -- and exempt from pricing/consolidation; blind appends never
+    -- rewrite a manifest, so age here is just cur - write seq
+    SELECT r.seq, r.lo, r.hi, r.n FROM mrows r, tstat t
+    WHERE NOT (t.cur - r.seq < 2 AND r.n <= t.target))
 SELECT COALESCE(b.bucket, d.bucket) AS bucket,
        CAST(CASE WHEN b.bucket IS NULL THEN 0 ELSE 1 END AS BIGINT) AS base_files,
        COALESCE(b.base_records, 0) AS base_records,
@@ -1679,32 +1837,32 @@ SELECT CAST(-1 AS BIGINT) AS bucket,
        CAST(0 AS BIGINT) AS small_delta_files,
        'REPACK' AS decision
 FROM (
-    SELECT t.manifests, t.entries, t.total_w, t.target,
+    SELECT c.manifests, c.entries, c.total_w, ts.target,
            -- width-1 oversized manifests are irreducible (a bucket's
            -- files stay together in the engine's _pack_groups) and
-           -- contribute no repack benefit — excluded from cover
-           (SELECT CAST(sum(CASE WHEN r.lo = r.hi AND r.n > t.target
+           -- contribute no repack benefit — excluded from cover;
+           -- cover/entries/width are COLD-scoped (the aged repack's
+           -- own work), the target stays table-global
+           (SELECT CAST(sum(CASE WHEN r.lo = r.hi AND r.n > t2.target
                                  THEN 0
                                  ELSE r.n * (r.hi - r.lo + 1) END)
                     AS BIGINT)
-            FROM mrows r) AS cover
+            FROM cold r, tstat t2) AS cover
     FROM (
         SELECT CAST(count(*) AS BIGINT) AS manifests,
                CAST(sum(n) AS BIGINT) AS entries,
-               CAST(max(hi) - min(lo) + 1 AS BIGINT) AS total_w,
-               GREATEST(CAST(16 AS BIGINT),
-                        CAST(floor(sqrt(sum(n))) AS BIGINT)) AS target
-        FROM mrows
-    ) t
+               CAST(max(hi) - min(lo) + 1 AS BIGINT) AS total_w
+        FROM cold
+    ) c, tstat ts
 ) m
--- the engine's _repack_priced model, verbatim for THIS lifecycle:
--- (c) shattered list, else gated on entries > target:
--- (a) predicted immediate payback — E[excess] >= entries/2.
--- Rule (b), the measured ski-rental (sum of per-commit
--- rewritten-entries minus removed-buckets x target), is structurally
--- ZERO here: every commit after init is a BLIND append, which
--- rewrites no manifest and removes no file, so its term vanishes and
--- the arm cannot fire on this lifecycle.
+-- the engine's _repack_priced model over the COLD subset, verbatim
+-- for THIS lifecycle: (c) shattered cold list, else gated on
+-- cold entries > target: (a) predicted immediate payback —
+-- E[excess] >= cold_entries/2.  Rule (b), the measured ski-rental
+-- (sum of per-commit rewritten-entries minus removed-buckets x
+-- target), is structurally ZERO here: every commit after init is a
+-- BLIND append, which rewrites no manifest and removes no file, so
+-- its term vanishes and the arm cannot fire on this lifecycle.
 WHERE m.manifests > 2 * ((m.entries + m.target - 1) // m.target)
    OR (m.entries > m.target
        AND m.cover > m.target * m.total_w
@@ -1730,9 +1888,13 @@ WHERE m.manifests > 2 * ((m.entries + m.target - 1) // m.target)
         same changelog arithmetic (init over base buckets, one
         manifest per non-empty append over its touched buckets) and
         applies the engine's _repack_priced model VERBATIM for this
-        lifecycle — shattered list, or (gated on entries > target)
-        predicted immediate payback E[excess] ≥ entries/2, with
-        width-1 oversized manifests excluded from cover; the measured
+        lifecycle — LSM-aged (round 14): manifests written within the
+        last REPACK_AGE_FLOOR_COMMITS commits and no bigger than the
+        pack target are hot and exempt, so pricing and counters cover
+        only the COLD subset — shattered cold list, or (gated on cold
+        entries > target) predicted immediate payback E[excess] ≥
+        cold_entries/2, with width-1 oversized manifests excluded
+        from cover; the measured
         ski-rental arm is structurally zero here because blind
         appends rewrite no manifest — so the row appears on exactly
         the layouts the engine prices, never unconditionally

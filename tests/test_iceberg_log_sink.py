@@ -550,11 +550,13 @@ def test_optimize_plan_prices_and_compact_mor_clears(sink, spark):
 
 
 def test_optimize_plan_prices_manifest_repack(sink, spark):
-    # round-10 verdict item 4: fragmentation past threshold (init + 3
-    # appends = 4 overlapping manifests) must surface as a TABLE-scoped
-    # REPACK row; applying rewrite_manifests clears it without touching
-    # data, and a freshly packed layout prices no repack
-    for seq in (10, 11, 12):
+    # round-10 verdict item 4 + round-14 LSM aging: fragmentation past
+    # threshold must surface as a TABLE-scoped REPACK row, but ONLY the
+    # COLD manifests (≥ REPACK_AGE_FLOOR_COMMITS commits since last
+    # rewrite, or young-but-oversized) are priced and consolidated —
+    # the hot fringe (the last 2 commits' small manifests) is reused by
+    # path so the workload's hot files stay cheap to rewrite
+    for seq in range(10, 18):  # 8 one-key appends: seqs 2..9
         sink.append(_batch(spark, [(1, seq, "MODIFY", float(seq))]))
 
     def plan_rows():
@@ -564,16 +566,27 @@ def test_optimize_plan_prices_manifest_repack(sink, spark):
 
     repack = [r for r in plan_rows() if r.decision == "REPACK"]
     assert len(repack) == 1 and repack[0].bucket == -1
-    # pricing: 4 live manifests (init + 3 appends) over 6 live entries
-    # (keys 0..7 hash into 3 of the 4 init buckets + 3 append data
-    # files), ideal = ceil(6/16) = 1
-    assert repack[0].base_files == 4
-    assert repack[0].base_records == 6
+    # pricing sees the COLD subset: init (3 entries over 3 of the 4
+    # buckets) + the first 6 appends — the seq-8/9 append manifests are
+    # hot (age < 2, 1 entry ≤ target) and exempt; ideal = ceil(9/16)=1
+    assert repack[0].base_files == 7
+    assert repack[0].base_records == 9
     assert repack[0].delta_files == 1
     assert repack[0].delta_records == 16  # sqrt-packing floor
     before = sorted((r.key, r.payload_value) for r in sink.visible().collect())
+    hot_paths = {
+        m["manifest_path"]
+        for m in sink._manifest_list(_cursnap(sink))
+        if _cursnap(sink)["sequence-number"]
+        - m.get("added_sequence_number", 0)
+        < 2
+    }
+    assert len(hot_paths) == 2
     n_after = sink.rewrite_manifests()
-    assert n_after == 1
+    # 1 pack of the 9 cold entries + the 2 hot manifests reused by path
+    assert n_after == 3
+    after_list = sink._manifest_list(_cursnap(sink))
+    assert hot_paths < {m["manifest_path"] for m in after_list}
     assert not [r for r in plan_rows() if r.decision == "REPACK"]
     # metadata-only: state unchanged, per-bucket decisions unchanged
     after = sorted((r.key, r.payload_value) for r in sink.visible().collect())
@@ -649,6 +662,31 @@ def test_repack_pricing_is_cost_model_not_any_fragmentation():
     # a two-bucket oversized manifest IS reducible (fresh pack splits
     # it at the bucket boundary) and fires immediately
     assert _repack_priced([m(0, 1, 1_000)], 1_000, target=16)
+    # round 14 — (c) churn guard: a shattered list under uniform
+    # bucket churn (measured Σrw < target·Σrb: every commit's rewrites
+    # were CHEAPER than a packed layout's) must NOT fire — the
+    # 60-commit drill measured consolidation making per-commit cost
+    # strictly worse there; the growing list is priced by (b) instead
+    churn = ((200, 18, 40),) * 40  # rw << rb·target = 288 at target 16
+    assert not _repack_priced(shards, 64, target=16, history=churn)
+    # ...while the same shattered list with no churn evidence (empty
+    # history) or with expensive rewrites (Σrw ≥ target·Σrb) fires
+    assert _repack_priced(shards, 64, target=16, history=((600, 1, 40),) * 4)
+    # round 14 — (b) list term: under churn the accumulated
+    # manifest-list excess (lines republished past the packed length)
+    # eventually outweighs the measured rewrite penalty; with ideal =
+    # ceil(10_160/100) = 102, a list grown to ~400 manifests nets
+    # (350 - 18*100 + 298) > 0 per commit... still negative here, so
+    # a moderately grown list holds fire,
+    assert not _repack_priced(
+        frag, 10_160, target=100, history=((350, 18, 300),) * 60
+    )
+    # ...but a list grown far past the crossover (net tax positive:
+    # 350 - 1800 + 1898 = +448/commit) fires once the accumulated net
+    # reaches the repack's own cost: 23 x 448 >= 10_160
+    grown = ((350, 18, 2_000),) * 23
+    assert _repack_priced(frag, 10_160, target=100, history=grown)
+    assert not _repack_priced(frag, 10_160, target=100, history=grown[:-2])
 
 
 def test_fresh_handle_follows_persisted_transform(spark, tmp_path):
@@ -794,7 +832,9 @@ def test_rewrite_manifests_preserves_state_and_prunes(spark, tmp_path):
         (r.key, r.last_seq, r.payload_value) for r in s.visible().collect()
     }
     n_before = len(_manifest_paths(s))
-    n_after = s.rewrite_manifests(target_entries=4)
+    # age_floor=0: the explicit-operator FULL repack (the default LSM
+    # floor would exempt the hot fringe this test deliberately packs)
+    n_after = s.rewrite_manifests(target_entries=4, age_floor=0)
     assert n_after == len(_manifest_paths(s)) and n_after < n_before
     # metadata-only: the data file SET is unchanged
     assert {
@@ -945,12 +985,17 @@ def test_repack_history_marker_and_metrics(sink, spark):
     # compact_mor is also a "replace" operation but rewrites DATA, not
     # the manifest layout: it must NOT reset the history.
     hist = IcebergLogSink._repack_history
-    assert hist(sink._current_meta()) == ((0, 0),)  # init: no tax
-    # blind appends rewrite nothing and remove nothing
+    # triples: (rewritten, removed-buckets, manifest-list length)
+    assert hist(sink._current_meta()) == ((0, 0, 1),)  # init: no tax
+    # blind appends rewrite nothing and remove nothing — but each adds
+    # one manifest, which the list-length metric records
     for seq in (10, 11):
         sink.append(_batch(spark, [(1, seq, "MODIFY", float(seq))]))
-    assert hist(sink._current_meta()) == ((0, 0),) * 3
-    assert sink.rewrite_manifests() >= 1
+    assert hist(sink._current_meta()) == ((0, 0, 1), (0, 0, 2), (0, 0, 3))
+    # explicit full repack (age_floor=0): consolidates all 3 manifests
+    # into one multi-bucket pack — the default LSM floor would rightly
+    # no-op here (init is its own fresh pack; the appends are hot)
+    assert sink.rewrite_manifests(age_floor=0) >= 1
     assert hist(sink._current_meta()) == ()  # marker resets the clock
     # a MERGE pays real tax: it removes files from covering manifests
     sink.apply_batch(_batch(spark, [(1, 12, "MODIFY", 12.0)]))
@@ -978,7 +1023,7 @@ def test_single_bucket_table_never_repacks_end_to_end(spark, tmp_path):
     for seq in (10, 11, 12):
         s.append(_batch(spark, [(seq, seq, "MODIFY", float(seq))]))
     # 4 manifests over 1 bucket: list-length pricing may consolidate...
-    n_after = s.rewrite_manifests()
+    n_after = s.rewrite_manifests(age_floor=0)
     assert n_after == 1
     # ...but the consolidated single-bucket layout must be terminal:
     meta_num = s._latest_meta_num()
