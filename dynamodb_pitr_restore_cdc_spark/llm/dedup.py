@@ -231,11 +231,12 @@ def dropset_gate(bands: DataFrame) -> tuple[bool, int, int]:
 
 def band_candidates(left_bands: DataFrame, right_bands: DataFrame) -> DataFrame:
     """Distinct (doc_a, doc_b) candidates from a banded join: same
-    (band, bucket), left id strictly lower. Shared by greedy_drop_set's
-    two lanes; q_llm_near_dedup and LshIndex.pairs keep their
-    driver-verified inline copies this round — unify them onto this
-    helper when each next enters a reverify window (the r12
-    multiprobe_plan precedent)."""
+    (band, bucket), left id strictly lower. THE banded candidate join —
+    shared by greedy_drop_set's two lanes, q_llm_near_dedup, and
+    LshIndex.pairs (unified round 14; the executors are seeded in
+    _REVERIFY_R14). LshIndex.delta_pairs keeps its own asymmetric
+    changed-side × full-index join (`!=` + least/greatest), which is a
+    different shape, not a copy."""
     return (
         left_bands.alias("a")
         .join(
@@ -388,17 +389,7 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both self-join sides scan the materialized artifact (no persist
     # needed, no double pandas_udf run — Catalyst has no cross-branch CSE)
     bands = band_buckets(spark, sf_dir)
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = band_candidates(bands, bands)
     verified = (
         cand.join(d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")), "doc_a")
         .join(d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")), "doc_b")

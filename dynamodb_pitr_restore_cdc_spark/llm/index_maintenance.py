@@ -45,6 +45,7 @@ from .dedup import (
     JACCARD_THRESHOLD,
     PAIR_SELECT_SQL,
     band_array,
+    band_candidates,
     greedy_drop_set,
     shingle_pair_ctes,
     verify_pairs,
@@ -114,24 +115,12 @@ class LshIndex:
 
     def pairs(self, corpus: DataFrame) -> DataFrame:
         """All near-dup pairs per the CURRENT index state: band
-        self-join for candidates, exact-Jaccard verify. A document
-        updated through `upsert` pairs by its NEW signature; a removed
-        document pairs with nothing."""
+        self-join for candidates (dedup.band_candidates — the one
+        banded candidate join, unified round 14), exact-Jaccard
+        verify. A document updated through `upsert` pairs by its NEW
+        signature; a removed document pairs with nothing."""
         bands = tracked_persist(self.band_rows())
-        cand = (
-            bands.alias("a")
-            .join(
-                bands.alias("b"),
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-            )
-            .distinct()
-        )
-        return self._verify(cand, corpus)
+        return self._verify(band_candidates(bands, bands), corpus)
 
     def drop_set(
         self,

@@ -714,20 +714,27 @@ _DRIVER_VERIFIED_R13: frozenset[str] = frozenset(
 )
 
 # Queries fronted for driver re-verification in round 14 (r13 verdict,
-# items 2-4): the LSM-aged REPACK change rewrites the repack pricing /
-# rewrite_manifests machinery executed by the Iceberg maintenance query
-# and both streaming MOR drills; q_cdc_attrvalue_roundtrip's builder and
-# oracle widen from the S/N-only union to the full DynamoDB
-# AttributeValue set (B, BOOL, NULL, M, L, SS/NS/BS); q_llm_near_dedup
-# rotates naturally (newest row r10) and its inline banded candidate
-# join folds onto dedup.band_candidates, together with LshIndex.pairs'
-# copy — q_llm_lsh_index_delta_pairs executes that folded machinery.
+# items 2-4): the LSM-aged + churn-guarded REPACK change rewrites the
+# repack pricing / rewrite_manifests machinery executed by the Iceberg
+# maintenance query and both streaming MOR drills;
+# q_cdc_attrvalue_roundtrip's builder and oracle widen from the
+# S/N-only union to the full DynamoDB AttributeValue set (B, BOOL,
+# NULL, M, L, SS/NS/BS); q_llm_near_dedup rotates naturally (newest
+# row r10) and its inline banded candidate join folds onto
+# dedup.band_candidates together with LshIndex.pairs' copy — the
+# pairs() executors (q_llm_lsh_index_maintenance / _compaction and
+# q_stream_lsh_index_ingest) re-prove the folded machinery.
+# LshIndex.delta_pairs keeps its asymmetric changed-side join (a
+# different shape, not a copy), so q_llm_lsh_index_delta_pairs owes
+# no seed.
 _REVERIFY_R14: frozenset[str] = frozenset(
     {
         "q_cdc_iceberg_optimize_plan",
         "q_stream_mor_ingest", "q_stream_mor_ingest_iceberg",
         "q_cdc_attrvalue_roundtrip",
-        "q_llm_near_dedup", "q_llm_lsh_index_delta_pairs",
+        "q_llm_near_dedup",
+        "q_llm_lsh_index_maintenance", "q_llm_lsh_index_compaction",
+        "q_stream_lsh_index_ingest",
     }
 )
 
