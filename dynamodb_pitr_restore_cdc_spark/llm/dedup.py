@@ -427,6 +427,29 @@ def q_llm_dedup_dropset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return greedy_drop_set(band_buckets(spark, sf_dir), d)
 
 
+@register(
+    "q_llm_dedup_dropset_twophase",
+    oracle=f"""
+WITH {shingle_pair_ctes('documents')}
+SELECT DISTINCT doc_b AS doc_id FROM jp
+WHERE j_milli >= {int(JACCARD_THRESHOLD * 1000)}
+""",
+)
+def q_llm_dedup_dropset_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-phase bucket-minimum lane of greedy_drop_set, FORCED —
+    the r13 verdict item 5 driver row: the registered fixture sits
+    below the fan-out auto-gate (the gate test pins that), so
+    q_llm_dedup_dropset's driver hash never executes phase 1/phase 2;
+    this twin forces the lane against the SAME brute-force oracle (the
+    lanes are byte-identical by construction — the equality proof in
+    greedy_drop_set's docstring — so the oracle is free). The plan pin
+    (tests/test_plans.py) asserts the twin's plan carries the
+    two-phase signature the plain lane lacks: the bucket-minimum
+    aggregate and the phase-2 anti-joins."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return greedy_drop_set(band_buckets(spark, sf_dir), d, force_two_phase=True)
+
+
 @F.pandas_udf(T.LongType())
 def simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over 3-word shingles (splitmix64-expanded crc32).
@@ -446,13 +469,95 @@ def simhash64(texts: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="int64")
 
 
-@register("q_llm_simhash", oracle=None)  # rows-only: bit-level hashing isn't ANSI SQL
+def _crc32_table() -> list[int]:
+    """The 256-entry crc32 (poly 0xEDB88320) byte table — embedded in
+    the simhash oracles as a literal list (the r6 hyperplane-matrix
+    precedent for deterministic constants DuckDB can't derive)."""
+    out = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
+        out.append(c)
+    return out
+
+
+# DuckDB twin of simhash64 (round 14 — drains the rows-only tail): the
+# crc32 fold is a list_reduce over the shingle's bytes through the
+# embedded byte table (fixture text is ASCII, so ord == byte), the
+# splitmix64 finalizer is UHUGEINT multiply-mod-2^64 arithmetic, and
+# the per-bit majority vote sums ±1 per (doc, bit). The bit recompose
+# MUST sum HUGEINT terms — DuckDB sum() over UHUGEINT promotes to
+# DOUBLE and silently zeroes the low ~11 bits of a 64-bit sketch.
+# Yields `simh(doc_id, sh)` (sh UBIGINT) over relation documents.
+_SIMHASH_SKETCH_CTES = f"""
+crctab AS (
+  SELECT list(CAST(v AS UBIGINT) ORDER BY i) AS t
+  FROM (SELECT unnest(range(256)) AS i,
+               unnest([{",".join(str(v) for v in _crc32_table())}]) AS v)
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(generate_series(1, len(tk) - 2),
+                                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+       FROM toks),
+crc AS (
+  SELECT doc_id,
+         xor(list_reduce(
+               list_prepend(CAST(4294967295 AS UBIGINT),
+                 list_transform(range(1, length(s) + 1),
+                                i -> CAST(ord(s[i]) AS UBIGINT))),
+               (acc, b) -> xor(t[CAST(xor(acc, b) & 255 AS INT) + 1], acc >> 8)),
+             CAST(4294967295 AS UBIGINT)) AS c
+  FROM sh, crctab),
+dhs AS (
+  SELECT DISTINCT doc_id,
+    xor(z3, z3 >> 31) AS h
+  FROM (
+    SELECT doc_id,
+      CAST((CAST(xor(z2, z2 >> 27) AS UHUGEINT) * 10723151780598845931)
+           % 18446744073709551616 AS UBIGINT) AS z3
+    FROM (
+      SELECT doc_id,
+        CAST((CAST(xor(z1, z1 >> 30) AS UHUGEINT) * 13787848793156543929)
+             % 18446744073709551616 AS UBIGINT) AS z2
+      FROM (
+        SELECT doc_id, CAST((CAST(c AS UHUGEINT) + 11400714819323198485)
+                            % 18446744073709551616 AS UBIGINT) AS z1
+        FROM crc) a) b) c2),
+bits AS (
+  SELECT doc_id, b, sum(CASE WHEN (h >> CAST(b AS UBIGINT)) & 1 = 1
+                             THEN 1 ELSE -1 END) AS acc
+  FROM dhs, (SELECT unnest(range(64)) AS b)
+  GROUP BY 1, 2),
+simh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN acc > 0
+                       THEN CAST(1 AS HUGEINT) << CAST(b AS HUGEINT)
+                       ELSE CAST(0 AS HUGEINT) END) AS UBIGINT) AS sh
+  FROM bits GROUP BY 1)"""
+
+
+@register(
+    "q_llm_simhash",
+    oracle=f"""
+WITH {_SIMHASH_SKETCH_CTES}
+SELECT doc_id,
+       CAST(CASE WHEN sh >= 9223372036854775808
+                 THEN CAST(sh AS HUGEINT) - 18446744073709551616
+                 ELSE CAST(sh AS HUGEINT) END AS BIGINT) AS simhash
+FROM simh
+""",
+)
 def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 64-bit SimHash fingerprint — the constant-size sketch
     whose Hamming distance approximates cosine similarity of token
     sets; near-dup detection at scale groups by rotated prefixes of
     this value (tested: planted near-dup pairs land within 12 bits,
-    random pairs around 32)."""
+    random pairs around 32). Oracled round 14 (was rows-only): the
+    crc32+splitmix64 sketch is re-derived in DuckDB bit-for-bit
+    (_SIMHASH_SKETCH_CTES), signed-converted to match the int64 the
+    Spark side returns."""
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", simhash64("text").alias("simhash"))
 
@@ -536,7 +641,22 @@ SIMHASH_BANDS = 4          # 4 × 16-bit bands: ≤3-bit-different pairs always 
 SIMHASH_MAX_HAMMING = 16
 
 
-@register("q_llm_simhash_pairs", oracle=None)  # rows-only: depends on the crc-based sketch
+@register(
+    "q_llm_simhash_pairs",
+    oracle=f"""
+WITH {_SIMHASH_SKETCH_CTES},
+bands AS (
+  SELECT doc_id, sh, b AS band, (sh >> CAST(b * 16 AS UBIGINT)) & 65535 AS bval
+  FROM simh, (SELECT unnest(range({SIMHASH_BANDS})) AS b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sh AS sh_a, b.sh AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}
+""",
+)
 def q_llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pair generation — the banded-join pipeline on top
     of the sketch: split each 64-bit hash into 4 × 16-bit bands,
@@ -546,7 +666,10 @@ def q_llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled). Recall contract (tested): pairs within 3 bits ALWAYS
     collide in some band (pigeonhole); pairs further out are found
     probabilistically — the classic SimHash trade-off vs MinHash,
-    which is why both pipelines exist."""
+    which is why both pipelines exist. Oracled round 14 (was
+    rows-only): DuckDB re-derives the sketch bit-for-bit
+    (_SIMHASH_SKETCH_CTES) and mirrors the banded join + popcount
+    verify."""
     # referenced by both sides of the self-join (no cross-branch CSE);
     # tracked so release_persisted() frees it post-consumption
     sigs = tracked_persist(

@@ -726,7 +726,12 @@ _DRIVER_VERIFIED_R13: frozenset[str] = frozenset(
 # q_stream_lsh_index_ingest) re-prove the folded machinery.
 # LshIndex.delta_pairs keeps its asymmetric changed-side join (a
 # different shape, not a copy), so q_llm_lsh_index_delta_pairs owes
-# no seed.
+# no seed.  q_llm_simhash / q_llm_simhash_pairs gained DuckDB oracles
+# this round (crc32 byte-table fold + splitmix64 re-derived in SQL —
+# they were rows-only since r03) and need their first hash rows.
+# Window math: 40-query age-5 r09 cohort (attrvalue rides its own
+# rotation slot) + the 9 seeds outside the cohort + 1 fresh
+# (q_llm_dedup_dropset_twophase, which auto-fronts) = exactly 50.
 _REVERIFY_R14: frozenset[str] = frozenset(
     {
         "q_cdc_iceberg_optimize_plan",
@@ -735,6 +740,7 @@ _REVERIFY_R14: frozenset[str] = frozenset(
         "q_llm_near_dedup",
         "q_llm_lsh_index_maintenance", "q_llm_lsh_index_compaction",
         "q_stream_lsh_index_ingest",
+        "q_llm_simhash", "q_llm_simhash_pairs",
     }
 )
 

@@ -47,6 +47,9 @@ from dynamodb_pitr_restore_cdc_spark.sources import table
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPLICAS = int(os.environ.get("SPARK_GRAFT_REPLICAS", "10"))
+# the full-pairs drop-set lane OOMs the JVM past ~300x (SCALE.md
+# round 13): above this the probe times only the lanes that survive
+PLAIN_LANE_MAX_REPLICAS = 100
 SHIFT = 10_000_000
 
 
@@ -126,29 +129,58 @@ def main() -> None:
     # ---- drop-set lanes (round 13: the clique-quadratic mitigation) ---
     # what the capstone actually consumes is the greedy keep-lowest DROP
     # SET; time the plain (full-pairs) lane against the two-phase
-    # bucket-minimum lane and assert the sets byte-identical at scale
-    t0 = time.perf_counter()
-    plain = {r.doc_id for r in idx.drop_set(corpus, force_two_phase=False).collect()}
-    t_plain = time.perf_counter() - t0
-    release_persisted()
+    # bucket-minimum lane and assert the sets byte-identical at scale.
+    # The plain lane OOMs the JVM past ~300x (SCALE.md round 13), so it
+    # is skipped above PLAIN_LANE_MAX_REPLICAS (override via
+    # CORPUS_PROBE_PLAIN=1 to force it, =0 to skip at any scale) —
+    # otherwise the documented 300x two-phase measurement could not be
+    # reproduced by running this script unmodified (round-13 advice).
+    plain_env = os.environ.get("CORPUS_PROBE_PLAIN")
+    run_plain = (
+        REPLICAS <= PLAIN_LANE_MAX_REPLICAS
+        if plain_env is None
+        else plain_env == "1"
+    )
+    plain: set | None = None
+    if run_plain:
+        t0 = time.perf_counter()
+        plain = {
+            r.doc_id
+            for r in idx.drop_set(corpus, force_two_phase=False).collect()
+        }
+        t_plain = time.perf_counter() - t0
+        release_persisted()
     t0 = time.perf_counter()
     two = {r.doc_id for r in idx.drop_set(corpus, force_two_phase=True).collect()}
     t_two = time.perf_counter() - t0
     release_persisted()
-    assert plain == two, (
-        f"drop-set lanes diverged: plain-only={sorted(plain - two)[:5]} "
-        f"two-only={sorted(two - plain)[:5]}"
-    )
+    if plain is not None:
+        assert plain == two, (
+            f"drop-set lanes diverged: plain-only={sorted(plain - two)[:5]} "
+            f"two-only={sorted(two - plain)[:5]}"
+        )
     t0 = time.perf_counter()
     auto = {r.doc_id for r in idx.drop_set(corpus).collect()}
     t_auto = time.perf_counter() - t0
     release_persisted()
-    assert auto == plain
+    assert auto == two
+    plain_desc = (
+        f"plain full-pairs verify {t_plain:.1f}s "
+        f"({t_plain / max(t_two, 1e-9):.1f}x two-phase) | "
+        if plain is not None
+        else "plain lane SKIPPED ("
+        + (
+            "CORPUS_PROBE_PLAIN=0"
+            if plain_env == "0"
+            else f"> {PLAIN_LANE_MAX_REPLICAS}x; CORPUS_PROBE_PLAIN=1 forces"
+        )
+        + ") | "
+    )
     print(
-        f"drop-set at {REPLICAS}x ({len(plain)} dropped, lanes identical): "
-        f"plain full-pairs verify {t_plain:.1f}s | two-phase bucket-min "
-        f"{t_two:.1f}s ({t_plain / max(t_two, 1e-9):.1f}x) | auto-gate lane "
-        f"{t_auto:.1f}s"
+        f"drop-set at {REPLICAS}x ({len(two)} dropped"
+        + (", lanes identical" if plain is not None else "")
+        + f"): {plain_desc}two-phase bucket-min {t_two:.1f}s | "
+        f"auto-gate lane {t_auto:.1f}s"
     )
     shutil.rmtree(big, ignore_errors=True)
 

@@ -805,3 +805,25 @@ def test_dedup_dropset_plan_is_banded_equijoin(plans):
     # the candidate join keys reach the join, not a post-join filter
     assert "band" in p and "bucket" in p
     assert "HashAggregate" in p  # the drop projection is a distinct, not a sort
+    # ...and the plain lane carries NO two-phase machinery: no
+    # anti-join (that's the twin's signature, asserted below)
+    assert "LeftAnti" not in p
+
+
+def test_dedup_dropset_twophase_plan_runs_both_phases(plans):
+    """q_llm_dedup_dropset_twophase (r14, verdict item 5): the forced
+    two-phase lane's plan must PROVABLY execute phase 1 + phase 2 —
+    the bucket-minimum aggregate feeding a min-edge verify, and the
+    phase-2 anti-joins (undropped docs as the higher side, phase-1
+    pairs subtracted). Still no cartesian and no row-wise Python."""
+    p = plans("q_llm_dedup_dropset_twophase")
+    assert "CartesianProduct" not in p
+    assert "ArrowEvalPython" in p  # the sanctioned jaccard verifies
+    assert "BatchEvalPython" not in p
+    # phase 1: per-(band,bucket) minimum
+    assert "min(doc_id" in p
+    # phase 2: the two anti-joins (live docs vs phase-1 drops; phase-2
+    # candidates minus phase-1 verified edges)
+    assert p.count("LeftAnti") >= 2
+    # both phases' drop sets union before the final distinct
+    assert "Union" in p

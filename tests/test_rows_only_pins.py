@@ -1,4 +1,5 @@
-"""Standing CI pins for the 4 rows-only registry entries.
+"""Standing CI pins for the rows-only registry entries (2 as of round
+14) plus the simhash family's in-process twins.
 
 The driver's rotation deliberately parks rows-only queries (no DuckDB
 oracle) last, so they may never earn a fresh driver row — these tests
@@ -8,10 +9,11 @@ computed in-test, so a silent break can't hide behind staleness.
 
 - q_agg_approx_distinct / q_agg_hll_merge: sketch BINARIES are
   engine-specific (no oracle), but estimates are bounded — assert
-  against Spark-exact ground truth.
-- q_llm_simhash / q_llm_simhash_pairs: crc32-based sketch isn't
-  DuckDB-expressible, but the banded-pair pipeline is exactly
-  recomputable in-process from the published hashes.
+  against Spark-exact ground truth.  STILL rows-only.
+- q_llm_simhash / q_llm_simhash_pairs: ORACLED since round 14 (the
+  crc32 byte-table fold + splitmix64 are re-derived in DuckDB —
+  dedup._SIMHASH_SKETCH_CTES); their pins stay as an independent
+  third implementation of the banded-pair pipeline.
 """
 
 from collections import defaultdict
