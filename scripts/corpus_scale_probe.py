@@ -116,14 +116,27 @@ def main() -> None:
     t_sig = time.perf_counter() - t0
 
     corpus = deduped.select("doc_id", "text")
-    t0 = time.perf_counter()
-    n_pairs = idx.pairs(corpus).count()
-    t_pairs = time.perf_counter() - t0
-    release_persisted()
+    # the full PAIR LIST is the documented quadratic consumer-contract
+    # boundary (CLAUDE.md: greedy consumers read the DROP SET, never
+    # the pair list) — at clique corpora past ~100x its OUTPUT is what
+    # explodes, so the stage breakdown skips it with the plain lane
+    plain_env = os.environ.get("CORPUS_PROBE_PLAIN")
+    run_plain = (
+        REPLICAS <= PLAIN_LANE_MAX_REPLICAS
+        if plain_env is None
+        else plain_env == "1"
+    )
+    pairs_desc = "pair list SKIPPED (quadratic at clique corpora)"
+    if run_plain:
+        t0 = time.perf_counter()
+        n_pairs = idx.pairs(corpus).count()
+        t_pairs = time.perf_counter() - t0
+        release_persisted()
+        pairs_desc = f"banded pairs + verify {t_pairs:.1f}s ({n_pairs} pairs)"
     print(
         f"stage breakdown at {REPLICAS}x: quality+exact_dedup {t_dedup:.1f}s "
         f"({n_dedup} rows) | signature pass + index init {t_sig:.1f}s | "
-        f"banded pairs + verify {t_pairs:.1f}s ({n_pairs} pairs)"
+        + pairs_desc
     )
 
     # ---- drop-set lanes (round 13: the clique-quadratic mitigation) ---
@@ -135,12 +148,6 @@ def main() -> None:
     # CORPUS_PROBE_PLAIN=1 to force it, =0 to skip at any scale) —
     # otherwise the documented 300x two-phase measurement could not be
     # reproduced by running this script unmodified (round-13 advice).
-    plain_env = os.environ.get("CORPUS_PROBE_PLAIN")
-    run_plain = (
-        REPLICAS <= PLAIN_LANE_MAX_REPLICAS
-        if plain_env is None
-        else plain_env == "1"
-    )
     plain: set | None = None
     if run_plain:
         t0 = time.perf_counter()
