@@ -977,6 +977,85 @@ def test_repack_pricing_properties():
     single_bucket_never_priced()
 
 
+def test_lsm_priced_repack_always_acts_property():
+    """Round-14 livelock invariant, end to end through the aged scope:
+    whenever the pricing fires on the COLD subset of a random layout
+    (random per-manifest entry buckets, ages, and measured histories),
+    the aged apply must genuinely change that subset —
+    _manifests_packed(cold, _pack_groups(cold entries)) is False — or
+    the REPACK row would never write the history-resetting marker."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dynamodb_pitr_restore_cdc_spark.streaming.iceberg_log_sink import (
+        _manifest_target,
+        _manifests_packed,
+        _pack_groups,
+        _repack_priced,
+        _split_lsm,
+    )
+
+    def summarize(buckets, seq):
+        return {
+            "partitions": {"bucket": {"lower": min(buckets), "upper": max(buckets)}},
+            "added_files_count": len(buckets),
+            "existing_files_count": 0,
+            "added_sequence_number": seq,
+        }
+
+    def entry(b):
+        return {
+            "status": "EXISTING",
+            "data_file": {"file_path": "", "partition": {"bucket": b}},
+        }
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        layout=st.lists(
+            st.tuples(
+                st.lists(st.integers(0, 200), min_size=1, max_size=60),
+                st.integers(1, 30),  # added_seq
+            ),
+            min_size=1,
+            max_size=25,
+        ),
+        cur_seq=st.integers(30, 40),
+        history=st.lists(
+            st.tuples(
+                st.integers(0, 5_000),
+                st.integers(0, 50),
+                st.integers(0, 300),
+            ),
+            max_size=30,
+        ),
+    )
+    def priced_implies_apply_acts(layout, cur_seq, history):
+        summaries = [summarize(bs, seq) for bs, seq in layout]
+        n_total = sum(len(bs) for bs, _ in layout)
+        target = _manifest_target(n_total)
+        cold, _hot = _split_lsm(summaries, cur_seq, target)
+        cold_entries = sum(
+            m["added_files_count"] + m["existing_files_count"] for m in cold
+        )
+        if not cold or not _repack_priced(
+            cold, cold_entries, target, tuple(history)
+        ):
+            return
+        cold_set = {id(m) for m in cold}
+        entries = [
+            entry(b)
+            for (bs, seq), s in zip(layout, summaries)
+            if id(s) in cold_set
+            for b in bs
+        ]
+        groups = _pack_groups(entries, target)
+        assert not _manifests_packed(cold, groups, target), (
+            "pricing fired on a cold subset its own apply would no-op"
+        )
+
+    priced_implies_apply_acts()
+
+
 def test_repack_history_marker_and_metrics(sink, spark):
     # round 12: the ski-rental rule (b) charges MEASURED tax — per-
     # commit (rewritten-entries, removed-buckets) summary metrics —
