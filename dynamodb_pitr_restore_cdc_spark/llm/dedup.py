@@ -209,18 +209,32 @@ DROPSET_FANOUT_RATIO = 4
 def dropset_gate(bands: DataFrame) -> tuple[bool, int, int]:
     """(take_two_phase, est_pairs, est_min_edges) for a (doc_id, band,
     bucket) frame — driver-side scalars (a plan-shape decision:
-    orchestration, not data), one partial-aggregating pass over the
-    16-rows-per-doc band table. Separated from greedy_drop_set so
+    orchestration, not data). Separated from greedy_drop_set so
     tests can pin the DECISION itself: the registered fixtures must
     sit on the plain lane (lifecycle unchanged), the 100-clique probe
-    regime on the two-phase lane."""
-    sizes = bands.groupBy("band", "bucket").agg(F.count("*").alias("c"))
+    regime on the two-phase lane.
+
+    Round 14: the gate aggregates ONE band (band 0) and scales by
+    LSH_BANDS instead of shuffling all n·LSH_BANDS rows — at the
+    1000x probe (5M docs, 80M band rows) the exact gate's ~25M-group
+    shuffle cost 69 s, doubling the auto lane over the forced one.
+    The bands are iid minhash views of the same shingle sets, so the
+    band-0 fan-out is an unbiased estimate of every band's; the gate
+    only chooses between two BYTE-IDENTICAL plans (the drop-set
+    equality is proven independently), so estimator error can only
+    ever cost plan time, never a row. Both pinned regimes sit far
+    from the thresholds (fixture ratio ~1 vs 4; clique regime ~50)."""
+    sizes = (
+        bands.where(F.col("band") == 0)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c"))
+    )
     row = sizes.agg(
         F.sum(F.expr("c * (c - 1) div 2")).alias("pairs"),
         F.sum(F.expr("c - 1")).alias("min_edges"),
     ).first()
-    est_pairs = row["pairs"] or 0
-    est_min_edges = row["min_edges"] or 0
+    est_pairs = (row["pairs"] or 0) * LSH_BANDS
+    est_min_edges = (row["min_edges"] or 0) * LSH_BANDS
     return (
         est_pairs >= DROPSET_AUTO_MIN_PAIRS
         and est_pairs >= DROPSET_FANOUT_RATIO * max(est_min_edges, 1),

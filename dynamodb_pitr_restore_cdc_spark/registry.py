@@ -732,6 +732,19 @@ _DRIVER_VERIFIED_R13: frozenset[str] = frozenset(
 # Window math: 40-query age-5 r09 cohort (attrvalue rides its own
 # rotation slot) + the 9 seeds outside the cohort + 1 fresh
 # (q_llm_dedup_dropset_twophase, which auto-fronts) = exactly 50.
+# Narrow full-window exception invoked (round 14): dropset_gate now
+# samples band 0 (x16 scale) instead of aggregating all n·16 band
+# rows — shared machinery executed by q_llm_dedup_dropset, both
+# corpus-build capstones, and q_llm_pack_manifest_incremental, all
+# holding age-0 r13 rows; lifecycle provably identical (the gate
+# decision is pinned plain-at-fixture/two-phase-at-clique by
+# tests/test_index_maintenance.py, both lanes byte-identical by the
+# hypothesis sweep, and all four queries re-proven against their
+# oracles at sf0.001 + sf0.01).  The split_bucket int64-overflow fix
+# is DEFERRED to round 15 with a code-enforced obligation
+# (tests/test_llm.py::test_r15_split_bucket_overflow_obligation —
+# arms when _DRIVER_VERIFIED_R14 is recorded; its docstring carries
+# the 43-rotation + 7-seed window plan).
 _REVERIFY_R14: frozenset[str] = frozenset(
     {
         "q_cdc_iceberg_optimize_plan",

@@ -50,7 +50,13 @@ REPLICAS = int(os.environ.get("SPARK_GRAFT_REPLICAS", "10"))
 # the full-pairs drop-set lane OOMs the JVM past ~300x (SCALE.md
 # round 13): above this the probe times only the lanes that survive
 PLAIN_LANE_MAX_REPLICAS = 100
-SHIFT = 10_000_000
+# Replica id stride.  Must keep the largest synthetic doc_id under
+# curation.split_bucket's current int64 domain: doc_id * 2654435761
+# overflows past doc_id ≈ 3.47e9 (ANSI crash — found by THIS probe at
+# 1000x with the old 1e7 stride; the overflow-safe reformulation is
+# the round-15 obligation, tests/test_llm.py::
+# test_r15_split_bucket_overflow_obligation).  1e5 keeps 30,000x safe.
+SHIFT = 100_000
 
 
 def main() -> None:

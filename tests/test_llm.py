@@ -620,3 +620,48 @@ def test_mix_rate_accepts_name_and_column(spark):
         ).collect()
     ]
     assert by_name == by_col == sql
+
+
+def test_r15_split_bucket_overflow_obligation(spark):
+    """Round-14 deferral with a code-enforced obligation (the
+    test_r13_registration_obligation pattern): curation.split_bucket
+    computes doc_id * 2654435761, which ANSI-overflows int64 past
+    doc_id ~= 3.47e9 — a real wall for a >=5-billion-document corpus
+    (found by the 1000x corpus_scale_probe; its SHIFT now dodges it).
+    The overflow-safe reformulation (reduce doc_id mod 2^32 FIRST,
+    then multiply in two 16-bit halves so every intermediate stays
+    under 2^48 — identical values for doc_id < 2^32, so every oracle
+    and driver hash is unchanged) touches machinery executed by ~10
+    registered queries across three evidence cohorts; the r14 window
+    is exactly full, so the fix is DEFERRED to round 15, whose window
+    math affords the seeds: 43 age-5 r10 rotations + 7 seeds
+    (q_llm_decontaminate, q_llm_contamination_report,
+    q_llm_leakage_audit, q_stream_decontaminate, q_llm_corpus_build,
+    q_stream_corpus_build, q_llm_pack_manifest_incremental) = 50.
+    The moment the round-15 editor records _DRIVER_VERIFIED_R14 this
+    test demands the fixed function."""
+    import dynamodb_pitr_restore_cdc_spark.registry as R
+    from dynamodb_pitr_restore_cdc_spark.llm.curation import (
+        SPLIT_MULT,
+        split_bucket,
+    )
+
+    R.all_queries()
+    if not hasattr(R, "_DRIVER_VERIFIED_R14"):
+        return  # obligation arms when round 15 starts
+    big = 6_000_000_000  # past the 3.47e9 int64 overflow wall
+    expected = ((big % 2**32) * SPLIT_MULT % 2**32) % 1000
+    got = (
+        spark.range(1)
+        .select(split_bucket(F.lit(big).cast("long")).alias("b"))
+        .first()
+        .b
+    )  # ANSI overflow raises here on the unfixed formulation
+    assert got == expected
+    # and the fixture domain is bit-identical to the published oracle
+    # formula, so no driver hash moves
+    small = spark.range(0, 100_000, 997).select(
+        F.col("id").alias("doc_id"), split_bucket(F.col("id")).alias("b")
+    )
+    for r in small.collect():
+        assert r.b == (r.doc_id * SPLIT_MULT % 2**32) % 1000
