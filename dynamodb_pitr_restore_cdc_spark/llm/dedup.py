@@ -359,13 +359,21 @@ def greedy_drop_set(
 # baseline, not a milli-threshold consumer.)
 
 
-def shingle_pair_ctes(source: str) -> str:
-    return f"""
-toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {source}),
+def shingle_ctes(source: str) -> str:
+    """THE 3-shingle derivation (tokens -> distinct shingles), stated
+    once (round-14 review: _SIMHASH_SKETCH_CTES had re-typed it; a
+    SHINGLE_K change must desynchronize nothing).  Yields
+    ``toks(doc_id, t)`` and ``sh(doc_id, s)`` over ``source``."""
+    return f"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {source}),
 sh AS (SELECT DISTINCT doc_id,
               unnest(list_transform(generate_series(1, len(t) - 2),
                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-       FROM toks),
+       FROM toks)"""
+
+
+def shingle_pair_ctes(source: str) -> str:
+    return f"""
+{shingle_ctes(source)},
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -503,6 +511,9 @@ def _crc32_table() -> list[int]:
 # the per-bit majority vote sums ±1 per (doc, bit). The bit recompose
 # MUST sum HUGEINT terms — DuckDB sum() over UHUGEINT promotes to
 # DOUBLE and silently zeroes the low ~11 bits of a 64-bit sketch.
+# A shingle-less document (< 3 tokens) hashes the singleton {0} set,
+# exactly _shingle_hashes' sentinel fallback (round-14 review: the sh
+# CTE alone would DROP such docs while the UDF emits a row).
 # Yields `simh(doc_id, sh)` (sh UBIGINT) over relation documents.
 _SIMHASH_SKETCH_CTES = f"""
 crctab AS (
@@ -510,11 +521,7 @@ crctab AS (
   FROM (SELECT unnest(range(256)) AS i,
                unnest([{",".join(str(v) for v in _crc32_table())}]) AS v)
 ),
-toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-sh AS (SELECT DISTINCT doc_id,
-              unnest(list_transform(generate_series(1, len(tk) - 2),
-                                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
-       FROM toks),
+{shingle_ctes('documents')},
 crc AS (
   SELECT doc_id,
          xor(list_reduce(
@@ -523,7 +530,10 @@ crc AS (
                                 i -> CAST(ord(s[i]) AS UBIGINT))),
                (acc, b) -> xor(t[CAST(xor(acc, b) & 255 AS INT) + 1], acc >> 8)),
              CAST(4294967295 AS UBIGINT)) AS c
-  FROM sh, crctab),
+  FROM sh, crctab
+  UNION ALL
+  SELECT doc_id, CAST(0 AS UBIGINT) AS c
+  FROM toks WHERE len(t) < 3),
 dhs AS (
   SELECT DISTINCT doc_id,
     xor(z3, z3 >> 31) AS h

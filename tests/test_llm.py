@@ -665,3 +665,41 @@ def test_r15_split_bucket_overflow_obligation(spark):
     )
     for r in small.collect():
         assert r.b == (r.doc_id * SPLIT_MULT % 2**32) % 1000
+
+
+def test_simhash_oracle_covers_shingleless_docs(spark, tmp_path):
+    """Round-14 review finding: _shingle_hashes falls back to the
+    singleton {0} for a document with fewer than 3 tokens, so the
+    Spark side emits a (sentinel) hash row for EVERY document — the
+    DuckDB sketch CTEs must too (the sh CTE alone drops such docs),
+    and two shingle-less docs must pair at hamming 0 in BOTH engines."""
+    import duckdb
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["only two", "only two", "three token document words here ok"],
+            "lang": ["en"] * 3,
+            "source": ["src0"] * 3,
+            "n_chars": [8, 8, 35],
+        }
+    )
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet", index=False)
+    for name in ("q_llm_simhash", "q_llm_simhash_pairs"):
+        spec = SPECS[name]
+        sdf = spec.builder(spark, sf).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        odf = con.execute(spec.oracle).fetchdf()
+        cols = sorted(sdf.columns)
+        s = sorted(map(tuple, sdf[cols].values.tolist()))
+        o = sorted(map(tuple, odf[cols].values.tolist()))
+        assert s == o, (name, s, o)
+    # the two 2-token docs carry the sentinel hash and pair at 0
+    pairs = SPECS["q_llm_simhash_pairs"].builder(spark, sf).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in pairs] == [(0, 1, 0)]
