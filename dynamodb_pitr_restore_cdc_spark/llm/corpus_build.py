@@ -46,6 +46,8 @@ from .curation import (
     _SPLIT_BUCKET_SQL,
     five_grams,
     mix_rate,
+    mult_hash32,
+    mult_hash32,
     quality_exact_dedup,
     sample_bucket,
     split_bucket,
@@ -135,7 +137,7 @@ def budget_and_pack(mixed: DataFrame) -> DataFrame:
     )
     budgeted = (
         mixed.withColumn(
-            "hk", F.pmod(F.col("doc_id") * F.lit(SPLIT_MULT), F.lit(2**32))
+            "hk", mult_hash32(F.col("doc_id"), SPLIT_MULT)
         )
         .withColumn("cum_budget", F.sum("n_tokens").over(wb))
         .where(F.col("cum_budget") <= SAMPLE_BUDGET_TOKENS)

@@ -24,17 +24,41 @@ from ..sources import table
 from .textstats import _STOP_SQL, STOPWORDS
 
 # Knuth multiplicative hashing: doc_id * 2654435761 mod 2^32, then a
-# per-mille bucket. Stable across engines (pure BIGINT arithmetic; at
-# >2^32 doc_ids widen to the 64-bit constant) and uniform enough for
-# split assignment — cryptographic mixing buys nothing here.
+# per-mille bucket. Stable across engines (pure BIGINT arithmetic) and
+# uniform enough for split assignment — cryptographic mixing buys
+# nothing here.
 SPLIT_MULT = 2654435761
 TRAIN_PERMILLE = 800   # 80 / 10 / 10
 VALID_PERMILLE = 900
 PACK_BUDGET_TOKENS = 1024
 
 
+def mult_hash32(col, mult: int) -> F.Column:
+    """(col mod 2^32) * mult mod 2^32 with every int64 intermediate
+    bounded — the naive ``col * mult`` ANSI-overflows once
+    col ≥ 2^63/mult (≈3.47e9 for SPLIT_MULT: a real wall for a
+    multi-billion-document corpus, found by the round-14 1000× probe).
+    Reduce mod 2^32 FIRST (congruent: (x mod 2^32)·m ≡ x·m mod 2^32),
+    then multiply in 16-bit halves so nothing exceeds 2^48:
+
+        x = hi·2^16 + lo,  hi,lo < 2^16
+        x·m mod 2^32 = ((hi·m mod 2^16)·2^16 + lo·m) mod 2^32
+
+    Value-identical to the old formulation for 0 ≤ col < 2^32 (the
+    entire fixture/oracle domain), so no driver hash moves; past 2^32
+    it returns the mathematically-intended residue instead of raising.
+    """
+    x = F.pmod(col, F.lit(2**32))
+    hi = F.shiftright(x, 16)
+    lo = x.bitwiseAND(F.lit(0xFFFF))
+    return F.pmod(
+        F.pmod(hi * F.lit(mult), F.lit(2**16)) * F.lit(2**16) + lo * F.lit(mult),
+        F.lit(2**32),
+    )
+
+
 def split_bucket(doc_id_col) -> F.Column:
-    return F.pmod(doc_id_col * F.lit(SPLIT_MULT), F.lit(2**32)) % F.lit(1000)
+    return mult_hash32(doc_id_col, SPLIT_MULT) % F.lit(1000)
 
 
 _SPLIT_BUCKET_SQL = f"((doc_id * {SPLIT_MULT}) % 4294967296) % 1000"
@@ -113,7 +137,7 @@ def q_llm_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
-        F.pmod(F.col("doc_id") * F.lit(SPLIT_MULT), F.lit(2**32)).alias("hk"),
+        mult_hash32(F.col("doc_id"), SPLIT_MULT).alias("hk"),
     )
     wo = W.partitionBy("lang").orderBy("hk", "doc_id")
     wrun = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -293,7 +317,7 @@ def sample_bucket(doc_id_col) -> F.Column:
     symmetric with mix_rate — a bare NAME would otherwise silently
     become lit-string arithmetic (NULL buckets, every row filtered)."""
     col = F.col(doc_id_col) if isinstance(doc_id_col, str) else doc_id_col
-    return F.pmod(col * F.lit(SAMPLE_MULT), F.lit(2**32)) % F.lit(1000)
+    return mult_hash32(col, SAMPLE_MULT) % F.lit(1000)
 
 
 def mix_rate(source_col) -> F.Column:
@@ -546,9 +570,9 @@ def q_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unbounded suffix, matching the oracle's substr(source, 4): a
     # length-capped substring would silently diverge past 10 digits
     rate = 100 + (F.expr("substring(source, 4)").cast("bigint") * 97) % 800
-    sample_bucket = F.pmod(F.col("doc_id") * F.lit(SAMPLE_MULT), F.lit(2**32)) % F.lit(1000)
+    b_sample = mult_hash32(F.col("doc_id"), SAMPLE_MULT) % F.lit(1000)
     return (
-        d.select("source", rate.alias("target_permille"), sample_bucket.alias("b"))
+        d.select("source", rate.alias("target_permille"), b_sample.alias("b"))
         .groupBy("source", "target_permille")
         .agg(
             F.count("*").alias("n_total"),
@@ -662,8 +686,8 @@ def q_llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the corpus — the same physical shape as q_win_topk_per_group,
     which is what makes a per-domain cap viable over 100 TB."""
     d = table(spark, sf_dir, "documents")
-    sample_bucket = F.pmod(F.col("doc_id") * F.lit(SAMPLE_MULT), F.lit(2**32)) % F.lit(1000)
-    w = W.partitionBy("source").orderBy(sample_bucket, F.col("doc_id"))
+    b_sample = mult_hash32(F.col("doc_id"), SAMPLE_MULT) % F.lit(1000)
+    w = W.partitionBy("source").orderBy(b_sample, F.col("doc_id"))
     return (
         d.select("doc_id", "source")
         .withColumn("rk", F.row_number().over(w).cast("bigint"))

@@ -757,6 +757,75 @@ _REVERIFY_R14: frozenset[str] = frozenset(
     }
 )
 
+# Round-14 driver record (CORRECTNESS_r14.json): 50/50 window entries
+# hash-matched (the 40-query age-5 r09 cohort rotation, the 10
+# _REVERIFY_R14 seeds, and the fresh q_llm_dedup_dropset_twophase).
+_DRIVER_VERIFIED_R14: frozenset[str] = frozenset(
+    {
+        "q_agg_cube", "q_agg_distinct", "q_agg_groupby", "q_agg_gsets",
+        "q_agg_having", "q_agg_rollup", "q_cdc_attrvalue_roundtrip",
+        "q_cdc_batch_count", "q_cdc_bucketed_sink", "q_cdc_change_deltas",
+        "q_cdc_classify", "q_cdc_control_filter", "q_cdc_dedup_content",
+        "q_cdc_dlq_split", "q_cdc_envelope_roundtrip",
+        "q_cdc_iceberg_optimize_plan", "q_cdc_latest_per_key",
+        "q_cdc_multi_sink", "q_cdc_restore_asof_ts", "q_cdc_restore_report",
+        "q_cdc_schema_evolution", "q_cdc_sink_compaction",
+        "q_cdc_snapshot_rebuild", "q_join_broadcast", "q_join_inner",
+        "q_llm_dedup_dropset_twophase", "q_llm_embed_neardup",
+        "q_llm_jaccard_exact", "q_llm_kmeans", "q_llm_lsh_index_compaction",
+        "q_llm_lsh_index_maintenance", "q_llm_near_dedup",
+        "q_llm_ngram_profile", "q_llm_seq_packing", "q_llm_simhash",
+        "q_llm_simhash_pairs", "q_llm_train_test_split",
+        "q_mm_frame_sample", "q_mm_media_curation", "q_mm_meta_extract",
+        "q_mm_resize_plan", "q_scan_csv_source", "q_scan_json_source",
+        "q_stream_heavy_hitters", "q_stream_lsh_index_ingest",
+        "q_stream_mor_ingest", "q_stream_mor_ingest_iceberg",
+        "q_stream_session", "q_stream_stateful_totals",
+        "q_tpch_q18_large_volume",
+    }
+)
+
+# Queries fronted for driver re-verification in round 15.  The r14
+# obligation (tests/test_llm.py::test_r15_split_bucket_overflow_
+# obligation) lands this round: the whole multiplicative-hash-32
+# family (curation.mult_hash32 — split_bucket, the raw `hk` order
+# keys, and sample_bucket/SAMPLE_MULT, which shared the identical
+# int64 overflow wall at doc_id ≥ ~3.47e9 / ~4.1e9) is reformulated
+# overflow-safe (reduce mod 2^32 FIRST, 16-bit-half multiply;
+# value-identical for 0 ≤ doc_id < 2^32, so no driver hash moves).
+# Seeds = every registered executor of the changed machinery that
+# cannot ride this round's rotation: the 7 the obligation docstring
+# planned, PLUS three consumers that audit found the plan missed —
+# q_llm_corpus_curation (split_bucket at curation.py train filter,
+# newest row r12), q_llm_token_budget_sample (the raw SPLIT_MULT hk,
+# r12), q_llm_domain_mix (inline SAMPLE_MULT bucket, r12) — and
+# q_mm_meta_real, whose builder+oracle extend this round with the
+# stdlib JPEG SOF header parser (r13 row).  q_llm_domain_cap also
+# executes sample_bucket but sits in the age-5 r10 rotation cohort,
+# so its rotation slot IS its seed.  Narrow full-window exception
+# (round-12 rule) invoked for q_llm_train_test_split only: builder
+# and oracle text untouched, it merely executes split_bucket; its
+# newest driver row is age 0 (r14), and the lifecycle is provably
+# identical (obligation test asserts bit-equality over the fixture
+# domain + two-SF parity).  Window math: 11 seeds + 39 of the
+# 43-query age-5 r10 cohort = 50; the 4 cohort tail entries (last in
+# registration order: q_stream_static_join, q_stream_interval_join,
+# q_stream_near_dedup, q_stream_schema_evolution — none execute the
+# changed curation machinery) stay at age 5 and auto-front in r16 by
+# rule 3 (r16 runway: 4 + the 42-query r11 cohort = 46 rotations +
+# 4 seed slots).
+_REVERIFY_R15: frozenset[str] = frozenset(
+    {
+        "q_llm_decontaminate", "q_llm_contamination_report",
+        "q_llm_leakage_audit", "q_stream_decontaminate",
+        "q_llm_corpus_build", "q_stream_corpus_build",
+        "q_llm_pack_manifest_incremental",
+        "q_llm_corpus_curation", "q_llm_token_budget_sample",
+        "q_llm_domain_mix",
+        "q_mm_meta_real",
+    }
+)
+
 
 def all_queries() -> dict[str, QuerySpec]:
     """Import all operator modules (side-effect: registration) and return the registry.
@@ -765,7 +834,7 @@ def all_queries() -> dict[str, QuerySpec]:
     only a ~50-entry window, so ordering IS the coverage policy):
 
     1. ORACLED queries with no driver row in any round (never checked);
-    2. queries re-implemented this round (``_REVERIFY_R14`` — the
+    2. queries re-implemented this round (``_REVERIFY_R15`` — the
        CURRENT round's set; editing an older _REVERIFY_* set does
        nothing, the ordering reads only the newest) — the
        local parity suite is otherwise their only guard;
@@ -840,6 +909,7 @@ def all_queries() -> dict[str, QuerySpec]:
         _DRIVER_VERIFIED_R11,
         _DRIVER_VERIFIED_R12,
         _DRIVER_VERIFIED_R13,
+        _DRIVER_VERIFIED_R14,
     )
 
     def last_checked(n: str) -> int:
@@ -851,14 +921,14 @@ def all_queries() -> dict[str, QuerySpec]:
         n
         for n in order
         if last_checked(n) == 0
-        and n not in _REVERIFY_R14
+        and n not in _REVERIFY_R15
         and n not in rows_only
     ]
     # a rows-only name accidentally listed in a reverify set must not
     # claim a recheck slot (dict first-insert wins, so without this
     # filter it would keep its recheck position despite rule 4) — the
     # _FRONT_ROWS_ONLY_R11 exception below is deliberate and one-shot.
-    recheck = [n for n in order if n in _REVERIFY_R14 and n not in set(rows_only)]
+    recheck = [n for n in order if n in _REVERIFY_R15 and n not in set(rows_only)]
     front_now = (
         _FRONT_ROWS_ONLY_R11
         if len(rounds) == _FRONT_ROWS_ONLY_WHILE_N_ROUNDS
