@@ -318,6 +318,17 @@ def _repack_priced(
     # packed length (round 14: list growth under churn accrues here —
     # the trigger fires exactly when the accumulated list excess
     # outweighs the measured rewrite penalty of consolidating).
+    # Scope note (round-14 advice): ``mlen`` is the FULL manifest-list
+    # length at each past commit (hot manifests included) while
+    # ``ideal`` is computed from the COLD-scoped n_entries, so
+    # list_excess slightly overstates the cold layout's excess and the
+    # measured arm fires a little earlier than a cold-only model
+    # would.  Deliberately conservative: the hot membership of PAST
+    # commits is unknowable from their summaries (hotness is relative
+    # to the current sequence), subtracting the CURRENT hot count
+    # would be a different approximation with the opposite bias, and
+    # the hot set is bounded by REPACK_AGE_FLOOR_COMMITS small
+    # manifests — at most a few lines of the hundreds the arm needs.
     paid = 0
     for rw, rb, mlen in hist:
         list_excess = max(0, mlen - ideal)
@@ -1858,11 +1869,20 @@ FROM (
 -- the engine's _repack_priced model over the COLD subset, verbatim
 -- for THIS lifecycle: (c) shattered cold list, else gated on
 -- cold entries > target: (a) predicted immediate payback —
--- E[excess] >= cold_entries/2.  Rule (b), the measured ski-rental
--- (sum of per-commit rewritten-entries minus removed-buckets x
--- target), is structurally ZERO here: every commit after init is a
--- BLIND append, which rewrites no manifest and removes no file, so
--- its term vanishes and the arm cannot fire on this lifecycle.
+-- E[excess] >= cold_entries/2.  Rule (b), the measured ski-rental,
+-- cannot fire on this lifecycle, but NOT because its terms vanish
+-- (round-14 advice: blind appends zero the rewrite term rw - rb x
+-- target, yet the round-14 LIST term max(0, mlen - ideal) is
+-- nonzero whenever the list outgrows the packed length).  The real
+-- bound is horizon arithmetic: while (c) has not fired, mlen <=
+-- 2*ideal, so each commit banks < ideal and after T commits paid <
+-- T*ideal; (b) needs paid >= cold_entries ~= ideal*target, i.e.
+-- T >= target ~= sqrt(entries) commits.  This drill runs 6 commits
+-- against target = floor(sqrt(entries)) > 6, so (b) stays short of
+-- its threshold here — at long horizons it IS the designed backstop
+-- (the ~commit-300 crossover in the SCALE.md horizon drill), which
+-- tests/test_iceberg_log_sink.py::
+-- test_rule_b_fires_after_c_horizon_on_blind_appends pins.
 WHERE m.manifests > 2 * ((m.entries + m.target - 1) // m.target)
    OR (m.entries > m.target
        AND m.cover > m.target * m.total_w

@@ -50,12 +50,12 @@ REPLICAS = int(os.environ.get("SPARK_GRAFT_REPLICAS", "10"))
 # the full-pairs drop-set lane OOMs the JVM past ~300x (SCALE.md
 # round 13): above this the probe times only the lanes that survive
 PLAIN_LANE_MAX_REPLICAS = 100
-# Replica id stride.  Must keep the largest synthetic doc_id under
-# curation.split_bucket's current int64 domain: doc_id * 2654435761
-# overflows past doc_id ≈ 3.47e9 (ANSI crash — found by THIS probe at
-# 1000x with the old 1e7 stride; the overflow-safe reformulation is
-# the round-15 obligation, tests/test_llm.py::
-# test_r15_split_bucket_overflow_obligation).  1e5 keeps 30,000x safe.
+# Replica id stride.  curation.mult_hash32 (round 15) removed the old
+# int64 overflow wall at doc_id ≈ 3.47e9 (found by THIS probe at 1000x
+# with the old 1e7 stride), but the hash's id domain is mod 2^32 —
+# replicas whose ids straddle a 2^32 boundary would alias split/sample
+# buckets, so the stride still keeps REPLICAS * SHIFT under 2^32
+# (1e5 → 42,949x safe).
 SHIFT = 100_000
 
 
@@ -68,6 +68,15 @@ def main() -> None:
     shutil.rmtree(big, ignore_errors=True)
     os.makedirs(big)
     docs = table(spark, SF_DIR, "documents")
+    # A base corpus with doc_id >= SHIFT would alias replica id spaces
+    # (colliding doc_ids silently corrupt dedup semantics) — fail loud
+    # instead (round-14 advice).
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    assert max_id < SHIFT, (
+        f"base corpus max doc_id {max_id} >= replica stride {SHIFT}: "
+        "replicated ids would collide; raise SHIFT (stay under "
+        "2^32/REPLICAS so mult_hash32's 32-bit id domain is unique)"
+    )
     # replicate via a range crossJoin (a REPLICAS-branch union plan is
     # quadratic to analyze at 100x) and repartition the compact rows
     # BEFORE the fan-out so the write isn't one input split (the

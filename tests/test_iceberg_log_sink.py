@@ -1112,3 +1112,73 @@ def test_single_bucket_table_never_repacks_end_to_end(spark, tmp_path):
     assert not [r for r in plan if r.decision == "REPACK"]
     assert s.rewrite_manifests() == 1  # no-op: fresh-pack-identical
     assert s._latest_meta_num() == meta_num  # zero commits published
+
+
+def test_rule_b_fires_after_c_horizon_on_blind_appends():
+    """Round-14 advice: the optimize_plan oracle omits rule (b) for
+    its blind-append lifecycle, and the reason is NOT that (b)'s terms
+    vanish — the round-14 list term banks max(0, mlen - ideal) > 0
+    whenever the manifest list outgrows the packed length.  Two real
+    mechanisms bound it instead, pinned here on pure blind-append
+    histories ((0, 0, mlen) per commit): the packed gate (cover
+    excess <= 0 returns before (b) — a layout repacking cannot
+    improve never fires, whatever the banked history), and horizon
+    arithmetic (each commit banks < ideal while (c) is short, so (b)
+    needs T >= ~target commits — far past the oracle drill's 6).  At
+    long horizons (b) IS the designed backstop (the SCALE.md horizon
+    drill's ~commit-300 crossover): full-span trickles cross at T=52
+    here, while (c) is still 75 commits away and (a) never fires."""
+    from dynamodb_pitr_restore_cdc_spark.streaming.iceberg_log_sink import (
+        _repack_priced,
+    )
+
+    def m(lo, hi, n):
+        return {
+            "partitions": {"bucket": {"lower": lo, "upper": hi}},
+            "added_files_count": n,
+            "existing_files_count": 0,
+        }
+
+    target = 10
+
+    def lifecycle(span_w, per_append):
+        # init: 100 packed width-1 manifests of `target` entries on
+        # buckets 0..99 (cover excess exactly 0); each append commits
+        # one manifest of per_append entries spanning span_w buckets
+        lists, hists, ns = [[m(i, i, target) for i in range(100)]], [()], [1000]
+        for t in range(1, 140):
+            lo = 0 if span_w > 1 else 100 + t
+            hi = span_w - 1 if span_w > 1 else 100 + t
+            lst = lists[-1] + [m(lo, hi, per_append)]
+            lists.append(lst)
+            ns.append(ns[-1] + per_append)
+            hists.append(hists[-1] + ((0, 0, len(lst)),))
+        return lists, hists, ns
+
+    # (1) bounded horizon: before T = target commits, (b) adds nothing
+    # a history-less call lacks, in both regimes below
+    for span_w, per in ((1, target), (100, 1)):
+        lists, hists, ns = lifecycle(span_w, per)
+        for t in range(1, target):
+            with_hist = _repack_priced(lists[t], ns[t], target, hists[t])
+            without = _repack_priced(lists[t], ns[t], target, ())
+            assert with_hist == without == False  # noqa: E712
+
+    # (2) width-1 appends keep the layout effectively packed (cover
+    # excess <= 0): the packed gate makes (b) unreachable at ANY
+    # horizon, however large the banked list excess
+    lists, hists, ns = lifecycle(1, target)
+    for t in (25, 60, 139):
+        assert not _repack_priced(lists[t], ns[t], target, hists[t])
+
+    # (3) full-span 1-entry trickles (excess > 0 but far from (a)'s
+    # immediate-payback bar): the accumulated list excess crosses the
+    # table's own rewrite cost at T = 52, while (c) needs T = 127 and
+    # (a) never fires — the backstop, firing in the designed order
+    lists, hists, ns = lifecycle(100, 1)
+    for t in (51, 52):
+        ideal = -(-ns[t] // target)
+        assert len(lists[t]) <= 2 * ideal  # (c) quiet
+        assert not _repack_priced(lists[t], ns[t], target, ())  # (a) quiet
+    assert not _repack_priced(lists[51], ns[51], target, hists[51])
+    assert _repack_priced(lists[52], ns[52], target, hists[52])

@@ -703,3 +703,34 @@ def test_simhash_oracle_covers_shingleless_docs(spark, tmp_path):
     # the two 2-token docs carry the sentinel hash and pair at 0
     pairs = SPECS["q_llm_simhash_pairs"].builder(spark, sf).collect()
     assert [(r.doc_a, r.doc_b, r.hamming) for r in pairs] == [(0, 1, 0)]
+
+
+def test_simhash_oracle_ascii_precondition():
+    """Round-14 advice: the DuckDB simhash oracle folds crc32 over
+    ord(char), which equals zlib.crc32's UTF-8 byte only for ASCII —
+    a non-ASCII document would silently diverge from the Spark UDF.
+    Check the precondition over every fixture SF instead of assuming
+    it: if a future fixture generator emits non-ASCII text, this
+    fails loudly and the oracle must switch to folding over
+    encode()'d byte lists."""
+    import glob
+    import os
+
+    import duckdb
+
+    sfs = sorted(glob.glob("/root/testdata/sf*/documents.parquet"))
+    assert sfs, "no fixture SFs found"
+    con = duckdb.connect()
+    for p in sfs:
+        # chars == bytes ⟺ pure ASCII (any multi-byte UTF-8 char makes
+        # strlen exceed length)
+        (n_bad,) = con.execute(
+            "SELECT count(*) FROM read_parquet(?) "
+            "WHERE length(text) != strlen(text)",
+            [p],
+        ).fetchone()
+        assert n_bad == 0, (
+            f"{os.path.dirname(p)}: {n_bad} non-ASCII documents — the "
+            "ord()-based crc32 fold in _SIMHASH_SKETCH_CTES no longer "
+            "matches zlib.crc32 over UTF-8 bytes"
+        )
