@@ -7,22 +7,26 @@ feature-extract / frame-sample run as Arrow-batched Python over
 materializing a partition in memory — the schema, partitioning, UDF
 signature and batch shape here are exactly the production shape.
 
-Codec status (round 7): the UNCOMPRESSED formats are now decoded for
-real — `parse_media_blob` is a pure-stdlib parser of the public BMP
-(BITMAPINFOHEADER and the legacy BITMAPCOREHEADER) and RIFF/WAVE
-container specs: magic sniffing, little-endian header fields, the
-word-aligned RIFF chunk walk, top-down-BMP sign handling. It would
-read any real .bmp/.wav from the wild; `q_mm_meta_real` exercises it
-end-to-end over generated-on-executor real files. The
-NotImplementedError seam has therefore SHRUNK to the compressed
-formats (PNG/JPEG/MP3/H.264 need external codec libs this container
-lacks): `decode_media_batch(..., real_codecs=True)` raises only for
-those, at the single clearly-marked point where PIL/ffmpeg would slot
-in. The default path still computes deterministic fake features from
-the bytes themselves so the generic pipeline is testable end-to-end
-(the fixture "media" is the documents' UTF-8 bytes, so the DuckDB
-oracle can mirror the fakes from n_chars — ASCII text, one byte per
-char).
+Codec status (round 7, extended round 15): the header-parseable
+formats are decoded for real — `parse_media_blob` is a pure-stdlib
+parser of the public BMP (BITMAPINFOHEADER and the legacy
+BITMAPCOREHEADER) and RIFF/WAVE container specs (magic sniffing,
+little-endian header fields, the word-aligned RIFF chunk walk,
+top-down-BMP sign handling) plus the JPEG/JFIF marker stream (ITU
+T.81 segment walk to any SOFn frame header: big-endian dims live in
+marker metadata, so any real .jpg's size reads without a codec). It
+would read any real .bmp/.wav/.jpg header from the wild;
+`q_mm_meta_real` exercises all three end-to-end over
+generated-on-executor real files. The NotImplementedError seam has
+therefore SHRUNK to formats whose metadata needs the coded stream
+(PNG's zlib IDAT, MP3 frames, H.264 NAL decode — external libs this
+container lacks): `decode_media_batch(..., real_codecs=True)` raises
+only for those, at the single clearly-marked point where PIL/ffmpeg
+would slot in. The default path still computes deterministic fake
+features from the bytes themselves so the generic pipeline is
+testable end-to-end (the fixture "media" is the documents' UTF-8
+bytes, so the DuckDB oracle can mirror the fakes from n_chars —
+ASCII text, one byte per char).
 """
 
 from __future__ import annotations
@@ -57,10 +61,10 @@ def decode_media_batch(
         # COMPRESSED formats. Uncompressed BMP/WAV headers are decoded
         # for real by parse_media_blob (q_mm_meta_real path).
         raise NotImplementedError(
-            "compressed-format codecs (PNG/JPEG/MP3/H.264) are not "
-            "available in this environment; parse_media_blob handles the "
-            "stdlib-parseable formats (BMP, WAV) and deterministic fake "
-            "features are the generic test path"
+            "compressed-format codecs (PNG/MP3/H.264 payload decode) are "
+            "not available in this environment; parse_media_blob handles "
+            "the stdlib-parseable formats (BMP, WAV, JPEG headers) and "
+            "deterministic fake features are the generic test path"
         )
     for pdf in it:
         n_bytes = pdf["media"].map(len)
@@ -266,14 +270,52 @@ def wav_bytes(sample_rate: int, n_samples: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# Fixed byte overhead of jpeg_bytes around its entropy payload: SOI(2)
+# + APP0 segment(18) + DQT(69) + SOF0(19) + DHT(22) + SOS(14) + EOI(2).
+JPEG_FIXED_BYTES = 146
+
+
+def jpeg_bytes(width: int, height: int, entropy_len: int = 4) -> bytes:
+    """A structurally spec-conformant baseline JFIF/JPEG (ITU T.81
+    marker stream): SOI, APP0/JFIF, one quantization table, a
+    three-component SOF0 frame header carrying the REAL dimensions
+    (big-endian, height before width — the field order every JPEG
+    sniffer must get right), one Huffman table, SOS, ``entropy_len``
+    stuffing-free entropy bytes, EOI. Every segment length field is
+    exact, so a marker walker that mis-skips any segment lands off a
+    0xFF boundary and fails loudly. len(result) = JPEG_FIXED_BYTES +
+    entropy_len."""
+    app0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    out = b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    dqt = b"\x00" + bytes(range(1, 65))  # Pq/Tq 0 + 64 8-bit entries
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    comps = b"".join(struct.pack("BBB", cid, 0x11, 0) for cid in (1, 2, 3))
+    sof = struct.pack(">BHHB", 8, height, width, 3) + comps
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = b"\x00" + bytes([1] + [0] * 15) + b"\x00"  # one 1-bit code
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    sos = b"\x03" + b"".join(
+        struct.pack("BB", cid, 0) for cid in (1, 2, 3)
+    ) + b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += bytes(entropy_len)  # 0x00 bytes need no 0xFF byte stuffing
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
 def parse_media_blob(blob: bytes) -> dict:
     """The real decode contract: bytes -> typed metadata, by actually
     parsing the public format specs (no libraries). Handles .bmp (both
     BITMAPINFOHEADER and the legacy 12-byte BITMAPCOREHEADER; negative
-    height = top-down row order) and .wav (full word-aligned RIFF chunk
+    height = top-down row order), .wav (full word-aligned RIFF chunk
     walk — unknown chunks like LIST/fact are skipped, fmt and data are
-    read wherever they sit). Anything else is a compressed format and
-    raises at the documented seam."""
+    read wherever they sit), and .jpg HEADERS (round 15: the ITU T.81
+    marker walk to any SOFn frame header — dimensions and component
+    count come from marker metadata, no entropy decode needed, so this
+    reads any real JPEG's size with zero codec libs). Anything else is
+    a compressed format whose metadata lives INSIDE the coded stream
+    and raises at the documented seam."""
     if blob[:2] == b"BM":
         (dib_size,) = struct.unpack_from("<I", blob, 14)
         if dib_size == 12:  # BITMAPCOREHEADER: 16-bit dims
@@ -315,9 +357,39 @@ def parse_media_blob(blob: bytes) -> dict:
             "sample_rate": rate,
             "n_samples": n_samples,
         }
+    if blob[:2] == b"\xff\xd8":  # JPEG SOI: walk the marker stream
+        pos = 2
+        while pos + 4 <= len(blob):
+            if blob[pos] != 0xFF:
+                break  # lost sync: not a well-formed marker stream
+            marker = blob[pos + 1]
+            if marker == 0xFF:
+                pos += 1  # fill bytes before a marker are legal
+                continue
+            if marker in (0x01, 0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+                pos += 2  # standalone markers carry no length field
+                continue
+            (seg_len,) = struct.unpack_from(">H", blob, pos + 2)
+            # any SOFn frame header (C0-CF except DHT C4, JPG C8,
+            # DAC CC) carries precision, height, width, n_components
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                _prec, height, width = struct.unpack_from(">BHH", blob, pos + 4)
+                return {
+                    "media_kind": "image",
+                    "n_bytes": len(blob),
+                    "width": width,
+                    "height": height,
+                    "sample_rate": None,
+                    "n_samples": None,
+                }
+            if marker == 0xDA:
+                break  # scan data begins; a frame header had to precede it
+            pos += 2 + seg_len
+        raise ValueError("JPEG marker stream has no SOF frame header")
     raise NotImplementedError(
-        "compressed media formats (PNG/JPEG/MP3/H.264) need external "
-        "codec libraries not present in this environment"
+        "compressed media formats (PNG/MP3/H.264) need external "
+        "codec libraries not present in this environment (JPEG "
+        "dimensions are header-parsed above; its PIXELS would too)"
     )
 
 
@@ -336,17 +408,21 @@ def decode_real_media_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
 
 def build_real_media_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body: (doc_id, n_chars) -> real media files. Even
-    doc_ids become .bmp images (dims derived from n_chars), odd ones
-    16-bit PCM .wav clips — deterministic, so the oracle can predict
-    every parsed field AND the exact on-disk byte count."""
+    """mapInPandas body: (doc_id, n_chars) -> real media files by
+    doc_id mod 3: .bmp images, 16-bit PCM .wav clips, and (round 15)
+    baseline JFIF .jpg marker streams — all dims/rates derived from
+    n_chars, deterministic, so the oracle can predict every parsed
+    field AND the exact on-disk byte count."""
     for pdf in it:
-        blobs = [
-            bmp_bytes(int(n) % 31 + 1, int(n) % 17 + 1)
-            if int(d) % 2 == 0
-            else wav_bytes(8000 * (int(n) % 3 + 1), int(n) % 100 + 1)
-            for d, n in zip(pdf["doc_id"], pdf["n_chars"])
-        ]
+        blobs = []
+        for d, n in zip(pdf["doc_id"], pdf["n_chars"]):
+            d, n = int(d), int(n)
+            if d % 3 == 0:
+                blobs.append(bmp_bytes(n % 31 + 1, n % 17 + 1))
+            elif d % 3 == 1:
+                blobs.append(wav_bytes(8000 * (n % 3 + 1), n % 100 + 1))
+            else:
+                blobs.append(jpeg_bytes(n % 200 + 16, n % 120 + 16, n % 50 + 4))
         yield pd.DataFrame(
             {"doc_id": pdf["doc_id"].reset_index(drop=True), "media": blobs}
         )
@@ -354,29 +430,35 @@ def build_real_media_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 @register(
     "q_mm_meta_real",
-    oracle="""
+    oracle=f"""
 SELECT doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_kind,
-       CASE WHEN doc_id % 2 = 0
-            THEN 54 + (n_chars % 17 + 1) * (((n_chars % 31 + 1) * 3 + 3) // 4 * 4)
-            ELSE 44 + (n_chars % 100 + 1) * 2 END AS n_bytes,
-       CASE WHEN doc_id % 2 = 0 THEN n_chars % 31 + 1 END AS width,
-       CASE WHEN doc_id % 2 = 0 THEN n_chars % 17 + 1 END AS height,
-       CASE WHEN doc_id % 2 = 1 THEN 8000 * (n_chars % 3 + 1) END AS sample_rate,
-       CASE WHEN doc_id % 2 = 1 THEN n_chars % 100 + 1 END AS n_samples
+       CASE WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'image' END AS media_kind,
+       CASE doc_id % 3
+            WHEN 0 THEN 54 + (n_chars % 17 + 1) * (((n_chars % 31 + 1) * 3 + 3) // 4 * 4)
+            WHEN 1 THEN 44 + (n_chars % 100 + 1) * 2
+            ELSE {JPEG_FIXED_BYTES} + n_chars % 50 + 4 END AS n_bytes,
+       CASE doc_id % 3 WHEN 0 THEN n_chars % 31 + 1
+                       WHEN 2 THEN n_chars % 200 + 16 END AS width,
+       CASE doc_id % 3 WHEN 0 THEN n_chars % 17 + 1
+                       WHEN 2 THEN n_chars % 120 + 16 END AS height,
+       CASE WHEN doc_id % 3 = 1 THEN 8000 * (n_chars % 3 + 1) END AS sample_rate,
+       CASE WHEN doc_id % 3 = 1 THEN n_chars % 100 + 1 END AS n_samples
 FROM documents
 """,
 )
 def q_mm_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real-codec path end to end: executors GENERATE actual
-    .bmp/.wav files (spec-conformant headers + payload) as a binary
-    column, then a second Arrow stage decodes them with the stdlib
-    header parsers — magic sniffing, little-endian field extraction,
-    RIFF chunk walk. The oracle predicts every parsed field from the
-    generator arithmetic, including the exact file byte counts (BMP row
-    padding, WAV 44-byte canonical header), so a parser that misread
-    any header field hash-mismatches. This shrinks the media seam: only
-    compressed formats remain behind NotImplementedError."""
+    .bmp/.wav/.jpg files (spec-conformant headers + payload) as a
+    binary column, then a second Arrow stage decodes them with the
+    stdlib header parsers — magic sniffing, little-endian field
+    extraction, RIFF chunk walk, and (round 15) the JPEG marker walk
+    to the SOF0 frame header. The oracle predicts every parsed field
+    from the generator arithmetic, including the exact file byte
+    counts (BMP row padding, WAV 44-byte canonical header, JPEG
+    fixed marker overhead + entropy run), so a parser that misread
+    any header field hash-mismatches. This shrinks the media seam
+    another format: only stream-embedded-metadata formats (PNG/MP3/
+    H.264 payload decode) remain behind NotImplementedError."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     blobs = docs.mapInPandas(
         build_real_media_batch, schema="doc_id long, media binary"

@@ -82,3 +82,46 @@ def test_wav_data_chunk_before_fmt_chunk():
     blob = b"RIFF" + struct.pack("<I", len(body)) + body
     m = parse_media_blob(blob)
     assert (m["sample_rate"], m["n_samples"]) == (8000, 7)
+
+
+def test_jpeg_roundtrip_exact_size():
+    from dynamodb_pitr_restore_cdc_spark.llm.multimodal import (
+        JPEG_FIXED_BYTES,
+        jpeg_bytes,
+    )
+
+    blob = jpeg_bytes(211, 97, entropy_len=33)
+    m = parse_media_blob(blob)
+    assert m["media_kind"] == "image"
+    assert (m["width"], m["height"]) == (211, 97)
+    assert m["n_bytes"] == len(blob) == JPEG_FIXED_BYTES + 33
+    assert m["sample_rate"] is None and m["n_samples"] is None
+
+
+def test_jpeg_progressive_sof2_and_extra_appn_segments():
+    # a camera-style file: APP1/EXIF and a comment before a
+    # PROGRESSIVE (SOF2) frame header — the walker must skip unknown
+    # segments by their exact length and accept any SOFn, plus legal
+    # 0xFF fill bytes before a marker (T.81 B.1.1.2)
+    exif = b"Exif\x00\x00" + bytes(20)
+    com = b"shot on a real camera"
+    sof2 = struct.pack(">BHHB", 8, 480, 640, 3) + bytes.fromhex("011100021100031100")
+    blob = (
+        b"\xff\xd8"
+        + b"\xff\xe1" + struct.pack(">H", 2 + len(exif)) + exif
+        + b"\xff\xfe" + struct.pack(">H", 2 + len(com)) + com
+        + b"\xff"  # fill byte
+        + b"\xff\xc2" + struct.pack(">H", 2 + len(sof2)) + sof2
+        + b"\xff\xd9"
+    )
+    m = parse_media_blob(blob)
+    assert (m["width"], m["height"]) == (640, 480)
+
+
+def test_jpeg_without_frame_header_fails_loudly():
+    import pytest as _pytest
+
+    # SOI then straight to SOS: no SOFn before scan data is malformed
+    blob = b"\xff\xd8" + b"\xff\xda" + struct.pack(">H", 3) + b"\x00"
+    with _pytest.raises(ValueError, match="no SOF"):
+        parse_media_blob(blob)
