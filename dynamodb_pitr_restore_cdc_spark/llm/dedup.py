@@ -139,7 +139,16 @@ def band_array(docs: DataFrame) -> DataFrame:
     signature via the Arrow-vectorized UDF, then the per-band hashes
     as ONE array column — THE band-hash definition (to_band_buckets
     and the CDC-maintained index both derive from it; a banding tweak
-    can never desynchronize them)."""
+    can never desynchronize them).
+
+    Fan-out rebalance (SCALE.md round-5 note, r15 measurement): a
+    corpus/batch frame usually arrives as ONE input split, so the
+    signature UDF — the only genuinely expensive per-row work in the
+    index write path — would run on a single core. The compact
+    (doc_id, text) rows are exchanged round-robin across
+    defaultParallelism first; the r15 profile showed the single-task
+    signature stage dominating every LshIndex.init/upsert job."""
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     return docs.withColumn("sig", minhash_signature("text")).select(
         "doc_id",
         F.expr(

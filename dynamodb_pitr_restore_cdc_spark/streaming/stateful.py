@@ -45,14 +45,21 @@ def running_totals(
 ) -> Iterator[pd.DataFrame]:
     """Accumulate (count, cent-sum, max seq) per key across batches and
     emit the updated totals each time the key appears."""
+    import numpy as np
+
     if state.exists:
         n, s, m = state.get
     else:
         n, s, m = 0, 0, -1
     for pdf in pdfs:
         n += len(pdf)
-        s += int(pdf["payload_value"].mul(100).round().astype("int64").sum())
-        m = max(m, int(pdf["seq_no"].max()))
+        # same arithmetic as the pandas chain it replaces (np.rint is
+        # the identical half-to-even), one allocation instead of four —
+        # this function runs once per (key, batch), so constant factors
+        # multiply by key cardinality (r15 profile)
+        v = pdf["payload_value"].to_numpy()
+        s += int(np.rint(v * 100).astype("int64").sum())
+        m = max(m, int(pdf["seq_no"].to_numpy().max()))
     state.update((n, s, m))
     yield pd.DataFrame(
         {"key": [key[0]], "n_events": [n], "sum_value_c": [s], "max_seq": [m]}

@@ -32,6 +32,7 @@ which is correct under arbitrary reordering.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import tempfile
@@ -50,6 +51,30 @@ from .cdc_stream import CHANGELOG_STREAM_SCHEMA, run_cdc_apply
 # ---------------------------------------------------------------------------
 # deterministic file-split helpers for real streaming runs
 # ---------------------------------------------------------------------------
+
+# Per-drill shuffle width for the keyed test streams (state stores,
+# foreachBatch window passes over O(users) rows). Each streaming state
+# partition is a store checkpointed EVERY micro-batch, and each batch
+# job pays per-task scheduling, so a small keyed stream wants a few
+# wide partitions, not cores-many. Parameterized (env) with a local
+# default of 4 — at 100 TB this is sized to key cardinality / executor
+# count, exactly like spark.sql.shuffle.partitions itself.
+STREAM_DRILL_WIDTH = int(os.environ.get("SPARK_GRAFT_STREAM_WIDTH", "4"))
+
+
+@contextlib.contextmanager
+def pinned_shuffle_width(spark: SparkSession, n: int | None = None):
+    """Pin spark.sql.shuffle.partitions for a streaming drill, RESTORED
+    in a finally (the streaming invariant in CLAUDE.md). Streams started
+    under the pin keep it: micro-batch execution clones the session conf
+    at start."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n or STREAM_DRILL_WIDTH))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
 
 def _fresh_dir(tag: str) -> str:
     d = os.path.join(
@@ -263,15 +288,24 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = stream.groupBy(F.window("ts", "1 hour")).agg(F.count("*").alias("n_events"))
     name = f"wm_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state-shuffle width pinned like the stateful.py family: each
+    # shuffle partition is a state store checkpointed EVERY micro-batch,
+    # so a small keyed stream wants few wide stores, not cores-many
+    # (r15 profile: the 32-wide batches each cost ~3x their 4-wide twin)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     result = tracked_persist(
         spark.table(name).select(
             F.unix_micros(F.col("window.start")).alias("window_start_us"), "n_events"
@@ -311,16 +345,24 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
     name = f"dedup_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.select("seq_no", "key", "op", "content_hash")
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state-shuffle width pinned to a few wide stores (stateful.py
+    # rationale; the dedup state op checkpoints one store per shuffle
+    # partition per micro-batch — r15 profile: 1.3-1.5s per 32-wide batch)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        q = (
+            stream.select("seq_no", "key", "op", "content_hash")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     result = tracked_persist(spark.table(name))
     result.count()
     shutil.rmtree(src, ignore_errors=True)

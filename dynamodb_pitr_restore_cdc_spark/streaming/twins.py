@@ -52,7 +52,12 @@ from ..operators.behavior import (
 )
 from ..registry import register, tracked_persist
 from ..sources import table
-from .stream_queries import _fresh_dir, _ts_tertiles, _write_split_files
+from .stream_queries import (
+    _fresh_dir,
+    _ts_tertiles,
+    _write_split_files,
+    pinned_shuffle_width,
+)
 from .util import atomic_write_text
 
 
@@ -105,6 +110,11 @@ def _set_pointer(pointer: str, path: str) -> None:
     atomic_write_text(pointer, path)
 
 
+_SESSION_STORE_SCHEMA = (
+    "user_id long, start_us long, end_us long, n_events long, value_c long"
+)
+
+
 def run_session_stream(spark: SparkSession, src: str, work: str) -> str:
     """Drain every available event split in `src` into the versioned
     session store under `work`; returns the final store path.
@@ -139,7 +149,9 @@ def run_session_stream(spark: SparkSession, src: str, work: str) -> str:
         if new_path == state["path"]:  # replayed epoch (see run_cdc_apply)
             return
         sess = batch_df.sparkSession
-        store = sess.read.parquet(state["path"])
+        # explicit schema: an inferred read costs a footer-listing job
+        # per micro-batch (r15 profile), and the store schema is ours
+        store = sess.read.schema(_SESSION_STORE_SCHEMA).parquet(state["path"])
         merged = _merge_session_intervals(
             store.unionByName(_sessionize_events(batch_df))
         )
@@ -182,7 +194,9 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, work = _fresh_dir("sess-src"), _fresh_dir("sess-work")
     _write_split_files(e, [us <= p1, (us > p1) & (us <= p2), us > p2], src)
 
-    final = spark.read.parquet(run_session_stream(spark, src, work))
+    with pinned_shuffle_width(spark):
+        final_path = run_session_stream(spark, src, work)
+    final = spark.read.schema(_SESSION_STORE_SCHEMA).parquet(final_path)
     ordinal = W.partitionBy("user_id").orderBy("start_us")
     result = tracked_persist(
         final.select(
@@ -498,7 +512,8 @@ def q_stream_alert_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, work, out = _fresh_dir("alrt-src"), _fresh_dir("alrt-work"), _fresh_dir("alrt-out")
     _write_split_files(cl, [s <= c1, (s > c1) & (s <= c2), s > c2], src)
 
-    run_alert_stream(spark, src, work, out)
+    with pinned_shuffle_width(spark):
+        run_alert_stream(spark, src, work, out)
     result = tracked_persist(read_routed_alerts(spark, out))
     result.count()  # materialize before removing the backing dirs
     for d in (src, work, out):
@@ -512,6 +527,9 @@ def _hourly(batch: DataFrame) -> DataFrame:
     return batch.groupBy(
         "user_id", F.expr("(us div 3600000000) * 3600000000").alias("hus")
     ).agg(F.sum("value_c").alias("value_c"))
+
+
+_EWMA_TAIL_SCHEMA = "user_id long, hus long, value_c long"
 
 
 def run_ewma_stream(spark: SparkSession, src: str, work: str, out: str) -> None:
@@ -543,7 +561,9 @@ def run_ewma_stream(spark: SparkSession, src: str, work: str, out: str) -> None:
         if new_path == state["path"]:  # replayed epoch
             return
         sess = batch_df.sparkSession
-        tail = sess.read.parquet(state["path"]).withColumn("is_new", F.lit(0))
+        tail = sess.read.schema(_EWMA_TAIL_SCHEMA).parquet(
+            state["path"]
+        ).withColumn("is_new", F.lit(0))
         combined = tail.unionByName(_hourly(batch_df).withColumn("is_new", F.lit(1)))
         w = W.partitionBy("user_id").orderBy("hus")
         lagged = combined.select(
@@ -655,7 +675,8 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _write_split_files(e, [us < h1, (us >= h1) & (us < h2), us >= h2], src)
 
-    run_ewma_stream(spark, src, work, out)
+    with pinned_shuffle_width(spark):
+        run_ewma_stream(spark, src, work, out)
     result = tracked_persist(read_emitted_ewma(spark, out))
     result.count()  # materialize before removing the backing dirs
     for d in (src, work, out):
@@ -664,6 +685,13 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- streaming CUSUM: prefix-carryover change-point scan -------------------
+
+_CUSUM_STORE_SCHEMA = (
+    "user_id long, t long, csum long, "
+    "best struct<negdev: bigint, rn: bigint, ts_us: bigint>"
+)
+_CUSUM_STATS_SCHEMA = "user_id long, n long, s1 long"
+
 
 def run_cusum_stream(spark: SparkSession, src: str, work: str, stats_path: str) -> str:
     """Drain time-ordered event splits in `src`, maintaining per user a
@@ -703,8 +731,8 @@ def run_cusum_stream(spark: SparkSession, src: str, work: str, stats_path: str) 
         if new_path == state["path"]:  # replayed epoch
             return
         sess = batch_df.sparkSession
-        store = sess.read.parquet(state["path"])
-        stats = sess.read.parquet(stats_path)
+        store = sess.read.schema(_CUSUM_STORE_SCHEMA).parquet(state["path"])
+        stats = sess.read.schema(_CUSUM_STATS_SCHEMA).parquet(stats_path)
         w = W.partitionBy("user_id").orderBy("us", "event_id")
         wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
         scored = (
@@ -776,8 +804,8 @@ def run_cusum_stream(spark: SparkSession, src: str, work: str, stats_path: str) 
 def read_cusum_store(spark: SparkSession, store_path: str, stats_path: str) -> DataFrame:
     """Final candidate store + final stats → the batch-twin output shape
     (every user with events has a best candidate by construction)."""
-    store = spark.read.parquet(store_path)
-    stats = spark.read.parquet(stats_path)
+    store = spark.read.schema(_CUSUM_STORE_SCHEMA).parquet(store_path)
+    stats = spark.read.schema(_CUSUM_STATS_SCHEMA).parquet(stats_path)
     return store.join(F.broadcast(stats), "user_id").select(
         "user_id",
         F.col("best.ts_us").alias("cp_ts_us"),
@@ -821,7 +849,8 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.sum("vc").alias("s1")
     ).write.mode("overwrite").parquet(stats_path)
 
-    final = run_cusum_stream(spark, src, work, stats_path)
+    with pinned_shuffle_width(spark):
+        final = run_cusum_stream(spark, src, work, stats_path)
     result = tracked_persist(read_cusum_store(spark, final, stats_path))
     result.count()  # materialize before removing the backing dirs
     shutil.rmtree(src, ignore_errors=True)
@@ -830,6 +859,12 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- streaming Holt-Winters: two-phase seasonal smoothing -----------------
+
+_HW_TAIL_SCHEMA = (
+    "user_id long, hus long, vc long, s1_c long, level_c long, tr3 long"
+)
+_HW_SEAS_SCHEMA = "user_id long, hod long, seas_c long"
+
 
 def run_hw_stream(
     spark: SparkSession, src: str, work: str, out: str, seas_path: str
@@ -878,7 +913,9 @@ def run_hw_stream(
         if new_path == state["path"]:  # replayed epoch
             return
         sess = batch_df.sparkSession
-        tail = sess.read.parquet(state["path"]).withColumn("is_new", F.lit(0))
+        tail = sess.read.schema(_HW_TAIL_SCHEMA).parquet(
+            state["path"]
+        ).withColumn("is_new", F.lit(0))
         newh = (
             _hourly(batch_df)
             .select(
@@ -891,7 +928,7 @@ def run_hw_stream(
             )
             .withColumn("is_new", F.lit(1))
         )
-        seas = sess.read.parquet(seas_path)  # (user_id, hod, seas_c)
+        seas = sess.read.schema(_HW_SEAS_SCHEMA).parquet(seas_path)
         comb = (
             tail.unionByName(newh)
             .withColumn("hod", F.expr("(hus div 3600000000) % 24"))
@@ -1075,9 +1112,9 @@ def q_stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _write_split_files(e, [us < h1, (us >= h1) & (us < h2), us >= h2], src)
     seas_path = os.path.join(work, "seas")
-    write_hw_seasonal_index(e, seas_path)
-
-    run_hw_stream(spark, src, work, out, seas_path)
+    with pinned_shuffle_width(spark):
+        write_hw_seasonal_index(e, seas_path)
+        run_hw_stream(spark, src, work, out, seas_path)
     result = tracked_persist(read_emitted_hw(spark, out))
     result.count()  # materialize before removing the backing dirs
     for d in (src, work, out):
@@ -1188,7 +1225,9 @@ def run_heavy_hitters_stream(
         if new_path == state["path"]:  # replayed epoch
             return
         sess = batch_df.sparkSession
-        summary = sess.read.parquet(state["path"])
+        summary = sess.read.schema("key long, est long, err long").parquet(
+            state["path"]
+        )
         bcounts = batch_df.groupBy(F.col("user_id").alias("key")).agg(
             F.count("*").alias("bcnt")
         )
@@ -1248,7 +1287,8 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, work = _fresh_dir("hh-src"), _fresh_dir("hh-work")
     _write_split_files(e, [us <= p1, (us > p1) & (us <= p2), us > p2], src)
 
-    path, wm = run_heavy_hitters_stream(spark, src, work)
+    with pinned_shuffle_width(spark):
+        path, wm = run_heavy_hitters_stream(spark, src, work)
     if wm:
         # the exactness precondition, asserted rather than assumed: a
         # risen watermark means capacity < distinct keys at this SF, so
@@ -1361,24 +1401,25 @@ def _mor_ingest_drill(spark: SparkSession, sf_dir: str, sink_of) -> DataFrame:
         src,
     )
     sink = sink_of(spark, os.path.join(base, "t"))
-    sink.init(fold_changelog(cl.where(seq <= c1)))
-    run_mor_ingest_stream(spark, src, work, sink)
-    plan = sink.optimize_plan(
-        small_file_rows=100, min_small_files=2, tombstone_pct=10
-    ).collect()  # ≤ n_buckets+1 rows: orchestration, not data
-    to_compact = {r.bucket for r in plan if r.decision == "COMPACT"}
-    if to_compact:
-        sink.compact_mor(to_compact)
-    if any(r.decision == "REPACK" for r in plan):
-        # only the manifest-tree format prices fragmentation; applying
-        # its decision here is what keeps per-commit metadata flat
-        # WITHOUT operator intervention (round-10 verdict item 4) —
-        # metadata-only commit, visible() provably unchanged
-        sink.rewrite_manifests()
-    result = tracked_persist(
-        sink.visible().select("key", "last_seq", "payload_value")
-    )
-    result.count()  # materialize before the backing dirs go away
+    with pinned_shuffle_width(spark):
+        sink.init(fold_changelog(cl.where(seq <= c1)))
+        run_mor_ingest_stream(spark, src, work, sink)
+        plan = sink.optimize_plan(
+            small_file_rows=100, min_small_files=2, tombstone_pct=10
+        ).collect()  # ≤ n_buckets+1 rows: orchestration, not data
+        to_compact = {r.bucket for r in plan if r.decision == "COMPACT"}
+        if to_compact:
+            sink.compact_mor(to_compact)
+        if any(r.decision == "REPACK" for r in plan):
+            # only the manifest-tree format prices fragmentation; applying
+            # its decision here is what keeps per-commit metadata flat
+            # WITHOUT operator intervention (round-10 verdict item 4) —
+            # metadata-only commit, visible() provably unchanged
+            sink.rewrite_manifests()
+        result = tracked_persist(
+            sink.visible().select("key", "last_seq", "payload_value")
+        )
+        result.count()  # materialize before the backing dirs go away
     for dpath in (src, work, base):
         shutil.rmtree(dpath, ignore_errors=True)
     return result
@@ -1442,7 +1483,6 @@ def q_stream_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         cl, [(seq > c1) & (seq <= cw), seq > cw], src
     )
     sink = DeltaLogSink(spark, os.path.join(base, "t"))
-    sink.init(fold_changelog(cl.where(seq <= c1)))
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if int(epoch_id) == 0:
@@ -1450,26 +1490,28 @@ def q_stream_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_df = batch_df.drop("payload_props")
         sink.append(batch_df)
 
-    q = (
-        spark.readStream.schema(
-            "seq_no long, op string, key long, payload_value double, "
-            "payload_props string"
+    with pinned_shuffle_width(spark):
+        sink.init(fold_changelog(cl.where(seq <= c1)))
+        q = (
+            spark.readStream.schema(
+                "seq_no long, op string, key long, payload_value double, "
+                "payload_props string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(work, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-        .writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", os.path.join(work, "_checkpoint"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    sink.compact_mor(set(range(sink.n_buckets)))
-    result = tracked_persist(
-        sink.visible().select(
-            "key", "last_seq", "payload_value", "payload_props"
+        q.awaitTermination()
+        sink.compact_mor(set(range(sink.n_buckets)))
+        result = tracked_persist(
+            sink.visible().select(
+                "key", "last_seq", "payload_value", "payload_props"
+            )
         )
-    )
-    result.count()  # materialize before the backing dirs go away
+        result.count()  # materialize before the backing dirs go away
     for dpath in (src, work, base):
         shutil.rmtree(dpath, ignore_errors=True)
     return result
