@@ -206,8 +206,13 @@ def five_grams(df) -> "DataFrame":
     streaming twin and both corpus-build capstones all derive from it;
     a gram-shape change can never desynchronize their shared oracles).
     Map-side explode only; the size guard keeps sequence() ascending
-    (size-4 >= 1)."""
-    w = df.select("doc_id", F.split("text", " ").alias("w"))
+    (size-4 >= 1). The compact (doc_id, words) rows are rebalanced
+    before the gram fan-out: corpus frames arrive as ONE input split,
+    so the explode (the pipeline's biggest row multiplier) would run
+    on a single core (SCALE.md round-5 pattern, r15 profile)."""
+    w = df.select("doc_id", F.split("text", " ").alias("w")).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     return w.where(F.size("w") >= 5).select(
         "doc_id",
         F.explode(
@@ -977,18 +982,28 @@ def q_llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword heavy-hitters map-side — joined back (equi-shaped, AQE
     skew-splittable) and rolled up per doc; each occurrence
     contributes m × the quantized term."""
-    d = table(spark, sf_dir, "documents")
+    d = (
+        table(spark, sf_dir, "documents")
+        # split once (the old expr re-evaluated split(text) three times
+        # per row) and rebalance the compact rows before the bigram
+        # fan-out: the corpus is one input split, so the explode and
+        # the (doc, bigram) partial agg otherwise run on a single core
+        # (r15 profile: a 3.3 s one-task stage — the SCALE.md round-5
+        # fan-out pattern)
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     bi = d.select(
         "doc_id",
         F.explode(
             # size guard first: sequence(1, 0) yields [1, 0] (descending),
             # not empty — the CLAUDE.md comprehension gotcha
             F.expr(
-                "CASE WHEN size(split(text, ' ')) < 2 THEN"
+                "CASE WHEN size(t) < 2 THEN"
                 " CAST(array() AS array<struct<w1: string, w2: string>>)"
-                " ELSE transform(sequence(1, size(split(text, ' ')) - 1),"
-                " i -> struct(element_at(split(text, ' '), i) AS w1,"
-                "             element_at(split(text, ' '), i + 1) AS w2)) END"
+                " ELSE transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1,"
+                "             element_at(t, i + 1) AS w2)) END"
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")

@@ -331,12 +331,11 @@ def _run_maintenance(
     table maintenance on the index state happens in production (the
     compaction-under-query drill injects optimize_plan → compact_mor
     there)."""
+    from ..streaming.util import pinned_shuffle_width
+
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     base = tempfile.mkdtemp(prefix="lshidx-")
     idx = LshIndex(spark, os.path.join(base, "t"))
-    idx.init(docs.where(F.col("doc_id") % _UPSERT_MOD != 2), seq=1)
-    v0 = idx.version()
-    idx.upsert(docs.where(F.col("doc_id") % _UPSERT_MOD == 2), seq=2)
     edited = (
         docs.where(F.col("doc_id") % _EDIT_MOD == 3)
         .alias("r")
@@ -346,12 +345,21 @@ def _run_maintenance(
         )
         .select("doc_id", F.col("p_text").alias("text"))
     )
-    idx.upsert(edited, seq=3)
-    if mid_hook is not None:
-        mid_hook(idx)
-    idx.remove(
-        docs.where(F.col("doc_id") % _REMOVE_MOD == 5).select("doc_id"), seq=4
-    )
+    # maintenance epochs run under the drill shuffle width — every sink
+    # write is an O(batch) blind append whose generic shuffles don't
+    # need cores-many partitions (the signature UDF stage keeps its own
+    # explicit defaultParallelism fan-out inside band_array); the PAIR
+    # query afterwards runs at session width — that's the real compute
+    with pinned_shuffle_width(spark):
+        idx.init(docs.where(F.col("doc_id") % _UPSERT_MOD != 2), seq=1)
+        v0 = idx.version()
+        idx.upsert(docs.where(F.col("doc_id") % _UPSERT_MOD == 2), seq=2)
+        idx.upsert(edited, seq=3)
+        if mid_hook is not None:
+            mid_hook(idx)
+        idx.remove(
+            docs.where(F.col("doc_id") % _REMOVE_MOD == 5).select("doc_id"), seq=4
+        )
     # the corpus as the index should now see it (edits applied from the
     # pre-retraction texts, retractions last — same order as the seqs)
     raw = docs
@@ -430,16 +438,19 @@ WITH {_FINAL_CORPUS_SQL},
         candidate set and break the hash."""
         from .kmeans import _quantized
 
+        from ..streaming.util import pinned_shuffle_width
+
         q = _quantized(spark, sf_dir)
         mx = q.agg(F.max("vec_id")).first()[0]  # orchestration scalar
         c2 = (2 * int(mx)) // 3
         base = tempfile.mkdtemp(prefix="ivfidx-")
         idx = IvfIndex(spark, os.path.join(base, "t"))
-        idx.init(q.where(F.col("vec_id") <= c2), seq=1)
-        idx.upsert(q.where(F.col("vec_id") > c2), seq=2)
-        idx.remove(
-            q.where(F.col("vec_id") % _REMOVE_MOD == 5).select("vec_id"), seq=3
-        )
+        with pinned_shuffle_width(spark):
+            idx.init(q.where(F.col("vec_id") <= c2), seq=1)
+            idx.upsert(q.where(F.col("vec_id") > c2), seq=2)
+            idx.remove(
+                q.where(F.col("vec_id") % _REMOVE_MOD == 5).select("vec_id"), seq=3
+            )
         from .similarity import _as_double
 
         floats = table(spark, sf_dir, "embeddings").select(

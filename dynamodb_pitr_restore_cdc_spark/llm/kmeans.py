@@ -50,7 +50,14 @@ def int_sq_dist():
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings")
+    # rebalance off the one-split scan: every trainer/encoder stage
+    # downstream (Lloyd assigns, PQ codebooks, residual encode) inherits
+    # this partitioning through its localCheckpoints, so without the
+    # exchange the whole ANN family's integer vector math runs on a
+    # single core (r15 profile: 0.9-1.4 s one-task stages per iteration)
+    e = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return e.select("vec_id", quantize_expr(F.col("embedding")).alias("qv"))
 
 

@@ -179,7 +179,13 @@ def q_cdc_attrvalue_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact (the float is pinned to its %.2f text form), base64 makes B
     byte-exact, and the oracle computes every expected value straight
     from the changelog — any serialization loss breaks the hash."""
-    cl = changelog(spark, sf_dir)
+    # rebalance before the tagged-union serialize: the changelog scan is
+    # one input split, so the to_json/from_json detour — the query's
+    # whole point and cost — would run on a single core (r15 profile:
+    # a 2.5 s one-task stage)
+    cl = changelog(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     b64_props = F.base64(F.col("payload_props").cast("binary"))
     image = F.when(
         F.col("op") != "REMOVE",
@@ -289,7 +295,11 @@ def q_cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     effect per key. The oracle bypasses the JSON detour entirely — any
     serialization loss (doubles, nulls for REMOVE images) would break
     the hash match."""
-    cl = changelog(spark, sf_dir)
+    # same one-split rebalance as the AttributeValue drill: the JSON
+    # detour is the per-row cost worth spreading
+    cl = changelog(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     enveloped = to_envelope_json(cl)
     reparsed = parse_envelope(enveloped)
     return latest_per_key(reparsed).select("key", "seq_no", "op", "payload_value")

@@ -1005,6 +1005,7 @@ def _register_delta_fold() -> None:
 
     from ..operators.cdc import changelog, fold_changelog, with_changelog
     from ..registry import register, tracked_persist
+    from .util import pinned_shuffle_width
 
     @register(
         "q_cdc_delta_log_fold",
@@ -1038,18 +1039,19 @@ FROM (
         c1, c2 = max_seq // 3, (2 * max_seq) // 3
         base = tempfile.mkdtemp(prefix="deltafold-")
         sink = DeltaLogSink(spark, os.path.join(base, "t"))
-        sink.init(fold_changelog(cl.where(F.col("seq_no") <= c1)))
-        sink.apply_batch(
-            cl.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2))
-        )
-        sink.apply_batch(cl.where(F.col("seq_no") > c2))
-        sink.compact(reorder_horizon_seq=int(max_seq) + 1)
-        # grace 0 is safe here: this builder is the table's only writer
-        sink.expire_versions(keep_last=2, sweep_orphans=True, orphan_grace_s=0.0)
-        result = tracked_persist(
-            sink.visible().select("key", "last_seq", "payload_value")
-        )
-        result.count()  # materialize before the backing dirs go away
+        with pinned_shuffle_width(spark):
+            sink.init(fold_changelog(cl.where(F.col("seq_no") <= c1)))
+            sink.apply_batch(
+                cl.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2))
+            )
+            sink.apply_batch(cl.where(F.col("seq_no") > c2))
+            sink.compact(reorder_horizon_seq=int(max_seq) + 1)
+            # grace 0 is safe here: this builder is the table's only writer
+            sink.expire_versions(keep_last=2, sweep_orphans=True, orphan_grace_s=0.0)
+            result = tracked_persist(
+                sink.visible().select("key", "last_seq", "payload_value")
+            )
+            result.count()  # materialize before the backing dirs go away
         shutil.rmtree(base, ignore_errors=True)
         return result
 
@@ -1092,19 +1094,20 @@ FROM (
         base = tempfile.mkdtemp(prefix="deltaevo-")
         sink = DeltaLogSink(spark, os.path.join(base, "t"))
         narrow = cl.drop("payload_props")
-        sink.init(fold_changelog(narrow.where(F.col("seq_no") <= c1)))
-        sink.apply_batch(
-            narrow.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2))
-        )
-        sink.apply_batch(cl.where(F.col("seq_no") > c2))  # evolves
-        # grace 0 is safe here: this builder is the table's only writer
-        sink.expire_versions(keep_last=2, sweep_orphans=True, orphan_grace_s=0.0)
-        result = tracked_persist(
-            sink.visible().select(
-                "key", "last_seq", "payload_value", "payload_props"
+        with pinned_shuffle_width(spark):
+            sink.init(fold_changelog(narrow.where(F.col("seq_no") <= c1)))
+            sink.apply_batch(
+                narrow.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2))
             )
-        )
-        result.count()  # materialize before the backing dirs go away
+            sink.apply_batch(cl.where(F.col("seq_no") > c2))  # evolves
+            # grace 0 is safe here: this builder is the table's only writer
+            sink.expire_versions(keep_last=2, sweep_orphans=True, orphan_grace_s=0.0)
+            result = tracked_persist(
+                sink.visible().select(
+                    "key", "last_seq", "payload_value", "payload_props"
+                )
+            )
+            result.count()  # materialize before the backing dirs go away
         shutil.rmtree(base, ignore_errors=True)
         return result
 
@@ -1179,21 +1182,22 @@ FROM base b FULL OUTER JOIN deltas d ON b.bucket = d.bucket
         sink = DeltaLogSink(
             spark, os.path.join(base, "t"), n_buckets=8, transform="mod"
         )
-        sink.init(fold_changelog(cl.where(F.col("seq_no") <= c1)))
         bounds = [c1 + (i * d) // 6 for i in range(7)]
-        for i in range(1, 7):
-            sink.append(
-                cl.where(
-                    (F.col("seq_no") > bounds[i - 1])
-                    & (F.col("seq_no") <= bounds[i])
+        with pinned_shuffle_width(spark):
+            sink.init(fold_changelog(cl.where(F.col("seq_no") <= c1)))
+            for i in range(1, 7):
+                sink.append(
+                    cl.where(
+                        (F.col("seq_no") > bounds[i - 1])
+                        & (F.col("seq_no") <= bounds[i])
+                    )
+                )
+            plan = tracked_persist(
+                sink.optimize_plan(
+                    small_file_rows=100, min_small_files=3, tombstone_pct=15
                 )
             )
-        plan = tracked_persist(
-            sink.optimize_plan(
-                small_file_rows=100, min_small_files=3, tombstone_pct=15
-            )
-        )
-        plan.count()  # materialize before the backing dirs go away
+            plan.count()  # materialize before the backing dirs go away
         shutil.rmtree(base, ignore_errors=True)
         return plan
 

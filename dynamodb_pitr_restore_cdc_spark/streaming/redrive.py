@@ -296,25 +296,34 @@ def q_cdc_dlq_redrive(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), "spark_cdc_engine_stream", f"redrive-{uuid.uuid4().hex[:8]}"
     )
     store = RedriveStore(spark, root, max_receives=MAX_RECEIVES)
-    empty = spark.createDataFrame([], schema=cl.schema)
+    # WHERE FALSE, not createDataFrame([]): the RDD-backed empty frame
+    # carries defaultParallelism empty partitions into every cycle's
+    # union (~0.27 s of no-op tasks per action — CLAUDE.md gotcha);
+    # this folds to a zero-job LocalRelation with the same schema
+    empty = cl.where(F.lit(False))
     accepted_cycles = []
-    batch = cl
-    for _ in range(MAX_RECEIVES):  # cycle 1 delivers; 2-5 are redelivery ticks
-        accepted = store.deliver(batch, try_reject).select(
-            F.lit("applied").alias("route"), F.col(RECEIVE_COUNT_COL)
-        )
-        # materialize NOW: the store reclaims each cycle's accepted
-        # snapshot when the next cycle commits (deliver's contract)
-        accepted_cycles.append(accepted.localCheckpoint(eager=True))
-        batch = empty
+    from .util import pinned_shuffle_width
 
-    applied = reduce(lambda a, b: a.unionByName(b), accepted_cycles)
-    dlq = store.dlq().select(F.lit("dlq").alias("route"), F.col(RECEIVE_COUNT_COL))
-    result = tracked_persist(  # released by the harness post-consumption
-        applied.unionByName(dlq)
-        .groupBy("route", RECEIVE_COUNT_COL)
-        .agg(F.count("*").alias("n_records"))
-    )
-    result.count()  # materialize before removing the store's backing dirs
+    with pinned_shuffle_width(spark):
+        batch = cl
+        for _ in range(MAX_RECEIVES):  # cycle 1 delivers; 2-5 are redelivery ticks
+            accepted = store.deliver(batch, try_reject).select(
+                F.lit("applied").alias("route"), F.col(RECEIVE_COUNT_COL)
+            )
+            # materialize NOW: the store reclaims each cycle's accepted
+            # snapshot when the next cycle commits (deliver's contract)
+            accepted_cycles.append(accepted.localCheckpoint(eager=True))
+            batch = empty
+
+        applied = reduce(lambda a, b: a.unionByName(b), accepted_cycles)
+        dlq = store.dlq().select(
+            F.lit("dlq").alias("route"), F.col(RECEIVE_COUNT_COL)
+        )
+        result = tracked_persist(  # released by the harness post-consumption
+            applied.unionByName(dlq)
+            .groupBy("route", RECEIVE_COUNT_COL)
+            .agg(F.count("*").alias("n_records"))
+        )
+        result.count()  # materialize before removing the store's backing dirs
     store.cleanup()
     return result

@@ -32,7 +32,6 @@ which is correct under arbitrary reordering.
 
 from __future__ import annotations
 
-import contextlib
 import os
 import shutil
 import tempfile
@@ -46,35 +45,12 @@ from ..registry import register, tracked_persist
 from ..sources import table
 from .cdc_sink import BucketedCdcSink
 from .cdc_stream import CHANGELOG_STREAM_SCHEMA, run_cdc_apply
+from .util import STREAM_DRILL_WIDTH, pinned_shuffle_width  # noqa: F401 — re-exported drill knob
 
 
 # ---------------------------------------------------------------------------
 # deterministic file-split helpers for real streaming runs
 # ---------------------------------------------------------------------------
-
-# Per-drill shuffle width for the keyed test streams (state stores,
-# foreachBatch window passes over O(users) rows). Each streaming state
-# partition is a store checkpointed EVERY micro-batch, and each batch
-# job pays per-task scheduling, so a small keyed stream wants a few
-# wide partitions, not cores-many. Parameterized (env) with a local
-# default of 4 — at 100 TB this is sized to key cardinality / executor
-# count, exactly like spark.sql.shuffle.partitions itself.
-STREAM_DRILL_WIDTH = int(os.environ.get("SPARK_GRAFT_STREAM_WIDTH", "4"))
-
-
-@contextlib.contextmanager
-def pinned_shuffle_width(spark: SparkSession, n: int | None = None):
-    """Pin spark.sql.shuffle.partitions for a streaming drill, RESTORED
-    in a finally (the streaming invariant in CLAUDE.md). Streams started
-    under the pin keep it: micro-batch execution clones the session conf
-    at start."""
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n or STREAM_DRILL_WIDTH))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-
 
 def _fresh_dir(tag: str) -> str:
     d = os.path.join(
@@ -404,11 +380,12 @@ def q_stream_foreachbatch_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         second, [s < row.p1, (s >= row.p1) & (s < row.p2), s >= row.p2], src
     )
 
-    final_path = run_cdc_apply(spark, src, snapshot, work)
-    result = tracked_persist(
-        spark.read.parquet(final_path).select("key", "last_seq", "payload_value")
-    )
-    result.count()
+    with pinned_shuffle_width(spark):
+        final_path = run_cdc_apply(spark, src, snapshot, work)
+        result = tracked_persist(
+            spark.read.parquet(final_path).select("key", "last_seq", "payload_value")
+        )
+        result.count()
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(work, ignore_errors=True)
     return result
@@ -664,13 +641,16 @@ def q_cdc_bucketed_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sink_dir = _fresh_dir("bsink")
     sink = BucketedCdcSink(spark, sink_dir, n_buckets=16)
-    sink.init(snapshot)
     s = F.col("seq_no")
     second = cl.where(s >= row.med)
-    for pred in [s < row.p1, (s >= row.p1) & (s < row.p2), s >= row.p2]:
-        sink.apply_batch(second.where(pred))
-    result = tracked_persist(sink.visible().select("key", "last_seq", "payload_value"))
-    result.count()
+    with pinned_shuffle_width(spark):
+        sink.init(snapshot)
+        for pred in [s < row.p1, (s >= row.p1) & (s < row.p2), s >= row.p2]:
+            sink.apply_batch(second.where(pred))
+        result = tracked_persist(
+            sink.visible().select("key", "last_seq", "payload_value")
+        )
+        result.count()
     shutil.rmtree(sink_dir, ignore_errors=True)
     return result
 
@@ -708,19 +688,22 @@ def q_cdc_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sink_dir = _fresh_dir("csink")
     sink = BucketedCdcSink(spark, sink_dir, n_buckets=16)
-    sink.init(snapshot)
     s = F.col("seq_no")
     second = cl.where(s >= row.med)
     is_tomb = F.col("op") == "REMOVE"
-    sink.apply_batch(second.where(s < row.p1))
-    sink.apply_batch(second.where((s >= row.p1) & (s < row.p2)))
-    tombs_before = sink.snapshot().where(is_tomb).count()  # orchestration scalar
-    sink.compact(reorder_horizon_seq=int(row.p2))
-    tombs_after = sink.snapshot().where(is_tomb).count()
-    assert tombs_after < tombs_before, "compact removed no tombstones — vacuous run"
-    sink.apply_batch(second.where(s >= row.p2))
-    result = tracked_persist(sink.visible().select("key", "last_seq", "payload_value"))
-    result.count()
+    with pinned_shuffle_width(spark):
+        sink.init(snapshot)
+        sink.apply_batch(second.where(s < row.p1))
+        sink.apply_batch(second.where((s >= row.p1) & (s < row.p2)))
+        tombs_before = sink.snapshot().where(is_tomb).count()  # orchestration scalar
+        sink.compact(reorder_horizon_seq=int(row.p2))
+        tombs_after = sink.snapshot().where(is_tomb).count()
+        assert tombs_after < tombs_before, "compact removed no tombstones — vacuous run"
+        sink.apply_batch(second.where(s >= row.p2))
+        result = tracked_persist(
+            sink.visible().select("key", "last_seq", "payload_value")
+        )
+        result.count()
     shutil.rmtree(sink_dir, ignore_errors=True)
     return result
 
@@ -805,16 +788,17 @@ def q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out)
         )
 
-    q = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(dedup_batch)
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with pinned_shuffle_width(spark):
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(dedup_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     result = tracked_persist(
         spark.read.schema(
             "doc_b long, n_dup_sources long, best_jaccard double"
@@ -897,16 +881,17 @@ def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out)
         )
 
-    q = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(decon_batch)
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with pinned_shuffle_width(spark):
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(decon_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     result = tracked_persist(
         spark.read.schema("doc_id long, n_shared long, contaminated int").parquet(out)
     )
@@ -959,25 +944,26 @@ def q_stream_lsh_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, [d < row.p1, (d >= row.p1) & (d < row.p2), d >= row.p2], src
     )
     idx = LshIndex(spark, os.path.join(base, "t"))
-    # empty init: the table exists before the stream attaches (the
-    # reference's create-then-attach orchestration, A17)
-    idx.init(docs.where(F.lit(False)), seq=1)
 
     def upsert_batch(batch: DataFrame, epoch_id: int) -> None:
         idx.upsert(batch, seq=int(epoch_id) + 2)
 
-    q = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-        .writeStream.foreachBatch(upsert_batch)
-        .option("checkpointLocation", os.path.join(work, "_ck"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    result = tracked_persist(idx.pairs(docs))
-    result.count()  # materialize before removing the backing dirs
+    with pinned_shuffle_width(spark):
+        # empty init: the table exists before the stream attaches (the
+        # reference's create-then-attach orchestration, A17)
+        idx.init(docs.where(F.lit(False)), seq=1)
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(upsert_batch)
+            .option("checkpointLocation", os.path.join(work, "_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = tracked_persist(idx.pairs(docs))
+        result.count()  # materialize before removing the backing dirs
     for p in (src, work, base):
         shutil.rmtree(p, ignore_errors=True)
     return result
@@ -1030,31 +1016,32 @@ def q_stream_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         late, [v < row.p1, (v >= row.p1) & (v < row.p2), v >= row.p2], src
     )
     idx = IvfIndex(spark, os.path.join(base, "t"))
-    # init trains the quantizer on the loaded corpus BEFORE the stream
-    # attaches (the reference's create-then-attach orchestration, A17)
-    idx.init(qv.where(v <= c2), seq=1)
 
     def upsert_batch(batch: DataFrame, epoch_id: int) -> None:
         idx.upsert(batch, seq=int(epoch_id) + 2)
 
-    q = (
-        spark.readStream.schema("vec_id long, qv array<bigint>")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-        .writeStream.foreachBatch(upsert_batch)
-        .option("checkpointLocation", os.path.join(work, "_ck"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    idx.remove(qv.where(v % _REMOVE_MOD == 5).select("vec_id"), seq=10)
     floats = table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    result = tracked_persist(
-        idx.search(qv.where(v == PROBE_VEC_ID), floats, PROBE_VEC_ID)
-    )
-    result.count()  # materialize before removing the backing dirs
+    with pinned_shuffle_width(spark):
+        # init trains the quantizer on the loaded corpus BEFORE the stream
+        # attaches (the reference's create-then-attach orchestration, A17)
+        idx.init(qv.where(v <= c2), seq=1)
+        q = (
+            spark.readStream.schema("vec_id long, qv array<bigint>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(upsert_batch)
+            .option("checkpointLocation", os.path.join(work, "_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        idx.remove(qv.where(v % _REMOVE_MOD == 5).select("vec_id"), seq=10)
+        result = tracked_persist(
+            idx.search(qv.where(v == PROBE_VEC_ID), floats, PROBE_VEC_ID)
+        )
+        result.count()  # materialize before removing the backing dirs
     for p in (src, work, base):
         shutil.rmtree(p, ignore_errors=True)
     return result
@@ -1108,32 +1095,33 @@ def q_stream_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         src,
     )
     idx = LshIndex(spark, os.path.join(base, "t"))
-    idx.init(docs.where(F.lit(False)).select("doc_id", "text"), seq=1)
 
     def upsert_batch(batch: DataFrame, epoch_id: int) -> None:
         idx.upsert(batch, seq=int(epoch_id) + 2)
 
-    q = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-        .writeStream.foreachBatch(upsert_batch)
-        .option("checkpointLocation", os.path.join(work, "_ck"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    deduped = tracked_persist(quality_exact_dedup(docs))
-    dd = deduped.select("doc_id")
-    # greedy drop set over the streamed index, endpoints restricted to
-    # the dedup survivors (eligible= replaces the old pairs→semi-join
-    # pair filtering: bands are filtered BEFORE candidates form, same
-    # drop set, fewer verifies); the fan-out auto-gate engages the
-    # two-phase clique mitigation at scale (index_maintenance.drop_set)
-    near_drop = idx.drop_set(docs.select("doc_id", "text"), eligible=dd)
-    survivors = deduped.join(near_drop, "doc_id", "left_anti")
-    result = tracked_persist(downstream_build(docs, survivors))
-    result.count()  # materialize before removing the backing dirs
+    with pinned_shuffle_width(spark):
+        idx.init(docs.where(F.lit(False)).select("doc_id", "text"), seq=1)
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(upsert_batch)
+            .option("checkpointLocation", os.path.join(work, "_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        deduped = tracked_persist(quality_exact_dedup(docs))
+        dd = deduped.select("doc_id")
+        # greedy drop set over the streamed index, endpoints restricted to
+        # the dedup survivors (eligible= replaces the old pairs→semi-join
+        # pair filtering: bands are filtered BEFORE candidates form, same
+        # drop set, fewer verifies); the fan-out auto-gate engages the
+        # two-phase clique mitigation at scale (index_maintenance.drop_set)
+        near_drop = idx.drop_set(docs.select("doc_id", "text"), eligible=dd)
+        survivors = deduped.join(near_drop, "doc_id", "left_anti")
+        result = tracked_persist(downstream_build(docs, survivors))
+        result.count()  # materialize before removing the backing dirs
     for p in (src, work, base):
         shutil.rmtree(p, ignore_errors=True)
     return result

@@ -12,8 +12,34 @@ content, never a prefix.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import uuid
+
+# Per-drill shuffle width for the keyed test streams (state stores,
+# foreachBatch window passes over O(users) rows). Each streaming state
+# partition is a store checkpointed EVERY micro-batch, and each batch
+# job pays per-task scheduling, so a small keyed stream wants a few
+# wide partitions, not cores-many. Parameterized (env) with a local
+# default of 4 — at 100 TB this is sized to key cardinality / executor
+# count, exactly like spark.sql.shuffle.partitions itself.
+STREAM_DRILL_WIDTH = int(os.environ.get("SPARK_GRAFT_STREAM_WIDTH", "4"))
+
+
+@contextlib.contextmanager
+def pinned_shuffle_width(spark, n: int | None = None):
+    """Pin spark.sql.shuffle.partitions for a streaming drill, RESTORED
+    in a finally (the streaming invariant in CLAUDE.md). Streams started
+    under the pin keep it: micro-batch execution clones the session conf
+    at start. Lives here (not stream_queries) because sink modules need
+    it and stream_queries imports their registration chains — this
+    module imports nothing from the package, so it can never cycle."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n or STREAM_DRILL_WIDTH))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def atomic_write_text(path: str, text: str) -> None:

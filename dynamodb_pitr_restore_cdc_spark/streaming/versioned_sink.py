@@ -1083,24 +1083,27 @@ def q_stream_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         src,
     )
 
+    from .util import pinned_shuffle_width
+
     sink = VersionedCdcSink(spark, work, n_buckets=16)
-    sink.init(fold_changelog(cl.where(s <= q1)))
 
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
         sink.spark = batch_df.sparkSession  # merge reads run on the batch session
         sink.apply_batch(batch_df.select("seq_no", "op", "key", "payload_value"))
 
     try:
-        q = (
-            spark.readStream.schema(CHANGELOG_STREAM_SCHEMA)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
-            .writeStream.foreachBatch(commit_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with pinned_shuffle_width(spark):
+            sink.init(fold_changelog(cl.where(s <= q1)))
+            q = (
+                spark.readStream.schema(CHANGELOG_STREAM_SCHEMA)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+                .writeStream.foreachBatch(commit_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         sink.spark = spark
         if sink.latest_version() != 4:  # init + 3 split commits
             raise RuntimeError(
