@@ -331,8 +331,6 @@ def _run_maintenance(
     table maintenance on the index state happens in production (the
     compaction-under-query drill injects optimize_plan → compact_mor
     there)."""
-    from ..streaming.util import pinned_shuffle_width
-
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     base = tempfile.mkdtemp(prefix="lshidx-")
     idx = LshIndex(spark, os.path.join(base, "t"))
@@ -345,21 +343,20 @@ def _run_maintenance(
         )
         .select("doc_id", F.col("p_text").alias("text"))
     )
-    # maintenance epochs run under the drill shuffle width — every sink
-    # write is an O(batch) blind append whose generic shuffles don't
-    # need cores-many partitions (the signature UDF stage keeps its own
-    # explicit defaultParallelism fan-out inside band_array); the PAIR
-    # query afterwards runs at session width — that's the real compute
-    with pinned_shuffle_width(spark):
-        idx.init(docs.where(F.col("doc_id") % _UPSERT_MOD != 2), seq=1)
-        v0 = idx.version()
-        idx.upsert(docs.where(F.col("doc_id") % _UPSERT_MOD == 2), seq=2)
-        idx.upsert(edited, seq=3)
-        if mid_hook is not None:
-            mid_hook(idx)
-        idx.remove(
-            docs.where(F.col("doc_id") % _REMOVE_MOD == 5).select("doc_id"), seq=4
-        )
+    # NO drill-width pin on the maintenance epochs: the signature UDF
+    # keeps its own defaultParallelism fan-out inside band_array, and
+    # the r16 idle-32 A/B read the pinned epochs SLOWER (18.08 s vs
+    # 15.98 s unpinned; compaction/delta-pairs flat) — the r15 pin's
+    # win existed only under co-tenant load
+    idx.init(docs.where(F.col("doc_id") % _UPSERT_MOD != 2), seq=1)
+    v0 = idx.version()
+    idx.upsert(docs.where(F.col("doc_id") % _UPSERT_MOD == 2), seq=2)
+    idx.upsert(edited, seq=3)
+    if mid_hook is not None:
+        mid_hook(idx)
+    idx.remove(
+        docs.where(F.col("doc_id") % _REMOVE_MOD == 5).select("doc_id"), seq=4
+    )
     # the corpus as the index should now see it (edits applied from the
     # pre-retraction texts, retractions last — same order as the seqs)
     raw = docs
@@ -438,19 +435,19 @@ WITH {_FINAL_CORPUS_SQL},
         candidate set and break the hash."""
         from .kmeans import _quantized
 
-        from ..streaming.util import pinned_shuffle_width
-
         q = _quantized(spark, sf_dir)
         mx = q.agg(F.max("vec_id")).first()[0]  # orchestration scalar
         c2 = (2 * int(mx)) // 3
         base = tempfile.mkdtemp(prefix="ivfidx-")
         idx = IvfIndex(spark, os.path.join(base, "t"))
-        with pinned_shuffle_width(spark):
-            idx.init(q.where(F.col("vec_id") <= c2), seq=1)
-            idx.upsert(q.where(F.col("vec_id") > c2), seq=2)
-            idx.remove(
-                q.where(F.col("vec_id") % _REMOVE_MOD == 5).select("vec_id"), seq=3
-            )
+        # NO width pin: init trains the coarse quantizer (Lloyd
+        # iterations — real compute; r16 idle-32 A/B: pinned 9.70 s vs
+        # session width 7.86 s)
+        idx.init(q.where(F.col("vec_id") <= c2), seq=1)
+        idx.upsert(q.where(F.col("vec_id") > c2), seq=2)
+        idx.remove(
+            q.where(F.col("vec_id") % _REMOVE_MOD == 5).select("vec_id"), seq=3
+        )
         from .similarity import _as_double
 
         floats = table(spark, sf_dir, "embeddings").select(

@@ -1005,7 +1005,6 @@ def _register_delta_fold() -> None:
 
     from ..operators.cdc import changelog, fold_changelog, with_changelog
     from ..registry import register, tracked_persist
-    from .util import pinned_shuffle_width
 
     @register(
         "q_cdc_delta_log_fold",
@@ -1039,19 +1038,21 @@ FROM (
         c1, c2 = max_seq // 3, (2 * max_seq) // 3
         base = tempfile.mkdtemp(prefix="deltafold-")
         sink = DeltaLogSink(spark, os.path.join(base, "t"))
-        with pinned_shuffle_width(spark):
-            sink.init(fold_changelog(cl.where(F.col("seq_no") <= c1)))
-            sink.apply_batch(
-                cl.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2))
-            )
-            sink.apply_batch(cl.where(F.col("seq_no") > c2))
-            sink.compact(reorder_horizon_seq=int(max_seq) + 1)
-            # grace 0 is safe here: this builder is the table's only writer
-            sink.expire_versions(keep_last=2, sweep_orphans=True, orphan_grace_s=0.0)
-            result = tracked_persist(
-                sink.visible().select("key", "last_seq", "payload_value")
-            )
-            result.count()  # materialize before the backing dirs go away
+        # NO width pin: the MERGE commits and the compact rewrite are
+        # real per-bucket merges over the full table — compute-bound
+        # (r16 idle-32 A/B: pinned 8.90 s vs session width 4.04 s)
+        sink.init(fold_changelog(cl.where(F.col("seq_no") <= c1)))
+        sink.apply_batch(
+            cl.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2))
+        )
+        sink.apply_batch(cl.where(F.col("seq_no") > c2))
+        sink.compact(reorder_horizon_seq=int(max_seq) + 1)
+        # grace 0 is safe here: this builder is the table's only writer
+        sink.expire_versions(keep_last=2, sweep_orphans=True, orphan_grace_s=0.0)
+        result = tracked_persist(
+            sink.visible().select("key", "last_seq", "payload_value")
+        )
+        result.count()  # materialize before the backing dirs go away
         shutil.rmtree(base, ignore_errors=True)
         return result
 
@@ -1094,20 +1095,21 @@ FROM (
         base = tempfile.mkdtemp(prefix="deltaevo-")
         sink = DeltaLogSink(spark, os.path.join(base, "t"))
         narrow = cl.drop("payload_props")
-        with pinned_shuffle_width(spark):
-            sink.init(fold_changelog(narrow.where(F.col("seq_no") <= c1)))
-            sink.apply_batch(
-                narrow.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2))
+        # NO width pin: MERGE commits are compute-bound (see
+        # q_cdc_delta_log_fold; r16 idle-32 A/B 4.48 s → 3.68 s)
+        sink.init(fold_changelog(narrow.where(F.col("seq_no") <= c1)))
+        sink.apply_batch(
+            narrow.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2))
+        )
+        sink.apply_batch(cl.where(F.col("seq_no") > c2))  # evolves
+        # grace 0 is safe here: this builder is the table's only writer
+        sink.expire_versions(keep_last=2, sweep_orphans=True, orphan_grace_s=0.0)
+        result = tracked_persist(
+            sink.visible().select(
+                "key", "last_seq", "payload_value", "payload_props"
             )
-            sink.apply_batch(cl.where(F.col("seq_no") > c2))  # evolves
-            # grace 0 is safe here: this builder is the table's only writer
-            sink.expire_versions(keep_last=2, sweep_orphans=True, orphan_grace_s=0.0)
-            result = tracked_persist(
-                sink.visible().select(
-                    "key", "last_seq", "payload_value", "payload_props"
-                )
-            )
-            result.count()  # materialize before the backing dirs go away
+        )
+        result.count()  # materialize before the backing dirs go away
         shutil.rmtree(base, ignore_errors=True)
         return result
 
@@ -1183,21 +1185,23 @@ FROM base b FULL OUTER JOIN deltas d ON b.bucket = d.bucket
             spark, os.path.join(base, "t"), n_buckets=8, transform="mod"
         )
         bounds = [c1 + (i * d) // 6 for i in range(7)]
-        with pinned_shuffle_width(spark):
-            sink.init(fold_changelog(cl.where(F.col("seq_no") <= c1)))
-            for i in range(1, 7):
-                sink.append(
-                    cl.where(
-                        (F.col("seq_no") > bounds[i - 1])
-                        & (F.col("seq_no") <= bounds[i])
-                    )
-                )
-            plan = tracked_persist(
-                sink.optimize_plan(
-                    small_file_rows=100, min_small_files=3, tombstone_pct=15
+        # NO width pin: the seven appends + the stats pass in
+        # optimize_plan want session width (r16 idle-32 A/B:
+        # pinned 10.73 s vs session width 3.73 s)
+        sink.init(fold_changelog(cl.where(F.col("seq_no") <= c1)))
+        for i in range(1, 7):
+            sink.append(
+                cl.where(
+                    (F.col("seq_no") > bounds[i - 1])
+                    & (F.col("seq_no") <= bounds[i])
                 )
             )
-            plan.count()  # materialize before the backing dirs go away
+        plan = tracked_persist(
+            sink.optimize_plan(
+                small_file_rows=100, min_small_files=3, tombstone_pct=15
+            )
+        )
+        plan.count()  # materialize before the backing dirs go away
         shutil.rmtree(base, ignore_errors=True)
         return plan
 

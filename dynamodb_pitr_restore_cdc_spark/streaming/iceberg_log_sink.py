@@ -1607,7 +1607,6 @@ def _register_iceberg_fold() -> None:
 
     from ..operators.cdc import changelog, fold_changelog, with_changelog
     from ..registry import register, tracked_persist
-    from .util import pinned_shuffle_width
 
     @register(
         "q_cdc_iceberg_log_fold",
@@ -1642,19 +1641,21 @@ FROM (
         c1, c2 = max_seq // 3, (2 * max_seq) // 3
         base = tempfile.mkdtemp(prefix="icebergfold-")
         sink = IcebergLogSink(spark, os.path.join(base, "t"))
-        with pinned_shuffle_width(spark):
-            sink.init(fold_changelog(cl.where(F.col("seq_no") <= c1)))
-            sink.apply_batch(
-                cl.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2))
-            )
-            sink.apply_batch(cl.where(F.col("seq_no") > c2))
-            sink.compact(reorder_horizon_seq=int(max_seq) + 1)
-            # grace 0 is safe here: this builder is the table's only writer
-            sink.expire_versions(keep_last=2, sweep_orphans=True, orphan_grace_s=0.0)
-            result = tracked_persist(
-                sink.visible().select("key", "last_seq", "payload_value")
-            )
-            result.count()  # materialize before the backing dirs go away
+        # NO width pin: MERGE commits + rewriteDataFiles are real
+        # per-bucket merges — compute-bound (r16 idle-32 A/B:
+        # pinned 9.39 s vs session width 4.57 s)
+        sink.init(fold_changelog(cl.where(F.col("seq_no") <= c1)))
+        sink.apply_batch(
+            cl.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2))
+        )
+        sink.apply_batch(cl.where(F.col("seq_no") > c2))
+        sink.compact(reorder_horizon_seq=int(max_seq) + 1)
+        # grace 0 is safe here: this builder is the table's only writer
+        sink.expire_versions(keep_last=2, sweep_orphans=True, orphan_grace_s=0.0)
+        result = tracked_persist(
+            sink.visible().select("key", "last_seq", "payload_value")
+        )
+        result.count()  # materialize before the backing dirs go away
         shutil.rmtree(base, ignore_errors=True)
         return result
 
@@ -1692,20 +1693,22 @@ FROM (
         c1, c2 = max_seq // 3, (2 * max_seq) // 3
         base = tempfile.mkdtemp(prefix="icebergmor-")
         sink = IcebergLogSink(spark, os.path.join(base, "t"))
-        with pinned_shuffle_width(spark):
-            sink.init(fold_changelog(cl.where(F.col("seq_no") <= c1)))
-            sink.append(
-                cl.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2))
-            )
-            sink.append(cl.where(F.col("seq_no") > c2))
-            sink.compact_mor(set(range(sink.n_buckets // 2)))
-            sink.compact(reorder_horizon_seq=int(max_seq) + 1)
-            # grace 0 is safe here: this builder is the table's only writer
-            sink.expire_versions(keep_last=2, sweep_orphans=True, orphan_grace_s=0.0)
-            result = tracked_persist(
-                sink.visible().select("key", "last_seq", "payload_value")
-            )
-            result.count()  # materialize before the backing dirs go away
+        # NO width pin: compact_mor folds + full compact are real
+        # merges (r16 idle-32 A/B: pinned 22.59 s vs session 7.12 s —
+        # the widest gap of the audit)
+        sink.init(fold_changelog(cl.where(F.col("seq_no") <= c1)))
+        sink.append(
+            cl.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2))
+        )
+        sink.append(cl.where(F.col("seq_no") > c2))
+        sink.compact_mor(set(range(sink.n_buckets // 2)))
+        sink.compact(reorder_horizon_seq=int(max_seq) + 1)
+        # grace 0 is safe here: this builder is the table's only writer
+        sink.expire_versions(keep_last=2, sweep_orphans=True, orphan_grace_s=0.0)
+        result = tracked_persist(
+            sink.visible().select("key", "last_seq", "payload_value")
+        )
+        result.count()  # materialize before the backing dirs go away
         shutil.rmtree(base, ignore_errors=True)
         return result
 
@@ -1749,21 +1752,22 @@ FROM (
         base = tempfile.mkdtemp(prefix="icebergevo-")
         sink = IcebergLogSink(spark, os.path.join(base, "t"))
         narrow = cl.drop("payload_props")
-        with pinned_shuffle_width(spark):
-            sink.init(fold_changelog(narrow.where(F.col("seq_no") <= c1)))
-            sink.apply_batch(
-                narrow.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2))
+        # NO width pin: MERGE + compact_mor are compute-bound (r16
+        # idle-32 A/B: pinned 13.67 s vs session width 5.60 s)
+        sink.init(fold_changelog(narrow.where(F.col("seq_no") <= c1)))
+        sink.apply_batch(
+            narrow.where((F.col("seq_no") > c1) & (F.col("seq_no") <= c2))
+        )
+        sink.append(cl.where(F.col("seq_no") > c2))  # evolves, MOR lane
+        sink.compact_mor(set(range(sink.n_buckets // 2)))
+        # grace 0 is safe here: this builder is the table's only writer
+        sink.expire_versions(keep_last=2, sweep_orphans=True, orphan_grace_s=0.0)
+        result = tracked_persist(
+            sink.visible().select(
+                "key", "last_seq", "payload_value", "payload_props"
             )
-            sink.append(cl.where(F.col("seq_no") > c2))  # evolves, MOR lane
-            sink.compact_mor(set(range(sink.n_buckets // 2)))
-            # grace 0 is safe here: this builder is the table's only writer
-            sink.expire_versions(keep_last=2, sweep_orphans=True, orphan_grace_s=0.0)
-            result = tracked_persist(
-                sink.visible().select(
-                    "key", "last_seq", "payload_value", "payload_props"
-                )
-            )
-            result.count()  # materialize before the backing dirs go away
+        )
+        result.count()  # materialize before the backing dirs go away
         shutil.rmtree(base, ignore_errors=True)
         return result
 
@@ -1934,21 +1938,22 @@ WHERE m.manifests > 2 * ((m.entries + m.target - 1) // m.target)
             spark, os.path.join(base, "t"), n_buckets=8, transform="mod"
         )
         bounds = [c1 + (i * d) // 6 for i in range(7)]
-        with pinned_shuffle_width(spark):
-            sink.init(fold_changelog(cl.where(F.col("seq_no") <= c1)))
-            for i in range(1, 7):
-                sink.append(
-                    cl.where(
-                        (F.col("seq_no") > bounds[i - 1])
-                        & (F.col("seq_no") <= bounds[i])
-                    )
-                )
-            plan = tracked_persist(
-                sink.optimize_plan(
-                    small_file_rows=100, min_small_files=3, tombstone_pct=15
+        # NO width pin: seven appends + the manifest-pricing stats scan
+        # (r16 idle-32 A/B: pinned 11.83 s vs session width 6.25 s)
+        sink.init(fold_changelog(cl.where(F.col("seq_no") <= c1)))
+        for i in range(1, 7):
+            sink.append(
+                cl.where(
+                    (F.col("seq_no") > bounds[i - 1])
+                    & (F.col("seq_no") <= bounds[i])
                 )
             )
-            plan.count()  # materialize before the backing dirs go away
+        plan = tracked_persist(
+            sink.optimize_plan(
+                small_file_rows=100, min_small_files=3, tombstone_pct=15
+            )
+        )
+        plan.count()  # materialize before the backing dirs go away
         shutil.rmtree(base, ignore_errors=True)
         return plan
 

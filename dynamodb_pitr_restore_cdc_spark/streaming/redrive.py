@@ -302,28 +302,28 @@ def q_cdc_dlq_redrive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this folds to a zero-job LocalRelation with the same schema
     empty = cl.where(F.lit(False))
     accepted_cycles = []
-    from .util import pinned_shuffle_width
-
-    with pinned_shuffle_width(spark):
-        batch = cl
-        for _ in range(MAX_RECEIVES):  # cycle 1 delivers; 2-5 are redelivery ticks
-            accepted = store.deliver(batch, try_reject).select(
-                F.lit("applied").alias("route"), F.col(RECEIVE_COUNT_COL)
-            )
-            # materialize NOW: the store reclaims each cycle's accepted
-            # snapshot when the next cycle commits (deliver's contract)
-            accepted_cycles.append(accepted.localCheckpoint(eager=True))
-            batch = empty
-
-        applied = reduce(lambda a, b: a.unionByName(b), accepted_cycles)
-        dlq = store.dlq().select(
-            F.lit("dlq").alias("route"), F.col(RECEIVE_COUNT_COL)
+    # NO width pin: each cycle's anti-join + checkpoint over the full
+    # changelog is compute-bound (r16 idle-32 A/B: pinned 4.73 s vs
+    # session width 4.03 s; the r15 pin won only on a loaded host)
+    batch = cl
+    for _ in range(MAX_RECEIVES):  # cycle 1 delivers; 2-5 are redelivery ticks
+        accepted = store.deliver(batch, try_reject).select(
+            F.lit("applied").alias("route"), F.col(RECEIVE_COUNT_COL)
         )
-        result = tracked_persist(  # released by the harness post-consumption
-            applied.unionByName(dlq)
-            .groupBy("route", RECEIVE_COUNT_COL)
-            .agg(F.count("*").alias("n_records"))
-        )
-        result.count()  # materialize before removing the store's backing dirs
+        # materialize NOW: the store reclaims each cycle's accepted
+        # snapshot when the next cycle commits (deliver's contract)
+        accepted_cycles.append(accepted.localCheckpoint(eager=True))
+        batch = empty
+
+    applied = reduce(lambda a, b: a.unionByName(b), accepted_cycles)
+    dlq = store.dlq().select(
+        F.lit("dlq").alias("route"), F.col(RECEIVE_COUNT_COL)
+    )
+    result = tracked_persist(  # released by the harness post-consumption
+        applied.unionByName(dlq)
+        .groupBy("route", RECEIVE_COUNT_COL)
+        .agg(F.count("*").alias("n_records"))
+    )
+    result.count()  # materialize before removing the store's backing dirs
     store.cleanup()
     return result

@@ -28,6 +28,7 @@ from ..operators.behavior import SESSION_GAP_US
 from ..operators.cdc import changelog, with_changelog
 from ..registry import register, tracked_persist
 from .cdc_stream import CHANGELOG_STREAM_SCHEMA
+from .util import pinned_shuffle_width
 from .stream_queries import _fresh_dir, _write_split_files
 
 OUTPUT_SCHEMA = "key long, n_events long, sum_value_c long, max_seq long"
@@ -58,6 +59,10 @@ def running_totals(
         # this function runs once per (key, batch), so constant factors
         # multiply by key cardinality (r15 profile)
         v = pdf["payload_value"].to_numpy()
+        # np.rint(NaN).astype(int64) silently yields INT64_MIN where the
+        # pandas chain this replaced raised — keep the loud failure
+        if np.isnan(v).any():
+            raise ValueError("running_totals: null payload_value in state batch")
         s += int(np.rint(v * 100).astype("int64").sum())
         m = max(m, int(pdf["seq_no"].to_numpy().max()))
     state.update((n, s, m))
@@ -168,9 +173,7 @@ def q_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         GroupStateTimeout.NoTimeout,
     )
     name = f"ss_out_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+    with pinned_shuffle_width(spark):
         q = (
             sessions.writeStream.outputMode("append")
             .format("memory")
@@ -180,8 +183,6 @@ def q_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     import shutil
 
     result = tracked_persist(spark.table(name))
@@ -239,9 +240,7 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wants few wide-enough stores, not cores-many (cuts ~2/3 of this
     # query's wall time at test SF). At 100 TB this is the knob sized
     # to key cardinality / executor count, not left at the default.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+    with pinned_shuffle_width(spark):
         q = (
             updates.writeStream.outputMode("update")
             .format("memory")
@@ -251,8 +250,6 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # final state per key = the emission with the highest running count
     out = spark.table(name)
     from pyspark.sql import Window as W
@@ -436,20 +433,18 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         GroupStateTimeout.NoTimeout,
     )
     name = f"an_out_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        q = (
-            flagged.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # NO width pin: the prequential z-score UDF over per-user history is
+    # compute-bound per batch, unlike the tiny keyed folds above (r16
+    # idle-32 A/B: pinned 10.70 s vs session width 5.88 s)
+    q = (
+        flagged.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     import shutil
 
     result = tracked_persist(spark.table(name))

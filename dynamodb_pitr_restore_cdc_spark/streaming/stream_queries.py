@@ -268,9 +268,7 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle partition is a state store checkpointed EVERY micro-batch,
     # so a small keyed stream wants few wide stores, not cores-many
     # (r15 profile: the 32-wide batches each cost ~3x their 4-wide twin)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+    with pinned_shuffle_width(spark):
         q = (
             agg.writeStream.outputMode("append")
             .format("memory")
@@ -280,8 +278,6 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     result = tracked_persist(
         spark.table(name).select(
             F.unix_micros(F.col("window.start")).alias("window_start_us"), "n_events"
@@ -324,9 +320,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state-shuffle width pinned to a few wide stores (stateful.py
     # rationale; the dedup state op checkpoints one store per shuffle
     # partition per micro-batch — r15 profile: 1.3-1.5s per 32-wide batch)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+    with pinned_shuffle_width(spark):
         q = (
             stream.select("seq_no", "key", "op", "content_hash")
             .writeStream.outputMode("append")
@@ -337,8 +331,6 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     result = tracked_persist(spark.table(name))
     result.count()
     shutil.rmtree(src, ignore_errors=True)
@@ -462,9 +454,7 @@ def q_stream_complete_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.unix_micros(F.col("window.start")).alias("window_start_us"), "n_events")
     )
     name = f"cm_out_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+    with pinned_shuffle_width(spark):
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
@@ -474,8 +464,6 @@ def q_stream_complete_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     result = tracked_persist(spark.table(name))
     result.count()
     shutil.rmtree(src, ignore_errors=True)
@@ -586,9 +574,7 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream-stream joins keep one state store PER SIDE per shuffle
     # partition, checkpointed every batch: pin the width to a few wide
     # stores for this keyed test stream (same rationale as stateful.py)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+    with pinned_shuffle_width(spark):
         q = (
             joined.select(
                 F.col("p_id").alias("purchase_id"),
@@ -603,8 +589,6 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     result = tracked_persist(spark.table(name))
     result.count()
     shutil.rmtree(src, ignore_errors=True)
@@ -788,17 +772,20 @@ def q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out)
         )
 
-    with pinned_shuffle_width(spark):
-        q = (
-            spark.readStream.schema("doc_id long, text string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-            .writeStream.foreachBatch(dedup_batch)
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    # NO width pin: each micro-batch runs a real banded join + verify
+    # UDF against the static corpus — compute-bound work that wants the
+    # session width (r16 idle-32 A/B: pinned 8.52 s vs unpinned 5.72 s;
+    # the r15 pin was validated on a loaded host that masked this)
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     result = tracked_persist(
         spark.read.schema(
             "doc_b long, n_dup_sources long, best_jaccard double"
@@ -881,17 +868,19 @@ def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out)
         )
 
-    with pinned_shuffle_width(spark):
-        q = (
-            spark.readStream.schema("doc_id long, text string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-            .writeStream.foreachBatch(decon_batch)
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    # NO width pin: each micro-batch explodes five-grams and joins the
+    # static train vocabulary — compute-bound per-batch work (r16
+    # idle-32 A/B: pinned 9.89 s vs unpinned 2.94 s)
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(decon_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     result = tracked_persist(
         spark.read.schema("doc_id long, n_shared long, contaminated int").parquet(out)
     )
@@ -962,8 +951,11 @@ def q_stream_lsh_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        result = tracked_persist(idx.pairs(docs))
-        result.count()  # materialize before removing the backing dirs
+    # the PAIR query runs at session width — it is the real compute
+    # (_run_maintenance's scoping; r16 idle-32 A/B: pairs under the pin
+    # cost 17.4 s vs 6.9 s unpinned)
+    result = tracked_persist(idx.pairs(docs))
+    result.count()  # materialize before removing the backing dirs
     for p in (src, work, base):
         shutil.rmtree(p, ignore_errors=True)
     return result
@@ -1038,10 +1030,12 @@ def q_stream_ivf_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         idx.remove(qv.where(v % _REMOVE_MOD == 5).select("vec_id"), seq=10)
-        result = tracked_persist(
-            idx.search(qv.where(v == PROBE_VEC_ID), floats, PROBE_VEC_ID)
-        )
-        result.count()  # materialize before removing the backing dirs
+    # the probe SEARCH runs at session width — the distance scan over
+    # probed cells is the real compute (_run_maintenance's scoping)
+    result = tracked_persist(
+        idx.search(qv.where(v == PROBE_VEC_ID), floats, PROBE_VEC_ID)
+    )
+    result.count()  # materialize before removing the backing dirs
     for p in (src, work, base):
         shutil.rmtree(p, ignore_errors=True)
     return result
@@ -1111,17 +1105,20 @@ def q_stream_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        deduped = tracked_persist(quality_exact_dedup(docs))
-        dd = deduped.select("doc_id")
-        # greedy drop set over the streamed index, endpoints restricted to
-        # the dedup survivors (eligible= replaces the old pairs→semi-join
-        # pair filtering: bands are filtered BEFORE candidates form, same
-        # drop set, fewer verifies); the fan-out auto-gate engages the
-        # two-phase clique mitigation at scale (index_maintenance.drop_set)
-        near_drop = idx.drop_set(docs.select("doc_id", "text"), eligible=dd)
-        survivors = deduped.join(near_drop, "doc_id", "left_anti")
-        result = tracked_persist(downstream_build(docs, survivors))
-        result.count()  # materialize before removing the backing dirs
+    # the eight-stage pipeline after ingest (exact dedup, drop set,
+    # downstream build) is the real compute: session width, matching
+    # _run_maintenance's scoping (r16 idle-32 width audit)
+    deduped = tracked_persist(quality_exact_dedup(docs))
+    dd = deduped.select("doc_id")
+    # greedy drop set over the streamed index, endpoints restricted to
+    # the dedup survivors (eligible= replaces the old pairs→semi-join
+    # pair filtering: bands are filtered BEFORE candidates form, same
+    # drop set, fewer verifies); the fan-out auto-gate engages the
+    # two-phase clique mitigation at scale (index_maintenance.drop_set)
+    near_drop = idx.drop_set(docs.select("doc_id", "text"), eligible=dd)
+    survivors = deduped.join(near_drop, "doc_id", "left_anti")
+    result = tracked_persist(downstream_build(docs, survivors))
+    result.count()  # materialize before removing the backing dirs
     for p in (src, work, base):
         shutil.rmtree(p, ignore_errors=True)
     return result

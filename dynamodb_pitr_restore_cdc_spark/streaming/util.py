@@ -20,10 +20,23 @@ import uuid
 # foreachBatch window passes over O(users) rows). Each streaming state
 # partition is a store checkpointed EVERY micro-batch, and each batch
 # job pays per-task scheduling, so a small keyed stream wants a few
-# wide partitions, not cores-many. Parameterized (env) with a local
-# default of 4 — at 100 TB this is sized to key cardinality / executor
-# count, exactly like spark.sql.shuffle.partitions itself.
+# wide partitions, not cores-many. Parameterized (env); kept as the
+# module-level LOCAL default for import compatibility — the effective
+# width is computed per session by drill_width() below.
 STREAM_DRILL_WIDTH = int(os.environ.get("SPARK_GRAFT_STREAM_WIDTH", "4"))
+
+
+def drill_width(spark) -> int:
+    """Effective drill shuffle width for THIS session: the env knob
+    when set, else cores-derived — max(4, defaultParallelism // 8).
+    The r15 verdict's item 3: a fixed constant is right for the local
+    32-core fixtures (32 // 8 = 4, unchanged) but serializes a real
+    cluster; deriving from the session keeps the scheduling win at
+    small core counts without a serialization cliff at large ones."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_WIDTH")
+    if env is not None:
+        return int(env)
+    return max(4, spark.sparkContext.defaultParallelism // 8)
 
 
 @contextlib.contextmanager
@@ -35,7 +48,7 @@ def pinned_shuffle_width(spark, n: int | None = None):
     it and stream_queries imports their registration chains — this
     module imports nothing from the package, so it can never cycle."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n or STREAM_DRILL_WIDTH))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n or drill_width(spark)))
     try:
         yield
     finally:

@@ -1083,8 +1083,6 @@ def q_stream_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         src,
     )
 
-    from .util import pinned_shuffle_width
-
     sink = VersionedCdcSink(spark, work, n_buckets=16)
 
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1092,18 +1090,22 @@ def q_stream_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink.apply_batch(batch_df.select("seq_no", "op", "key", "payload_value"))
 
     try:
-        with pinned_shuffle_width(spark):
-            sink.init(fold_changelog(cl.where(s <= q1)))
-            q = (
-                spark.readStream.schema(CHANGELOG_STREAM_SCHEMA)
-                .option("maxFilesPerTrigger", "1")
-                .parquet(src)
-                .writeStream.foreachBatch(commit_batch)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+        # NO width pin: every micro-batch is a full COW merge
+        # (cdc_merge_tombstone over the touched buckets) — compute-bound
+        # work that wants the session width (r16 idle-32 A/B: pinned
+        # 7.24 s vs unpinned 5.85 s; the r15 pin was validated on a
+        # loaded host that masked the lost parallelism)
+        sink.init(fold_changelog(cl.where(s <= q1)))
+        q = (
+            spark.readStream.schema(CHANGELOG_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(commit_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
         sink.spark = spark
         if sink.latest_version() != 4:  # init + 3 split commits
             raise RuntimeError(
