@@ -237,21 +237,25 @@ def q_llm_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # referenced by index init (an action), both text sides of the pair
     # verify, and the anti-join base — one materialization, four reads
+    from ..streaming.util import pinned_shuffle_width
+
     base = tempfile.mkdtemp(prefix="corpusbuild-")
     idx = LshIndex(spark, os.path.join(base, "t"))
-    # NO drill-width pin: the drop-set verify and downstream build are
-    # the real compute and want session width (r16 idle-32 A/B:
-    # pinned 8.75 s vs session width 5.97 s; the r15 pin won only on a
-    # loaded host whose ~4-8 effective cores masked the serialization)
-    deduped = tracked_persist(quality_exact_dedup(docs))
-    idx.init(deduped.select("doc_id", "text"))
-    # greedy keep-lowest drop set; above the band fan-out gate the
-    # two-phase bucket-minimum lane verifies O(c) edges per c-sized
-    # bucket instead of O(c²) — the clique-quadratic mitigation (r12
-    # verdict item 5), byte-identical by construction and at the gate
+    # Scoped drill width — the _run_maintenance split: dedup/init and
+    # the manifest tail are partition-count-independent aggs/joins over
+    # ≤5000-doc frames (per-job scheduling dominates; width 4 wins),
+    # while the drop-set verify is the real compute and runs at session
+    # width.  r16 interleaved same-session A/B (median of 5, variants
+    # alternated per run): scoped 5.09 s / full pin 5.54 s / no pin
+    # 7.46 s — the full unpin this round briefly carried was measured
+    # worse and reverted to this scoped form.
+    with pinned_shuffle_width(spark):
+        deduped = tracked_persist(quality_exact_dedup(docs))
+        idx.init(deduped.select("doc_id", "text"))
     near_drop = idx.drop_set(deduped.select("doc_id", "text"))
     survivors = deduped.join(near_drop, "doc_id", "left_anti")
-    result = tracked_persist(downstream_build(docs, survivors))
-    result.count()  # materialize before the index's backing dir goes away
+    with pinned_shuffle_width(spark):
+        result = tracked_persist(downstream_build(docs, survivors))
+        result.count()  # materialize before the index's backing dir goes away
     shutil.rmtree(base, ignore_errors=True)
     return result

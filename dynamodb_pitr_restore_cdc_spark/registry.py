@@ -826,6 +826,77 @@ _REVERIFY_R15: frozenset[str] = frozenset(
     }
 )
 
+# Round-15 driver record (CORRECTNESS_r15.json): 50/50 window entries
+# hash-matched (the 11 _REVERIFY_R15 seeds plus the age-5 r10 rotation
+# cohort).
+_DRIVER_VERIFIED_R15: frozenset[str] = frozenset(
+    {
+        "q_llm_token_budget_sample", "q_llm_corpus_curation",
+        "q_llm_decontaminate", "q_llm_contamination_report",
+        "q_llm_domain_mix", "q_llm_leakage_audit", "q_llm_corpus_build",
+        "q_llm_pack_manifest_incremental", "q_mm_meta_real",
+        "q_stream_decontaminate", "q_stream_corpus_build",
+        "q_agg_stats_moments", "q_agg_histogram", "q_agg_mode",
+        "q_agg_weighted_avg", "q_ts_sessionize", "q_ts_funnel",
+        "q_ts_cohort_retention", "q_ts_anomaly_zscore",
+        "q_ts_seasonal_profile", "q_join_left", "q_join_full",
+        "q_join_semi", "q_join_anti", "q_join_theta_range",
+        "q_join_cross_limited", "q_pivot_status", "q_scan_orc_source",
+        "q_tpch_q6_forecast_revenue", "q_tpch_q14_promo_effect",
+        "q_llm_ann_ivf", "q_llm_embed_quantize", "q_llm_domain_cap",
+        "q_llm_rarity_score", "q_llm_doc_chunking", "q_cdc_changefeed",
+        "q_cdc_alerting", "q_cdc_delta_log_fold",
+        "q_cdc_delta_schema_evolution", "q_cdc_optimize_plan",
+        "q_llm_ivf_index_maintenance", "q_llm_lsh_index_delta_pairs",
+        "q_llm_bm25_search", "q_llm_rerank_crossfeat",
+        "q_cdc_iceberg_log_fold", "q_cdc_iceberg_mor_fold",
+        "q_cdc_iceberg_schema_evolution", "q_stream_tumbling",
+        "q_stream_dedup", "q_stream_complete_mode",
+    }
+)
+
+# Queries fronted for driver re-verification in round 16 (the final
+# optimization round): every registered query whose BUILDER TEXT (or
+# the drill lifecycle it executes) changed in the r15/r16 width-pin
+# work — the r15 advice's owed seeds.  cb046a6 removed the width pin
+# from the merge-/verify-bound drills (alert_routing, anomaly, the
+# delta/iceberg fold+optimize family, versioned-sink stream, redrive,
+# stream near-dedup/decontaminate), narrowed it on the ingest/
+# maintenance epochs and corpus builds, and rewired the kept pins
+# (dedup, watermark_late, complete_mode, interval_join, the stateful
+# family, anomaly_zscore) through drill_width; r16 additionally
+# touches the LSH artifact/stateful internals.  Narrow full-window
+# exception (round-12 rule) invoked for the pin-KEPT consumers whose
+# own builder text is untouched — the foreachBatch twins (sessionize,
+# ewma, cusum, holt_winters, heavy_hitters, schema_evolution,
+# mor_ingest ×2, foreachbatch_cdc) and q_llm_pack_manifest_incremental
+# (newest row age 0/1) — because the executed lifecycle is provably
+# identical: drill_width() == the old constant 4 at every core count
+# the driver contract uses (tests/test_drill_width.py pins the
+# equivalence; parity covers all at two SFs).  Window math: 28 seeds +
+# the 2 remaining age-5 r10 tail entries (q_stream_static_join,
+# q_stream_schema_evolution — near_dedup and interval_join moved into
+# the seed set) + the 20 oldest of the 42-query r11 cohort = 50; the
+# displaced r11-cohort entries stay guarded by the local parity suite.
+_REVERIFY_R16: frozenset[str] = frozenset(
+    {
+        "q_stream_alert_routing", "q_stream_anomaly",
+        "q_cdc_dlq_redrive", "q_stream_versioned_sink",
+        "q_cdc_delta_log_fold", "q_cdc_delta_schema_evolution",
+        "q_cdc_optimize_plan", "q_cdc_iceberg_log_fold",
+        "q_cdc_iceberg_mor_fold", "q_cdc_iceberg_schema_evolution",
+        "q_cdc_iceberg_optimize_plan", "q_stream_near_dedup",
+        "q_stream_decontaminate", "q_stream_lsh_index_ingest",
+        "q_stream_ivf_index_ingest", "q_stream_corpus_build",
+        "q_llm_corpus_build", "q_llm_lsh_index_maintenance",
+        "q_llm_ivf_index_maintenance", "q_llm_lsh_index_delta_pairs",
+        "q_llm_lsh_index_compaction", "q_stream_dedup",
+        "q_stream_watermark_late", "q_stream_complete_mode",
+        "q_stream_interval_join", "q_stream_anomaly_zscore",
+        "q_stream_stateful_sessions", "q_stream_stateful_totals",
+    }
+)
+
 
 def all_queries() -> dict[str, QuerySpec]:
     """Import all operator modules (side-effect: registration) and return the registry.
@@ -834,7 +905,7 @@ def all_queries() -> dict[str, QuerySpec]:
     only a ~50-entry window, so ordering IS the coverage policy):
 
     1. ORACLED queries with no driver row in any round (never checked);
-    2. queries re-implemented this round (``_REVERIFY_R15`` — the
+    2. queries re-implemented this round (``_REVERIFY_R16`` — the
        CURRENT round's set; editing an older _REVERIFY_* set does
        nothing, the ordering reads only the newest) — the
        local parity suite is otherwise their only guard;
@@ -910,6 +981,7 @@ def all_queries() -> dict[str, QuerySpec]:
         _DRIVER_VERIFIED_R12,
         _DRIVER_VERIFIED_R13,
         _DRIVER_VERIFIED_R14,
+        _DRIVER_VERIFIED_R15,
     )
 
     def last_checked(n: str) -> int:
@@ -921,14 +993,14 @@ def all_queries() -> dict[str, QuerySpec]:
         n
         for n in order
         if last_checked(n) == 0
-        and n not in _REVERIFY_R15
+        and n not in _REVERIFY_R16
         and n not in rows_only
     ]
     # a rows-only name accidentally listed in a reverify set must not
     # claim a recheck slot (dict first-insert wins, so without this
     # filter it would keep its recheck position despite rule 4) — the
     # _FRONT_ROWS_ONLY_R11 exception below is deliberate and one-shot.
-    recheck = [n for n in order if n in _REVERIFY_R15 and n not in set(rows_only)]
+    recheck = [n for n in order if n in _REVERIFY_R16 and n not in set(rows_only)]
     front_now = (
         _FRONT_ROWS_ONLY_R11
         if len(rounds) == _FRONT_ROWS_ONLY_WHILE_N_ROUNDS
