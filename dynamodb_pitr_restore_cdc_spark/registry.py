@@ -873,11 +873,18 @@ _DRIVER_VERIFIED_R15: frozenset[str] = frozenset(
 # (newest row age 0/1) — because the executed lifecycle is provably
 # identical: drill_width() == the old constant 4 at every core count
 # the driver contract uses (tests/test_drill_width.py pins the
-# equivalence; parity covers all at two SFs).  Window math: 28 seeds +
-# the 2 remaining age-5 r10 tail entries (q_stream_static_join,
-# q_stream_schema_evolution — near_dedup and interval_join moved into
-# the seed set) + the 20 oldest of the 42-query r11 cohort = 50; the
-# displaced r11-cohort entries stay guarded by the local parity suite.
+# equivalence; parity covers all at two SFs).  The same exception
+# covers the ~26 stream drills whose fixture prep runs through the
+# r16-threaded _write_split_files: the on-disk fixture (names, mtimes,
+# rows, empty-split files) is pinned BYTE-IDENTICAL to the sequential
+# form by tests/test_split_files.py, so the streams consume unchanged
+# input; and q_cdc_dlq_redrive's RedriveStore.deliver concurrency,
+# whose commit protocol and outputs are unchanged (tests/test_redrive
+# + its R16 seed).  Window math: 28 seeds + the 2 remaining age-5 r10
+# tail entries (q_stream_static_join, q_stream_schema_evolution —
+# near_dedup and interval_join moved into the seed set) + the 20
+# oldest of the 42-query r11 cohort = 50; the displaced r11-cohort
+# entries stay guarded by the local parity suite.
 _REVERIFY_R16: frozenset[str] = frozenset(
     {
         "q_stream_alert_routing", "q_stream_anomaly",

@@ -240,6 +240,12 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wants few wide-enough stores, not cores-many (cuts ~2/3 of this
     # query's wall time at test SF). At 100 TB this is the knob sized
     # to key cardinality / executor count, not left at the default.
+    # r16 interleaved A/B (4 rounds each, same session): the RocksDB
+    # state store provider and noDataMicroBatches=false both measured
+    # FLAT here (base 7.49 s / nodata 7.61 / rocksdb 7.68 / both 7.70)
+    # — the drill's cost is the per-batch applyInPandasWithState
+    # executor work itself, not the HDFS store commit or a trailing
+    # no-data batch (the event log shows exactly 3 batch jobs).
     with pinned_shuffle_width(spark):
         q = (
             updates.writeStream.outputMode("update")

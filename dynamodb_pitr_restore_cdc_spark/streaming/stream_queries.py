@@ -81,9 +81,31 @@ def _write_one_split(df: DataFrame, src_dir: str, i: int) -> None:
 
 def _write_split_files(df: DataFrame, splits: list, src_dir: str) -> None:
     """Write one parquet file per split predicate, with increasing mtimes
-    so the file streaming source processes them in list order."""
-    for i, pred in enumerate(splits):
-        _write_one_split(df.where(pred), src_dir, i)
+    so the file streaming source processes them in list order.
+
+    The N split writes are INDEPENDENT jobs over the same source, so
+    they are submitted from a small thread pool (guide §2.6 — actions
+    are only sequential because driver code calls them sequentially);
+    overlapping them hides most of the per-write scan+schedule latency
+    that every streaming drill pays before its stream even starts
+    (r16 profile: 3 sequential writes + the percentile cut = ~3.6 s of
+    q_stream_stateful_totals' 14 s wall). Each thread owns its split's
+    tmp dir and target file, and the mtime is set per file from the
+    split INDEX, so the on-disk result — names, contents, mtime order —
+    is identical to the sequential form (tests/test_split_files.py
+    pins that identity; the streams consume an unchanged fixture)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if not splits:
+        return
+    with ThreadPoolExecutor(max_workers=min(4, len(splits))) as pool:
+        # list() drains the iterator so the first failing split raises
+        list(
+            pool.map(
+                lambda iv: _write_one_split(df.where(iv[1]), src_dir, iv[0]),
+                enumerate(splits),
+            )
+        )
 
 
 def _ts_tertiles(df: DataFrame, col: str) -> tuple:
